@@ -1,0 +1,184 @@
+"""Kaldi-compatible log-mel filterbank features, TPU-native.
+
+Implements the exact feature definition the reference model was trained on —
+torchaudio.compliance.kaldi.fbank with (num_mel_bins=80, frame_length=25 ms,
+frame_shift=10 ms, dither=0, energy_floor=0, sample_frequency=16000) on
+int16-scaled waveforms (reference: asr/wenet/cli/reverb.py:113-140,
+asr/wenet/dataset/processor.py:343-371) — as a single fused, jittable JAX
+function. The whole frontend (framing → DC removal → preemphasis → povey
+window → rFFT(512) → power → mel → log) lowers to one XLA program: framing is
+a gather, the FFT is XLA's native rfft, and the mel projection is a (F,257)x
+(257,80) matmul that rides the MXU.
+
+Kaldi algorithm reference (public spec): kaldi/src/feat/feature-window.{h,cc},
+feature-fbank.cc, mel-computations.cc. Written from the spec, not ported.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class FbankConfig:
+    sample_rate: int = 16000
+    num_mel_bins: int = 80
+    frame_length_ms: float = 25.0
+    frame_shift_ms: float = 10.0
+    dither: float = 0.0
+    preemphasis: float = 0.97
+    remove_dc_offset: bool = True
+    low_freq: float = 20.0
+    high_freq: float = 0.0  # <=0: offset from Nyquist
+    use_power: bool = True
+    snip_edges: bool = True
+    # torchaudio's EPSILON = smallest float32 eps (get_epsilon); log floor.
+    epsilon: float = float(np.finfo(np.float32).eps)
+
+    @property
+    def window_size(self) -> int:
+        return int(self.sample_rate * self.frame_length_ms / 1000)
+
+    @property
+    def window_shift(self) -> int:
+        return int(self.sample_rate * self.frame_shift_ms / 1000)
+
+    @property
+    def padded_window_size(self) -> int:
+        n = 1
+        while n < self.window_size:
+            n *= 2
+        return n
+
+
+def num_frames(num_samples: int, cfg: FbankConfig = FbankConfig()) -> int:
+    """Frame count for snip_edges=True (kaldi feature-window.h NumFrames)."""
+    if num_samples < cfg.window_size:
+        return 0
+    return 1 + (num_samples - cfg.window_size) // cfg.window_shift
+
+
+def _povey_window(n: int) -> np.ndarray:
+    # (0.5 - 0.5 cos(2 pi i / (N-1)))^0.85  — kaldi feature-window.cc
+    i = np.arange(n, dtype=np.float64)
+    return ((0.5 - 0.5 * np.cos(2.0 * np.pi * i / (n - 1))) ** 0.85).astype(
+        np.float32)
+
+
+def _mel_scale(freq):
+    return 1127.0 * np.log(1.0 + freq / 700.0)
+
+
+@functools.lru_cache(maxsize=8)
+def mel_banks(cfg: FbankConfig = FbankConfig()) -> np.ndarray:
+    """(num_bins, padded_window_size//2) triangular mel weights, kaldi-style.
+
+    The Nyquist fft bin is excluded (weight handled by zero-padding the last
+    column at application time), matching torchaudio.compliance.kaldi.fbank.
+    """
+    num_fft_bins = cfg.padded_window_size // 2
+    nyquist = 0.5 * cfg.sample_rate
+    high_freq = cfg.high_freq if cfg.high_freq > 0 else nyquist + cfg.high_freq
+    mel_low = _mel_scale(cfg.low_freq)
+    mel_high = _mel_scale(high_freq)
+    delta = (mel_high - mel_low) / (cfg.num_mel_bins + 1)
+
+    fft_freqs = (np.arange(num_fft_bins, dtype=np.float64)
+                 * cfg.sample_rate / cfg.padded_window_size)
+    mel = _mel_scale(fft_freqs)[None, :]  # (1, F)
+
+    b = np.arange(cfg.num_mel_bins, dtype=np.float64)[:, None]
+    left = mel_low + b * delta
+    center = mel_low + (b + 1) * delta
+    right = mel_low + (b + 2) * delta
+    up = (mel - left) / (center - left)
+    down = (right - mel) / (right - center)
+    weights = np.maximum(0.0, np.minimum(up, down))
+    return weights.astype(np.float32)
+
+
+def _frame_signal(wave: jax.Array, n_frames: int, cfg: FbankConfig) -> jax.Array:
+    idx = (jnp.arange(n_frames)[:, None] * cfg.window_shift
+           + jnp.arange(cfg.window_size)[None, :])
+    return wave[idx]
+
+
+def compute_fbank(wave: jax.Array,
+                  cfg: FbankConfig = FbankConfig(),
+                  n_frames: int | None = None) -> jax.Array:
+    """Log-mel fbank of a 1-D waveform (int16-scale float32).
+
+    Args:
+      wave: (num_samples,) float32, already scaled to int16 range (the caller
+        multiplies normalized audio by 1<<15 — processor.py:361).
+      n_frames: static frame count; defaults to num_frames(len(wave)).
+    Returns:
+      (n_frames, num_mel_bins) float32.
+    """
+    if n_frames is None:
+        n_frames = num_frames(wave.shape[0], cfg)
+    wave = wave.astype(jnp.float32)
+    frames = _frame_signal(wave, n_frames, cfg)  # (T, W)
+
+    if cfg.remove_dc_offset:
+        frames = frames - jnp.mean(frames, axis=1, keepdims=True)
+    if cfg.preemphasis != 0.0:
+        first = frames[:, :1] - cfg.preemphasis * frames[:, :1]
+        rest = frames[:, 1:] - cfg.preemphasis * frames[:, :-1]
+        frames = jnp.concatenate([first, rest], axis=1)
+
+    window = jnp.asarray(_povey_window(cfg.window_size))
+    frames = frames * window[None, :]
+
+    pad = cfg.padded_window_size - cfg.window_size
+    if pad > 0:
+        frames = jnp.pad(frames, ((0, 0), (0, pad)))
+
+    spec = jnp.fft.rfft(frames, axis=1)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    if not cfg.use_power:
+        power = jnp.sqrt(power)
+    power = power[:, : cfg.padded_window_size // 2]  # drop Nyquist bin
+
+    banks = jnp.asarray(mel_banks(cfg))  # (M, F)
+    mel = power @ banks.T
+    return jnp.log(jnp.maximum(mel, cfg.epsilon))
+
+
+def compute_fbank_batch(waves: jax.Array, cfg: FbankConfig = FbankConfig()
+                        ) -> jax.Array:
+    """(B, num_samples) → (B, T, M); frame count from the padded length."""
+    return jax.vmap(lambda w: compute_fbank(w, cfg))(waves)
+
+
+def fbank_numpy(wave: np.ndarray, cfg: FbankConfig = FbankConfig()) -> np.ndarray:
+    """Pure-NumPy reference path (host-side; used for tests and small files)."""
+    T = num_frames(len(wave), cfg)
+    if T == 0:
+        return np.zeros((0, cfg.num_mel_bins), dtype=np.float32)
+    wave = wave.astype(np.float32)
+    shift, size = cfg.window_shift, cfg.window_size
+    idx = np.arange(T)[:, None] * shift + np.arange(size)[None, :]
+    frames = wave[idx]
+    if cfg.remove_dc_offset:
+        frames = frames - frames.mean(axis=1, keepdims=True)
+    if cfg.preemphasis:
+        out = frames.copy()
+        out[:, 0] -= cfg.preemphasis * frames[:, 0]
+        out[:, 1:] -= cfg.preemphasis * frames[:, :-1]
+        frames = out
+    frames = frames * _povey_window(size)[None, :]
+    padded = np.zeros((T, cfg.padded_window_size), dtype=np.float32)
+    padded[:, :size] = frames
+    spec = np.fft.rfft(padded, axis=1)
+    power = (spec.real ** 2 + spec.imag ** 2)[:, : cfg.padded_window_size // 2]
+    if not cfg.use_power:
+        power = np.sqrt(power)
+    mel = power @ mel_banks(cfg).T
+    return np.log(np.maximum(mel, cfg.epsilon)).astype(np.float32)

@@ -1,0 +1,181 @@
+"""Mask / sequence utilities (static-shape, jit-friendly).
+
+Behavioral parity targets (reference file:line):
+  - make_pad_mask            asr/wenet/utils/mask.py:200-230
+  - subsequent_mask          asr/wenet/utils/mask.py:33-60
+  - subsequent_chunk_mask    asr/wenet/utils/mask.py:62-97
+  - add_optional_chunk_mask  asr/wenet/utils/mask.py:100-197
+  - add_sos_eos              asr/wenet/utils/common.py:113-160
+  - reverse_pad_list         asr/wenet/utils/common.py (+ the ONNX-safe gather
+                             variant in asr/wenet/transformer/asr_model.py:902-953)
+  - log_add                  asr/wenet/utils/common.py:355-363
+  - th_accuracy              asr/wenet/utils/common.py
+
+All functions are pure and traceable under jit; none use data-dependent Python
+control flow.  Unlike the torch reference, sequence ops are fully vectorized
+(no per-row python loops).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+IGNORE_ID = -1
+
+
+def make_pad_mask(lengths: jax.Array, max_len: int) -> jax.Array:
+    """True at PADDED positions. lengths: (B,) int; returns (B, max_len) bool."""
+    idx = jnp.arange(max_len, dtype=lengths.dtype)[None, :]
+    return idx >= lengths[:, None]
+
+
+def make_non_pad_mask(lengths: jax.Array, max_len: int) -> jax.Array:
+    """True at VALID positions. (B, max_len) bool."""
+    return ~make_pad_mask(lengths, max_len)
+
+
+def subsequent_mask(size: int) -> jax.Array:
+    """(size, size) lower-triangular bool mask (causal: row i sees cols <= i)."""
+    return jnp.tril(jnp.ones((size, size), dtype=bool))
+
+
+def subsequent_chunk_mask(size: int, chunk_size: int,
+                          num_left_chunks: int = -1) -> jax.Array:
+    """Chunk-causal mask: position i sees everything in its chunk and up to
+    `num_left_chunks` previous chunks (all history if < 0). (size, size) bool."""
+    row = jnp.arange(size)
+    chunk_idx = row // chunk_size
+    ending = jnp.minimum((chunk_idx + 1) * chunk_size, size)
+    if num_left_chunks < 0:
+        start = jnp.zeros((size,), dtype=row.dtype)
+    else:
+        start = jnp.maximum((chunk_idx - num_left_chunks) * chunk_size, 0)
+    col = jnp.arange(size)[None, :]
+    return (col >= start[:, None]) & (col < ending[:, None])
+
+
+def add_optional_chunk_mask(masks: jax.Array,
+                            use_dynamic_chunk: bool,
+                            use_dynamic_left_chunk: bool,
+                            decoding_chunk_size: int,
+                            static_chunk_size: int,
+                            num_decoding_left_chunks: int,
+                            rng: jax.Array | None = None,
+                            enable_full_context: bool = True) -> jax.Array:
+    """Combine the pad mask (B,1,T) with an optional chunk-causality mask.
+
+    Static decisions (which branch) are made in Python (shapes / flags are
+    static under jit); the *training-time random chunk size* requires an rng
+    and uses lax.switch-free masking: we materialize the mask for a traced
+    chunk size by comparing indices, which keeps it jittable.
+    """
+    size = masks.shape[-1]
+    if use_dynamic_chunk:
+        if decoding_chunk_size < 0:
+            return masks & jnp.ones((size, size), dtype=bool)[None]
+        if decoding_chunk_size > 0:
+            cm = subsequent_chunk_mask(size, decoding_chunk_size,
+                                       num_decoding_left_chunks)
+            return masks & cm[None]
+        # training: random chunk size in [1,25] or full context
+        assert rng is not None, "dynamic chunk training needs an rng"
+        r1, r2 = jax.random.split(rng)
+        chunk = jax.random.randint(r1, (), 1, max(size, 2))
+        full = enable_full_context & (chunk > size // 2)
+        chunk = jnp.where(full, size, chunk % 25 + 1)
+        row = jnp.arange(size)
+        chunk_idx = row // chunk
+        ending = jnp.minimum((chunk_idx + 1) * chunk, size)
+        if use_dynamic_left_chunk:
+            max_left = jnp.maximum((size - 1) // jnp.maximum(chunk, 1), 1)
+            num_left = jax.random.randint(r2, (), 0, 2**30) % max_left
+            start = jnp.maximum((chunk_idx - num_left) * chunk, 0)
+        else:
+            start = jnp.zeros((size,), dtype=row.dtype)
+        col = jnp.arange(size)[None, :]
+        cm = (col >= start[:, None]) & (col < ending[:, None])
+        return masks & cm[None]
+    if static_chunk_size > 0:
+        cm = subsequent_chunk_mask(size, static_chunk_size,
+                                   num_decoding_left_chunks)
+        return masks & cm[None]
+    return masks
+
+
+def pad_to(x: jax.Array, length: int, axis: int = 0, value=0) -> jax.Array:
+    """Pad `x` with `value` along `axis` up to `length` (no-op if already there)."""
+    cur = x.shape[axis]
+    if cur == length:
+        return x
+    assert cur < length, (cur, length)
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, length - cur)
+    return jnp.pad(x, pads, constant_values=value)
+
+
+def add_sos_eos(ys_pad: jax.Array, ys_lens: jax.Array, sos: int, eos: int,
+                ignore_id: int = IGNORE_ID) -> tuple[jax.Array, jax.Array]:
+    """Vectorized add_sos_eos.
+
+    ys_pad: (B, L) padded with `ignore_id`; ys_lens: (B,).
+    Returns (ys_in (B,L+1) padded with eos, ys_out (B,L+1) padded with ignore_id).
+    Matches asr/wenet/utils/common.py:113-160 byte-for-byte on values.
+    """
+    B, L = ys_pad.shape
+    sos_col = jnp.full((B, 1), sos, dtype=ys_pad.dtype)
+    body = jnp.where(ys_pad == ignore_id, eos, ys_pad)
+    ys_in = jnp.concatenate([sos_col, body], axis=1)
+
+    idx = jnp.arange(L + 1)[None, :]
+    ys_body = jnp.concatenate(
+        [ys_pad, jnp.full((B, 1), ignore_id, dtype=ys_pad.dtype)], axis=1)
+    ys_out = jnp.where(idx == ys_lens[:, None], eos,
+                       jnp.where(idx < ys_lens[:, None], ys_body, ignore_id))
+    return ys_in, ys_out
+
+
+def reverse_sequence(ys_pad: jax.Array, ys_lens: jax.Array,
+                     pad_value: int = IGNORE_ID) -> jax.Array:
+    """Reverse each row's first `len` elements; positions >= len get pad_value.
+
+    Equivalent to reverse_pad_list + the ONNX-safe gather at
+    asr/wenet/transformer/asr_model.py:921-948.
+    """
+    B, L = ys_pad.shape
+    idx = jnp.arange(L)[None, :]
+    seq_mask = idx < ys_lens[:, None]
+    gather = (ys_lens[:, None] - 1) - idx
+    gather = jnp.where(seq_mask, gather, 0)
+    rev = jnp.take_along_axis(ys_pad, gather, axis=1)
+    return jnp.where(seq_mask, rev, pad_value)
+
+
+def log_add(*args):
+    """Stable elementwise log-sum-exp over the given arrays (broadcasting)."""
+    stacked = jnp.stack(jnp.broadcast_arrays(*args), axis=0)
+    return jax.scipy.special.logsumexp(stacked, axis=0)
+
+
+def th_accuracy(pred: jax.Array, gold: jax.Array,
+                ignore_label: int = IGNORE_ID) -> jax.Array:
+    """Token accuracy with padding masked out.
+
+    pred: (B, L, V) logits; gold: (B, L) labels with ignore_label padding.
+    """
+    pred_ids = jnp.argmax(pred, axis=-1)
+    mask = gold != ignore_label
+    num = jnp.sum((pred_ids == gold) & mask)
+    den = jnp.maximum(jnp.sum(mask), 1)
+    return num.astype(jnp.float32) / den.astype(jnp.float32)
+
+
+def remove_duplicates_and_blank(hyp, blank_id: int = 0):
+    """Host-side CTC path collapse (reference asr/wenet/utils/ctc_utils.py:22-34)."""
+    out = []
+    prev = None
+    for t in hyp:
+        if t != blank_id and t != prev:
+            out.append(int(t))
+        prev = t
+    return out

@@ -1,0 +1,70 @@
+import numpy as np
+import jax.numpy as jnp
+
+from reverb_tpu.utils.common import (add_sos_eos, log_add, make_pad_mask,
+                                     remove_duplicates_and_blank,
+                                     reverse_sequence, subsequent_chunk_mask,
+                                     subsequent_mask, th_accuracy)
+
+
+def test_make_pad_mask():
+    m = np.asarray(make_pad_mask(jnp.array([2, 0, 3]), 4))
+    expect = np.array([[0, 0, 1, 1], [1, 1, 1, 1], [0, 0, 0, 1]], dtype=bool)
+    np.testing.assert_array_equal(m, expect)
+
+
+def test_subsequent_mask():
+    m = np.asarray(subsequent_mask(3))
+    np.testing.assert_array_equal(
+        m, np.array([[1, 0, 0], [1, 1, 0], [1, 1, 1]], dtype=bool))
+
+
+def test_subsequent_chunk_mask():
+    # matches docstring example at asr/wenet/utils/mask.py:62-97
+    m = np.asarray(subsequent_chunk_mask(4, 2, -1))
+    np.testing.assert_array_equal(
+        m, np.array([[1, 1, 0, 0], [1, 1, 0, 0],
+                     [1, 1, 1, 1], [1, 1, 1, 1]], dtype=bool))
+    m = np.asarray(subsequent_chunk_mask(6, 2, 1))
+    # row 4..5 (chunk 2) sees chunks 1 and 2 only
+    assert not m[4, 0] and not m[4, 1] and m[4, 2] and m[4, 5]
+
+
+def test_add_sos_eos_matches_reference_example():
+    # example from asr/wenet/utils/common.py:113-160
+    ys = jnp.array([[1, 2, 3, 4, 5], [4, 5, 6, -1, -1], [7, 8, 9, -1, -1]])
+    lens = jnp.array([5, 3, 3])
+    ys_in, ys_out = add_sos_eos(ys, lens, 10, 11, -1)
+    np.testing.assert_array_equal(
+        np.asarray(ys_in),
+        [[10, 1, 2, 3, 4, 5], [10, 4, 5, 6, 11, 11], [10, 7, 8, 9, 11, 11]])
+    np.testing.assert_array_equal(
+        np.asarray(ys_out),
+        [[1, 2, 3, 4, 5, 11], [4, 5, 6, 11, -1, -1], [7, 8, 9, 11, -1, -1]])
+
+
+def test_reverse_sequence():
+    ys = jnp.array([[1, 2, 3], [9, 8, -1], [2, -1, -1]])
+    lens = jnp.array([3, 2, 1])
+    r = np.asarray(reverse_sequence(ys, lens, -1))
+    np.testing.assert_array_equal(r, [[3, 2, 1], [8, 9, -1], [2, -1, -1]])
+
+
+def test_log_add():
+    a = jnp.array([-1.0, -jnp.inf])
+    b = jnp.array([-2.0, -jnp.inf])
+    out = np.asarray(log_add(a, b))
+    assert abs(out[0] - np.logaddexp(-1.0, -2.0)) < 1e-5
+    assert out[1] == -np.inf
+
+
+def test_remove_duplicates_and_blank():
+    assert remove_duplicates_and_blank([0, 1, 1, 0, 1, 2, 2, 0]) == [1, 1, 2]
+    assert remove_duplicates_and_blank([0, 0]) == []
+
+
+def test_th_accuracy():
+    pred = jnp.zeros((1, 3, 4)).at[0, 0, 1].set(5.0).at[0, 1, 2].set(5.0)
+    gold = jnp.array([[1, 2, -1]])
+    acc = float(th_accuracy(pred, gold, -1))
+    assert abs(acc - 1.0) < 1e-6

@@ -1,0 +1,75 @@
+import numpy as np
+import jax
+import pytest
+
+from reverb_tpu.frontend.fbank import (FbankConfig, compute_fbank,
+                                       fbank_numpy, mel_banks, num_frames)
+
+
+CFG = FbankConfig()
+
+
+def test_frame_count():
+    # kaldi snip_edges: 1 + (n - 400)//160
+    assert num_frames(16000, CFG) == 1 + (16000 - 400) // 160
+    assert num_frames(399, CFG) == 0
+    assert num_frames(400, CFG) == 1
+    assert num_frames(559, CFG) == 1
+    assert num_frames(560, CFG) == 2
+
+
+def test_mel_banks_shape_and_partition():
+    banks = mel_banks(CFG)
+    assert banks.shape == (80, 256)
+    # every mel bin has some support; no fft bin above nyquist
+    assert (banks.sum(axis=1) > 0).all()
+    # triangles cover the range between low and high freq approximately once
+    colsum = banks.sum(axis=0)
+    fft_freqs = np.arange(256) * 16000 / 512
+    interior = (fft_freqs > 100) & (fft_freqs < 7800)
+    assert np.all(colsum[interior] > 0.4)
+    assert np.all(colsum[interior] < 1.6)
+
+
+def test_jax_matches_numpy_reference():
+    rng = np.random.RandomState(0)
+    wave = (rng.randn(16000) * 1000).astype(np.float32)
+    ref = fbank_numpy(wave, CFG)
+    got = np.asarray(compute_fbank(wave, CFG))
+    assert got.shape == ref.shape == (num_frames(16000, CFG), 80)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_sine_peaks_at_expected_mel_bin():
+    # a 1 kHz tone should put most energy near the mel bin whose center is 1 kHz
+    sr = 16000
+    t = np.arange(sr) / sr
+    wave = (np.sin(2 * np.pi * 1000 * t) * 10000).astype(np.float32)
+    feats = np.asarray(compute_fbank(wave, CFG))
+    mean_spec = feats.mean(axis=0)
+    peak_bin = int(mean_spec.argmax())
+
+    def mel(f):
+        return 1127 * np.log(1 + f / 700)
+    mel_low, mel_high = mel(20), mel(8000)
+    delta = (mel_high - mel_low) / 81
+    center = mel_low + (peak_bin + 1) * delta
+    center_hz = 700 * (np.exp(center / 1127) - 1)
+    assert abs(center_hz - 1000) < 120, center_hz
+
+
+def test_dc_offset_invariance():
+    rng = np.random.RandomState(1)
+    wave = (rng.randn(8000) * 500).astype(np.float32)
+    a = np.asarray(compute_fbank(wave, CFG))
+    b = np.asarray(compute_fbank(wave + 12345.0, CFG))
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-3)
+
+
+def test_jit_static_shape():
+    wave = np.zeros(4000, dtype=np.float32)
+    fn = jax.jit(lambda w: compute_fbank(w, CFG, n_frames=num_frames(4000, CFG)))
+    out = fn(wave)
+    assert out.shape == (num_frames(4000, CFG), 80)
+    # log-floor on silence
+    assert np.isfinite(np.asarray(out)).all()
