@@ -1,0 +1,82 @@
+"""CTC head: projection + loss (optax CTC forward-backward) + activations.
+
+Parity: asr/wenet/transformer/ctc.py:22-124 (sum-reduced loss / batch size,
+optional focal-CTC α·(1-p)^γ scaling at ctc.py:56-99).
+On TPU the α-β recursions inside optax.ctc_loss lower to lax.scan over time —
+one fused XLA while-loop, no host round-trips.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from reverb_tpu.models.modules import dropout, linear
+
+
+def ctc_logits(params, encoder_out, dropout_rate: float = 0.0, rng=None):
+    return linear(params['ctc_lo'], dropout(encoder_out, dropout_rate, rng))
+
+
+def ctc_log_softmax(params, encoder_out):
+    """ctc.py:106-114."""
+    return jax.nn.log_softmax(
+        ctc_logits(params, encoder_out).astype(jnp.float32), axis=-1)
+
+
+def ctc_logprobs(params, encoder_out, blank_penalty: float = 0.0,
+                 blank_id: int = 0):
+    """asr_model.py:317-329: optional blank-logit penalty before log_softmax."""
+    logits = ctc_logits(params, encoder_out).astype(jnp.float32)
+    if blank_penalty > 0.0:
+        logits = logits.at[:, :, blank_id].add(-blank_penalty)
+    return jax.nn.log_softmax(logits, axis=-1)
+
+
+def ctc_loss(params, encoder_out, encoder_lens, ys_pad, ys_lens,
+             blank_id: int = 0, dropout_rate: float = 0.0, rng=None,
+             focal: bool = False, focal_alpha: float = 0.5,
+             focal_gamma: float = 2.0):
+    """Sum-reduced CTC loss / batch (ctc.py:82-102). ys_pad padded with 0s OK
+    (label_paddings mask them)."""
+    logits = ctc_logits(params, encoder_out, dropout_rate, rng)
+    logits = logits.astype(jnp.float32)
+    B, T, V = logits.shape
+    L = ys_pad.shape[1]
+    logit_paddings = (jnp.arange(T)[None, :] >= encoder_lens[:, None]
+                      ).astype(jnp.float32)
+    label_paddings = (jnp.arange(L)[None, :] >= ys_lens[:, None]
+                      ).astype(jnp.float32)
+    labels = jnp.where(label_paddings > 0, 0, ys_pad).astype(jnp.int32)
+    per_seq = optax.ctc_loss(logits, logit_paddings, labels, label_paddings,
+                             blank_id=blank_id)          # (B,)
+    if focal:
+        p = jnp.exp(-per_seq)
+        per_seq = focal_alpha * (1 - p) ** focal_gamma * per_seq
+        return jnp.mean(per_seq)
+    return jnp.sum(per_seq) / B
+
+
+def label_smoothing_loss(logits, target, lens, smoothing: float,
+                         vocab_size: int, ignore_id: int = -1,
+                         normalize_length: bool = False):
+    """KLDiv label smoothing with padding masking
+    (asr/wenet/transformer/label_smoothing_loss.py:21-98).
+
+    logits: (B, L, V); target: (B, L) with ignore_id padding.
+    Denominator = batch size (or token count when normalize_length).
+    """
+    B, L, V = logits.shape
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    confidence = 1.0 - smoothing
+    low = smoothing / (V - 1)
+    mask = target != ignore_id
+    tgt = jnp.where(mask, target, 0)
+    true_dist = jnp.full((B, L, V), low, dtype=jnp.float32)
+    true_dist = jnp.put_along_axis(
+        true_dist, tgt[..., None], confidence, axis=-1, inplace=False)
+    kl = jnp.sum(true_dist * (jnp.log(true_dist) - logp), axis=-1)  # (B,L)
+    kl = jnp.where(mask, kl, 0.0)
+    denom = jnp.sum(mask) if normalize_length else B
+    return jnp.sum(kl) / denom

@@ -1,0 +1,350 @@
+"""Conformer / Transformer encoder with Language-Specific Layers (LSL).
+
+Parity targets (reference file:line):
+  - Conv2dSubsampling4/6/8, LinearInput  asr/wenet/transformer/subsampling.py
+  - ConvolutionModule                    asr/wenet/transformer/convolution.py:23-144
+  - ConformerEncoderLayer                asr/wenet/transformer/encoder_layer.py:164-244
+  - LanguageSpecificConformerEncoderLayer encoder_layer.py:247-402
+      * y = Σ_i cat_embs[i]·Linear_i(norm_ff(x)); x = residual + ½·FFN(y);
+        then norm_final; then x = x + y   (the trailing +y is load-bearing)
+  - BaseEncoder.forward                  asr/wenet/transformer/encoder.py:117-149
+  - ConformerEncoder (+LSL first/last when num_langs>0)  encoder.py:453-579
+  - streaming forward_chunk              encoder.py:231-339 (static-shape rings
+        here: att_cache (L,B,H,Tc,2dk), cnn_cache (L,B,D,k-1))
+
+TPU notes: the layer stack is a Python loop under jit (XLA CSEs the repeated
+structure); activations run in cfg.compute_dtype (bf16 on TPU) with layernorm/
+softmax in f32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from reverb_tpu.models import attention as att
+from reverb_tpu.models import embedding as emb
+from reverb_tpu.models.modules import (ACTIVATIONS, Rngs, batch_norm_1d,
+                                       conv1d, conv2d, dropout, glu,
+                                       layer_norm, linear)
+from reverb_tpu.utils.common import (add_optional_chunk_mask, make_pad_mask)
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    input_size: int = 80
+    output_size: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 6
+    dropout_rate: float = 0.1
+    positional_dropout_rate: float = 0.1
+    attention_dropout_rate: float = 0.0
+    input_layer: str = 'conv2d'
+    pos_enc_layer_type: str = 'rel_pos'
+    normalize_before: bool = True
+    static_chunk_size: int = 0
+    use_dynamic_chunk: bool = False
+    use_dynamic_left_chunk: bool = False
+    macaron_style: bool = True
+    selfattention_layer_type: str = 'rel_selfattn'
+    activation_type: str = 'swish'
+    use_cnn_module: bool = True
+    cnn_module_kernel: int = 15
+    causal: bool = False
+    cnn_module_norm: str = 'batch_norm'
+    key_bias: bool = True
+    num_langs: int = 0          # >0 → first+last layers are LSL
+    encoder_type: str = 'conformer'   # 'conformer' | 'transformer'
+    gradient_checkpointing: bool = False
+
+    @property
+    def head_dim(self):
+        return self.output_size // self.attention_heads
+
+    @property
+    def subsampling_rate(self):
+        return {'linear': 1, 'conv2d2': 2, 'conv2d': 4,
+                'conv2d6': 6, 'conv2d8': 8}[self.input_layer]
+
+
+# ------------------------------ subsampling ------------------------------
+
+def subsampled_len(cfg: EncoderConfig, T: int) -> int:
+    if cfg.input_layer == 'linear':
+        return T
+    if cfg.input_layer == 'conv2d':
+        return ((T - 1) // 2 - 1) // 2
+    if cfg.input_layer == 'conv2d6':
+        return ((T - 1) // 2 - 2) // 3
+    if cfg.input_layer == 'conv2d8':
+        return (((T - 1) // 2 - 1) // 2 - 1) // 2
+    raise ValueError(cfg.input_layer)
+
+
+def conv2d_subsampling4(p, x, x_mask, cfg: EncoderConfig, offset=0, rngs=None,
+                        pos_len: int | None = None):
+    """x (B,T,F) → (out (B,T',D), pos_emb, mask (B,1,T')).
+    Parity: subsampling.py:172-226."""
+    x = x[:, None, :, :]                        # (B,1,T,F)
+    x = jax.nn.relu(conv2d(p['conv']['0'], x, stride=(2, 2)))
+    x = jax.nn.relu(conv2d(p['conv']['2'], x, stride=(2, 2)))
+    B, C, T, F = x.shape
+    x = x.transpose(0, 2, 1, 3).reshape(B, T, C * F)
+    x = linear(p['out']['0'], x)
+    x, pos = _pos_enc(cfg, x, offset, rngs, pos_len)
+    return x, pos, x_mask[:, :, 2::2][:, :, 2::2]
+
+
+def linear_input(p, x, x_mask, cfg: EncoderConfig, offset=0, rngs=None,
+                 pos_len=None):
+    x = linear(p['out']['0'], x)
+    x = layer_norm(p['out']['1'], x)
+    x = dropout(x, cfg.dropout_rate, rngs.next() if rngs else None)
+    x, pos = _pos_enc(cfg, x, offset, rngs, pos_len)
+    return x, pos, x_mask
+
+
+def _pos_enc(cfg: EncoderConfig, x, offset, rngs, pos_len=None):
+    rng = rngs.next() if rngs else None
+    if cfg.pos_enc_layer_type == 'rel_pos':
+        return emb.rel_position_encoding(x, offset,
+                                         cfg.positional_dropout_rate, rng,
+                                         size=pos_len)
+    if cfg.pos_enc_layer_type in ('abs_pos', 'abs_pos_whisper'):
+        return emb.abs_position_encoding(x, offset,
+                                         cfg.positional_dropout_rate, rng)
+    if cfg.pos_enc_layer_type == 'no_pos':
+        return emb.no_position_encoding(x, offset,
+                                        cfg.positional_dropout_rate, rng)
+    raise ValueError(cfg.pos_enc_layer_type)
+
+
+SUBSAMPLE_FNS = {'conv2d': conv2d_subsampling4, 'linear': linear_input}
+
+
+# ------------------------------ conv module ------------------------------
+
+def conv_module(p, x, mask_pad, cfg: EncoderConfig, rngs=None,
+                cnn_cache: Optional[jax.Array] = None):
+    """Conformer conv: pw(2C)→GLU→dw(k)→norm→swish→pw. x (B,T,C).
+    Returns (out, new_cnn_cache (B,C,k-1) when causal)."""
+    act = ACTIVATIONS[cfg.activation_type]
+    x = x.transpose(0, 2, 1)                    # (B,C,T)
+    if mask_pad is not None:
+        x = jnp.where(mask_pad, x, 0.0)
+    lorder = cfg.cnn_module_kernel - 1 if cfg.causal else 0
+    new_cache = None
+    if lorder > 0:
+        if cnn_cache is None:
+            x = jnp.pad(x, ((0, 0), (0, 0), (lorder, 0)))
+        else:
+            x = jnp.concatenate([cnn_cache, x], axis=2)
+        new_cache = x[:, :, -lorder:]
+        pad_same = 0
+    else:
+        pad_same = (cfg.cnn_module_kernel - 1) // 2
+    x = glu(conv1d(p['pointwise_conv1'], x), axis=1)
+    x = conv1d(p['depthwise_conv'], x, padding=pad_same,
+               groups=x.shape[1])
+    if cfg.cnn_module_norm == 'layer_norm':
+        x = x.transpose(0, 2, 1)
+        x = act(layer_norm(p['norm'], x))
+        x = x.transpose(0, 2, 1)
+    else:
+        x = act(batch_norm_1d(p['norm'], x))
+    x = conv1d(p['pointwise_conv2'], x)
+    if mask_pad is not None:
+        x = jnp.where(mask_pad, x, 0.0)
+    return x.transpose(0, 2, 1), new_cache
+
+
+# ------------------------------ FFN ------------------------------
+
+def feed_forward(p, x, cfg: EncoderConfig, rngs=None, activation=None):
+    act = activation or ACTIVATIONS[cfg.activation_type]
+    x = act(linear(p['w_1'], x))
+    x = dropout(x, cfg.dropout_rate, rngs.next() if rngs else None)
+    return linear(p['w_2'], x)
+
+
+def _lsl_mix(lang_params, x, cat_embs):
+    """y = Σ_i cat_embs[i] · Linear_i(x).  cat_embs: (num_langs,) or (B,num_langs).
+    encoder_layer.py:376-391 / decoder_layer.py:316-331."""
+    ys = jnp.stack([linear(lp, x) for lp in lang_params], axis=0)  # (L,B,T,D)
+    if cat_embs.ndim == 1:
+        w = cat_embs.astype(x.dtype)[:, None, None, None]
+    else:
+        w = cat_embs.astype(x.dtype).T[:, :, None, None]           # (L,B,1,1)
+    return jnp.sum(w * ys, axis=0)
+
+
+# ------------------------------ encoder layers ------------------------------
+
+def conformer_layer(p, x, mask, pos_emb, mask_pad, cfg: EncoderConfig,
+                    cat_embs=None, rngs=None, att_cache=None, cnn_cache=None,
+                    is_lsl: bool = False):
+    """One (LSL-)conformer block. Returns (x, new_att_cache, new_cnn_cache)."""
+    rate = cfg.dropout_rate
+
+    def drop(v):
+        return dropout(v, rate, rngs.next() if rngs else None)
+
+    # macaron FFN (½)
+    if cfg.macaron_style:
+        residual = x
+        xn = layer_norm(p['norm_ff_macaron'], x)
+        x = residual + 0.5 * drop(feed_forward(p['feed_forward_macaron'], xn,
+                                               cfg, rngs))
+    # MHSA
+    residual = x
+    xn = layer_norm(p['norm_mha'], x)
+    arng = rngs.next() if rngs else None
+    if cfg.selfattention_layer_type == 'rel_selfattn':
+        x_att, new_att_cache = att.rel_pos_mha(
+            p['self_attn'], xn, xn, xn, mask, pos_emb, cfg.attention_heads,
+            cfg.attention_dropout_rate, arng, cache=att_cache)
+    else:
+        x_att, new_att_cache = att.mha(
+            p['self_attn'], xn, xn, xn, mask, cfg.attention_heads,
+            cfg.attention_dropout_rate, arng, cache=att_cache)
+    x = residual + drop(x_att)
+
+    # conv module
+    new_cnn_cache = None
+    if cfg.use_cnn_module:
+        residual = x
+        xn = layer_norm(p['norm_conv'], x)
+        xc, new_cnn_cache = conv_module(p, xn, mask_pad, cfg, rngs, cnn_cache)
+        x = residual + drop(xc)
+
+    # final FFN (+ LSL mixing)
+    residual = x
+    xn = layer_norm(p['norm_ff'], x)
+    ff_scale = 0.5 if cfg.macaron_style else 1.0
+    if is_lsl:
+        assert cat_embs is not None, "LSL layer requires cat_embs"
+        y = _lsl_mix(p['language_layers'], xn, cat_embs)
+        x = residual + ff_scale * drop(feed_forward(p['feed_forward'], y, cfg,
+                                                    rngs))
+        if cfg.use_cnn_module:
+            x = layer_norm(p['norm_final'], x)
+        x = x + y                         # encoder_layer.py:400
+    else:
+        x = residual + ff_scale * drop(feed_forward(p['feed_forward'], xn, cfg,
+                                                    rngs))
+        if cfg.use_cnn_module:
+            x = layer_norm(p['norm_final'], x)
+    return x, new_att_cache, new_cnn_cache
+
+
+def transformer_layer(p, x, mask, pos_emb, mask_pad, cfg: EncoderConfig,
+                      cat_embs=None, rngs=None, att_cache=None,
+                      cnn_cache=None, is_lsl: bool = False):
+    """Plain transformer encoder block (encoder_layer.py:22-121)."""
+    rate = cfg.dropout_rate
+
+    def drop(v):
+        return dropout(v, rate, rngs.next() if rngs else None)
+
+    residual = x
+    xn = layer_norm(p['norm1'], x)
+    arng = rngs.next() if rngs else None
+    x_att, new_att_cache = att.mha(p['self_attn'], xn, xn, xn, mask,
+                                   cfg.attention_heads,
+                                   cfg.attention_dropout_rate, arng,
+                                   cache=att_cache)
+    x = residual + drop(x_att)
+    residual = x
+    xn = layer_norm(p['norm2'], x)
+    x = residual + drop(feed_forward(p['feed_forward'], xn, cfg, rngs,
+                                     activation=ACTIVATIONS['relu']))
+    return x, new_att_cache, None
+
+
+def _layer_is_lsl(cfg: EncoderConfig, i: int) -> bool:
+    return cfg.num_langs > 0 and (i == 0 or i == cfg.num_blocks - 1)
+
+
+def encoder_forward(params, xs, xs_lens, cfg: EncoderConfig,
+                    cat_embs=None, cmvn=None,
+                    decoding_chunk_size: int = 0,
+                    num_decoding_left_chunks: int = -1,
+                    rngs: Rngs | None = None,
+                    chunk_rng=None):
+    """Full encoder forward (encoder.py:117-149).
+
+    xs: (B, T, F) features; xs_lens: (B,). Returns (out (B,T',D), masks (B,1,T')).
+    cmvn: optional (mean, istd) applied before subsampling.
+    """
+    B, T, _ = xs.shape
+    masks = (~make_pad_mask(xs_lens, T))[:, None, :]   # (B,1,T)
+    if cmvn is not None:
+        mean, istd = cmvn
+        xs = (xs - mean.astype(xs.dtype)) * istd.astype(xs.dtype)
+    sub_fn = SUBSAMPLE_FNS[cfg.input_layer]
+    xs, pos_emb, masks = sub_fn(params['embed'], xs, masks, cfg, 0, rngs)
+    mask_pad = masks
+    chunk_masks = add_optional_chunk_mask(
+        masks, cfg.use_dynamic_chunk, cfg.use_dynamic_left_chunk,
+        decoding_chunk_size, cfg.static_chunk_size,
+        num_decoding_left_chunks, rng=chunk_rng)
+
+    layer_fn = (conformer_layer if cfg.encoder_type == 'conformer'
+                else transformer_layer)
+    for i, lp in enumerate(params['encoders']):
+        step = lambda x: layer_fn(lp, x, chunk_masks, pos_emb, mask_pad, cfg,
+                                  cat_embs, rngs, is_lsl=_layer_is_lsl(cfg, i))
+        if cfg.gradient_checkpointing and rngs is not None:
+            xs, _, _ = jax.checkpoint(step)(xs)
+        else:
+            xs, _, _ = step(xs)
+    if cfg.normalize_before:
+        xs = layer_norm(params['after_norm'], xs)
+    return xs, masks
+
+
+def encoder_forward_chunk(params, xs, offset: int, cfg: EncoderConfig,
+                          att_cache, cnn_cache, cat_embs=None, cmvn=None):
+    """Streaming chunk forward with static-shape KV/conv caches.
+
+    Parity: encoder.py:231-339 (cache layout (L,H,Tc,2dk) per layer), but with
+    fixed-size ring caches so the whole step is one compiled XLA program.
+
+    xs: (1, chunk_T, F). att_cache: (L, 1, H, Tc, 2*dk). cnn_cache: (L, 1, D, k-1).
+    Returns (ys, new_att_cache, new_cnn_cache) with the same static shapes.
+    """
+    B = xs.shape[0]
+    masks = jnp.ones((B, 1, xs.shape[1]), dtype=bool)
+    if cmvn is not None:
+        mean, istd = cmvn
+        xs = (xs - mean.astype(xs.dtype)) * istd.astype(xs.dtype)
+    sub_fn = SUBSAMPLE_FNS[cfg.input_layer]
+    cache_t = att_cache.shape[3]
+    chunk_t = subsampled_len(cfg, xs.shape[1])
+    # pos_emb spans cache + current chunk (encoder.py:294-303)
+    xs, pos_emb, _ = sub_fn(params['embed'], xs, masks, cfg,
+                            offset=max(offset - cache_t, 0),
+                            pos_len=cache_t + chunk_t)
+    layer_fn = (conformer_layer if cfg.encoder_type == 'conformer'
+                else transformer_layer)
+    new_att, new_cnn = [], []
+    for i, lp in enumerate(params['encoders']):
+        xs, a_cache, c_cache = layer_fn(
+            lp, xs, None, pos_emb, None, cfg, cat_embs,
+            att_cache=att_cache[i], cnn_cache=(cnn_cache[i] if cnn_cache is not
+                                               None else None),
+            is_lsl=_layer_is_lsl(cfg, i))
+        # keep only the trailing cache_t steps (ring)
+        new_att.append(a_cache[:, :, -cache_t:, :] if cache_t > 0 else
+                       a_cache[:, :, :0, :])
+        if c_cache is not None:
+            new_cnn.append(c_cache)
+    if cfg.normalize_before:
+        xs = layer_norm(params['after_norm'], xs)
+    new_att_cache = jnp.stack(new_att, axis=0)
+    new_cnn_cache = jnp.stack(new_cnn, axis=0) if new_cnn else cnn_cache
+    return xs, new_att_cache, new_cnn_cache

@@ -1,0 +1,188 @@
+"""Low-level functional NN ops over torch-layout parameter pytrees.
+
+Design: parameters live in plain nested dicts whose keys mirror the reference
+torch ``state_dict`` paths exactly (SURVEY.md Appendix B), e.g.
+``params['encoder']['encoders'][0]['self_attn']['linear_q']['weight']``.
+This keeps the ``reverb_asr_v1.pt`` → JAX converter a pure key-walk with no
+renaming table, and every forward function is a pure jittable function of
+(params, inputs).  Weight layouts are kept in torch convention:
+
+  Linear.weight  (out, in)        → apply as x @ W.T + b
+  Conv1d.weight  (out, in/g, k)
+  Conv2d.weight  (out, in, kh, kw)
+  Embedding.weight (V, d)
+
+XLA folds the transposes; keeping torch layout costs nothing at runtime.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Rngs:
+    """Trace-time PRNG key splitter for dropout. `None`-safe: if constructed
+    with None, `next()` returns None and dropout becomes a no-op."""
+
+    def __init__(self, key):
+        self._key = key
+
+    def next(self):
+        if self._key is None:
+            return None
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+
+def dropout(x, rate: float, rng):
+    if rng is None or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def linear(p, x):
+    y = jnp.matmul(x, p['weight'].T.astype(x.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
+    if 'bias' in p and p['bias'] is not None:
+        y = y + p['bias'].astype(x.dtype)
+    return y
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * p['weight'].astype(x.dtype) + p['bias'].astype(x.dtype)
+
+
+def embedding(p, ids):
+    return p['weight'][ids]
+
+
+def batch_norm_1d(p, x, eps: float = 1e-5):
+    """Inference-mode BatchNorm1d over (B, C, T) using running stats."""
+    mean = p['running_mean'][None, :, None].astype(x.dtype)
+    var = p['running_var'][None, :, None].astype(x.dtype)
+    w = p['weight'][None, :, None].astype(x.dtype)
+    b = p['bias'][None, :, None].astype(x.dtype)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def conv1d(p, x, stride: int = 1, padding: int = 0, groups: int = 1):
+    """x: (B, C_in, T) → (B, C_out, T'). torch-layout weight (C_out, C_in/g, k)."""
+    w = p['weight'].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=('NCH', 'OIH', 'NCH'),
+        feature_group_count=groups,
+        precision=jax.lax.Precision.HIGHEST)
+    if 'bias' in p and p['bias'] is not None:
+        y = y + p['bias'][None, :, None].astype(x.dtype)
+    return y
+
+
+def conv2d(p, x, stride=(1, 1), padding=(0, 0)):
+    """x: (B, C_in, H, W) → (B, C_out, H', W'). weight (C_out, C_in, kh, kw)."""
+    w = p['weight'].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+        precision=jax.lax.Precision.HIGHEST)
+    if 'bias' in p and p['bias'] is not None:
+        y = y + p['bias'][None, :, None, None].astype(x.dtype)
+    return y
+
+
+# ------------------------------ activations ------------------------------
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def glu(x, axis=-1):
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * jax.nn.sigmoid(b)
+
+
+ACTIVATIONS = {
+    'relu': jax.nn.relu,
+    'swish': swish,
+    'silu': swish,
+    'gelu': jax.nn.gelu,
+    'tanh': jnp.tanh,
+    'hardtanh': lambda x: jnp.clip(x, -1.0, 1.0),
+    'mish': lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+    'selu': jax.nn.selu,
+}
+
+
+# ------------------------------ initializers ------------------------------
+# torch-default initializers (kaiming-uniform a=sqrt(5) for Linear/Conv,
+# N(0,1) for Embedding), so from-scratch training matches reference behavior.
+
+def init_linear(rng, in_features: int, out_features: int, bias: bool = True,
+                dtype=jnp.float32):
+    k1, k2 = jax.random.split(rng)
+    bound = math.sqrt(1.0 / in_features)
+    p = {'weight': jax.random.uniform(
+        k1, (out_features, in_features), dtype, -math.sqrt(3.0) * bound,
+        math.sqrt(3.0) * bound)}
+    if bias:
+        p['bias'] = jax.random.uniform(k2, (out_features,), dtype, -bound, bound)
+    return p
+
+
+def init_layer_norm(dim: int, dtype=jnp.float32):
+    return {'weight': jnp.ones((dim,), dtype), 'bias': jnp.zeros((dim,), dtype)}
+
+
+def init_embedding(rng, vocab: int, dim: int, dtype=jnp.float32):
+    return {'weight': jax.random.normal(rng, (vocab, dim), dtype)}
+
+
+def init_conv1d(rng, in_ch: int, out_ch: int, k: int, groups: int = 1,
+                bias: bool = True, dtype=jnp.float32):
+    k1, k2 = jax.random.split(rng)
+    fan_in = (in_ch // groups) * k
+    bound = math.sqrt(1.0 / fan_in)
+    p = {'weight': jax.random.uniform(
+        k1, (out_ch, in_ch // groups, k), dtype, -math.sqrt(3.0) * bound,
+        math.sqrt(3.0) * bound)}
+    if bias:
+        p['bias'] = jax.random.uniform(k2, (out_ch,), dtype, -bound, bound)
+    return p
+
+
+def init_conv2d(rng, in_ch: int, out_ch: int, kh: int, kw: int,
+                bias: bool = True, dtype=jnp.float32):
+    k1, k2 = jax.random.split(rng)
+    fan_in = in_ch * kh * kw
+    bound = math.sqrt(1.0 / fan_in)
+    p = {'weight': jax.random.uniform(
+        k1, (out_ch, in_ch, kh, kw), dtype, -math.sqrt(3.0) * bound,
+        math.sqrt(3.0) * bound)}
+    if bias:
+        p['bias'] = jax.random.uniform(k2, (out_ch,), dtype, -bound, bound)
+    return p
+
+
+def init_batch_norm(dim: int, dtype=jnp.float32):
+    return {'weight': jnp.ones((dim,), dtype), 'bias': jnp.zeros((dim,), dtype),
+            'running_mean': jnp.zeros((dim,), dtype),
+            'running_var': jnp.ones((dim,), dtype)}
+
+
+def xavier_uniform(rng, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[-1], shape[-2] if len(shape) > 1 else shape[-1]
+    a = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(rng, shape, dtype, -a, a)
