@@ -1,0 +1,150 @@
+"""Device-side CTC prefix beam search vs an independent host dict
+implementation of the same semantics (written from the algorithm, used only
+as a test oracle)."""
+
+import math
+from collections import defaultdict
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from reverb_tpu.decode.prefix_beam import (ctc_prefix_beam_search,
+                                           ctc_prefix_beam_search_device)
+
+NEG = -float('inf')
+
+
+def _logadd(a, b):
+    if a == NEG:
+        return b
+    if b == NEG:
+        return a
+    m = max(a, b)
+    return m + math.log(math.exp(a - m) + math.exp(b - m))
+
+
+class _E:
+    __slots__ = ('s', 'ns', 'v_s', 'v_ns', 'ts', 'tns')
+
+    def __init__(self):
+        self.s = NEG
+        self.ns = NEG
+        self.v_s = NEG
+        self.v_ns = NEG
+        self.ts = []
+        self.tns = []
+
+
+def prefix_beam_dict(logp, beam, blank=0, num_t=None):
+    """Host oracle: dict-based prefix beam search, intended viterbi semantics."""
+    T, V = logp.shape
+    num_t = T if num_t is None else num_t
+    root = _E()
+    root.s, root.v_s, root.v_ns = 0.0, 0.0, 0.0
+    cur = {(): root}
+    for t in range(num_t):
+        topk = np.argsort(logp[t])[-beam:]
+        nxt = defaultdict(_E)
+        for u in topk:
+            u = int(u)
+            p = float(logp[t, u])
+            for prefix, sc in cur.items():
+                last = prefix[-1] if prefix else None
+                score = _logadd(sc.s, sc.ns)
+                vit = max(sc.v_s, sc.v_ns)
+                times = sc.ts if sc.v_s > sc.v_ns else sc.tns
+                if u == blank:
+                    e = nxt[prefix]
+                    e.s = _logadd(e.s, score + p)
+                    if vit + p > e.v_s:
+                        e.v_s = vit + p
+                        e.ts = list(times)
+                elif u == last:
+                    e = nxt[prefix]
+                    e.ns = _logadd(e.ns, sc.ns + p)
+                    if sc.ns > NEG and sc.v_ns + p > e.v_ns:
+                        e.v_ns = sc.v_ns + p
+                        e.tns = sc.tns[:-1] + [t]
+                    e2 = nxt[prefix + (u,)]
+                    e2.ns = _logadd(e2.ns, sc.s + p)
+                    if sc.s > NEG and sc.v_s + p > e2.v_ns:
+                        e2.v_ns = sc.v_s + p
+                        e2.tns = sc.ts + [t]
+                else:
+                    e = nxt[prefix + (u,)]
+                    e.ns = _logadd(e.ns, score + p)
+                    if vit + p > e.v_ns:
+                        e.v_ns = vit + p
+                        e.tns = times + [t]
+        items = sorted(nxt.items(), key=lambda kv: -_logadd(kv[1].s, kv[1].ns))
+        cur = dict(items[:beam])
+    out = []
+    for prefix, sc in sorted(cur.items(),
+                             key=lambda kv: -_logadd(kv[1].s, kv[1].ns)):
+        times = sc.ts if sc.v_s > sc.v_ns else sc.tns
+        out.append((list(prefix), _logadd(sc.s, sc.ns), times))
+    return out
+
+
+def _rand_logp(rng, T, V, peaky=True):
+    x = rng.randn(T, V).astype(np.float32)
+    if peaky:
+        # make it look like CTC posteriors: blank-dominant with spikes
+        x[:, 0] += 2.0
+        spikes = rng.randint(0, T, size=T // 3)
+        x[spikes, rng.randint(1, V, size=len(spikes))] += 4.0
+    return x - np.log(np.exp(x).sum(-1, keepdims=True))
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2])
+def test_matches_dict_oracle(seed):
+    rng = np.random.RandomState(seed)
+    T, V, K = 25, 8, 5
+    logp = _rand_logp(rng, T, V)
+    expect = prefix_beam_dict(logp, K)
+    prefixes, plens, scores, times = ctc_prefix_beam_search_device(
+        jnp.asarray(logp[None]), jnp.array([T]), K)
+    prefixes, plens, scores, times = (np.asarray(prefixes[0]),
+                                      np.asarray(plens[0]),
+                                      np.asarray(scores[0]),
+                                      np.asarray(times[0]))
+    got = [(prefixes[k, :plens[k]].tolist(), float(scores[k]),
+            times[k, :plens[k]].tolist()) for k in range(K)]
+    # compare prefix sets and scores of the full beam
+    exp_map = {tuple(p): (s, tm) for p, s, tm in expect[:K]}
+    got_map = {tuple(p): (s, tm) for p, s, tm in got}
+    assert set(got_map) == set(exp_map), (sorted(exp_map), sorted(got_map))
+    for p, (es, etm) in exp_map.items():
+        gs, gtm = got_map[p]
+        assert abs(gs - es) < 1e-3, (p, gs, es)
+        assert gtm == etm, (p, gtm, etm)
+    # and the 1-best ordering
+    assert got[0][0] == expect[0][0]
+
+
+def test_respects_lengths():
+    rng = np.random.RandomState(3)
+    T, V, K = 20, 6, 4
+    logp = _rand_logp(rng, T, V)
+    expect = prefix_beam_dict(logp, K, num_t=12)
+    prefixes, plens, scores, _ = ctc_prefix_beam_search_device(
+        jnp.asarray(logp[None]), jnp.array([12]), K)
+    got_best = np.asarray(prefixes[0, 0, :plens[0, 0]]).tolist()
+    assert got_best == expect[0][0]
+    assert abs(float(scores[0, 0]) - expect[0][1]) < 1e-3
+
+
+def test_batched_and_wrapper():
+    rng = np.random.RandomState(4)
+    T, V, K = 15, 7, 4
+    lp1 = _rand_logp(rng, T, V)
+    lp2 = _rand_logp(rng, T, V)
+    batch = jnp.asarray(np.stack([lp1, lp2]))
+    res = ctc_prefix_beam_search(batch, jnp.array([T, 10]), K)
+    e1 = prefix_beam_dict(lp1, K)
+    e2 = prefix_beam_dict(lp2, K, num_t=10)
+    assert res[0].tokens == e1[0][0]
+    assert res[1].tokens == e2[0][0]
+    assert res[0].nbest is not None and len(res[0].nbest) >= 1
+    assert len(res[0].times) == len(res[0].tokens)
