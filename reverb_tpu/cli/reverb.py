@@ -1,0 +1,263 @@
+"""ReverbASR product API: load config+checkpoint, transcribe long-form audio.
+
+Parity: asr/wenet/cli/reverb.py:40-372 — same public surface
+(`load_model(name_or_path)` → `ReverbASR` with `.transcribe(...)` /
+`.transcribe_modes(...)`), same flags and defaults (chunk_size=2051,
+beam_size=10, ctc_weight=0.1, verbatimicity=1.0, timings_adjustment=230 ms),
+same txt/CTM output bytes.
+
+TPU redesign vs the reference:
+  * fbank runs on device as one fused jitted program (frontend/fbank.py);
+  * the whole file's chunks are batched together (static (B, 2051, 80)
+    shapes) instead of the reference's one-chunk-at-a-time loop, so the MXU
+    sees large batched matmuls and XLA compiles exactly one program per
+    (chunk, batch) shape;
+  * beam search happens on device (decode/prefix_beam.py), not in python.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+from itertools import chain
+from pathlib import Path
+from typing import Generator, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from reverb_tpu.decode.align import (adjust_model_time_offset, ctc_align,
+                                     hyps_to_ctm, hyps_to_txt)
+from reverb_tpu.decode.api import decode as decode_modes_fn
+from reverb_tpu.decode.results import DecodeResult
+from reverb_tpu.frontend.audio import load_for_asr
+from reverb_tpu.frontend.cmvn import load_cmvn
+from reverb_tpu.frontend.fbank import FbankConfig, compute_fbank, num_frames
+from reverb_tpu.models.asr_model import ModelConfig, init_params
+from reverb_tpu.convert.torch_ckpt import (check_param_compat,
+                                           load_reverb_checkpoint, load_npz)
+from reverb_tpu.text.tokenizer import init_tokenizer
+
+_FRAME_DOWNSAMPLING_FACTOR = {'linear': 1, 'conv2d': 4, 'conv2d6': 6,
+                              'conv2d8': 8}
+CACHED_MODELS_DIR = Path.home() / '.cache/reverb'
+_MODELS = {'reverb_asr_v1': 'https://huggingface.co/Revai/reverb-asr'}
+
+
+def get_blank_id(configs, symbol_table):
+    """utils/ctc_utils.py:164-178: blank from ctc_conf or '<blank>' or 0."""
+    ctc_conf = configs.get('ctc_conf', {}) or {}
+    if 'ctc_blank_id' in ctc_conf:
+        blank_id = ctc_conf['ctc_blank_id']
+        if '<blank>' in symbol_table:
+            assert symbol_table['<blank>'] == blank_id
+    else:
+        blank_id = symbol_table.get('<blank>', 0)
+    configs.setdefault('ctc_conf', {})['ctc_blank_id'] = blank_id
+    return configs, blank_id
+
+
+class ReverbASR:
+    def __init__(self, config: str, checkpoint: str,
+                 cmvn_path: Optional[str] = None,
+                 tokenizer_symbols: Optional[str] = None,
+                 bpe_path: Optional[str] = None,
+                 compute_dtype: str = 'float32',
+                 gpu: int = -1):
+        del gpu  # accepted for API parity; device selection is JAX's
+        self.checkpoint = checkpoint
+        with open(config) as f:
+            self.configs = yaml.safe_load(f)
+
+        cm = self.configs.setdefault('cmvn_conf', {})
+        if 'cmvn_file' in cm or cmvn_path:
+            cm['cmvn_file'] = self._abspath(cm.get('cmvn_file'), cmvn_path)
+        tk = self.configs.setdefault('tokenizer_conf', {})
+        tk['symbol_table_path'] = self._abspath(
+            tk.get('symbol_table_path'), tokenizer_symbols)
+        if 'bpe_path' in tk or bpe_path:
+            tk['bpe_path'] = self._abspath(tk.get('bpe_path'), bpe_path)
+
+        self.tokenizer = init_tokenizer(self.configs)
+        self.configs, self.blank_id = get_blank_id(
+            self.configs, self.tokenizer.symbol_table)
+        self.configs['output_dim'] = len(self.tokenizer.symbol_table)
+
+        self.model_config = ModelConfig.from_config(self.configs)
+        if compute_dtype == 'bfloat16':
+            import dataclasses
+            self.model_config = dataclasses.replace(
+                self.model_config, compute_dtype=jnp.bfloat16)
+
+        self.params = self._load_params()
+        self.test_conf = self.configs.get('dataset_conf', {}) or {}
+        fbank_conf = self.test_conf.get('fbank_conf', {}) or {}
+        self.fbank = FbankConfig(
+            num_mel_bins=fbank_conf.get('num_mel_bins', 80),
+            frame_length_ms=fbank_conf.get('frame_length', 25),
+            frame_shift_ms=fbank_conf.get('frame_shift', 10))
+        self.input_frame_length = self.fbank.frame_shift_ms
+        self.output_frame_length = (
+            self.input_frame_length * _FRAME_DOWNSAMPLING_FACTOR.get(
+                self.configs.get('encoder_conf', {}).get('input_layer',
+                                                         'conv2d'), 4))
+
+    def _abspath(self, config_path, alternate=None):
+        if alternate:
+            return str(alternate)
+        if config_path is None:
+            return None
+        p = Path(config_path)
+        if not p.is_absolute():
+            p = Path(self.checkpoint).parent / p
+        return p.as_posix()
+
+    def _load_params(self):
+        if str(self.checkpoint).endswith('.npz'):
+            params, _ = load_npz(self.checkpoint)
+        else:
+            params = load_reverb_checkpoint(self.checkpoint)
+        cmvn_file = self.configs.get('cmvn_conf', {}).get('cmvn_file')
+        if 'global_cmvn' not in params.get('encoder', {}) and cmvn_file:
+            mean, istd = load_cmvn(
+                cmvn_file, self.configs['cmvn_conf'].get('is_json_cmvn', True))
+            params.setdefault('encoder', {})['global_cmvn'] = {
+                'mean': jnp.asarray(mean), 'istd': jnp.asarray(istd)}
+        return params
+
+    # ------------------------------ features ------------------------------
+
+    def compute_feats(self, audio_file: str, resample_rate: int = 16000
+                      ) -> np.ndarray:
+        """Full-file fbank (T, M). Audio decode on host, fbank on device."""
+        wave = load_for_asr(audio_file, resample_rate)
+        T = num_frames(len(wave), self.fbank)
+        feats = compute_fbank(jnp.asarray(wave), self.fbank, n_frames=T)
+        return np.asarray(feats)
+
+    def feats_batcher(self, feats: np.ndarray, chunk_size: int,
+                      batch_size: int
+                      ) -> Generator[Tuple[np.ndarray, np.ndarray], None, None]:
+        """Split (T, M) features into (B, chunk_size, M) batches, zero-padding
+        the final chunk (cli/reverb.py:142-174)."""
+        T, M = feats.shape
+        per_batch = chunk_size * batch_size
+        n_batches = max(math.ceil(T / per_batch), 1)
+        for b in range(n_batches):
+            part = feats[b * per_batch:(b + 1) * per_batch]
+            bs = batch_size if b < n_batches - 1 else \
+                max(math.ceil(part.shape[0] / chunk_size), 1)
+            lens = np.full((bs,), chunk_size, dtype=np.int32)
+            pad = bs * chunk_size - part.shape[0]
+            if pad > 0:
+                lens[-1] = chunk_size - pad
+                part = np.pad(part, ((0, pad), (0, 0)))
+            yield part.reshape(bs, chunk_size, M), lens
+
+    # ------------------------------ transcribe ------------------------------
+
+    def transcribe_modes(self, audio_file, modes: List[str],
+                         format: str = 'txt',
+                         verbatimicity: float = 1.0,
+                         chunk_size: int = 2051,
+                         batch_size: int = 1,
+                         beam_size: int = 10,
+                         decoding_chunk_size: int = -1,
+                         num_decoding_left_chunks: int = -1,
+                         ctc_weight: float = 0.1,
+                         simulate_streaming: bool = False,
+                         reverse_weight: float = 0.0,
+                         blank_penalty: float = 0.0,
+                         length_penalty: float = 0.0,
+                         timings_adjustment: float = 230) -> List[str]:
+        feats = self.compute_feats(audio_file)
+        cat_embs = np.asarray([verbatimicity, 1.0 - verbatimicity],
+                              dtype=np.float32)
+        results = []
+        for feats_batch, feats_lens in self.feats_batcher(
+                feats, chunk_size, batch_size):
+            hyps = decode_modes_fn(
+                self.params, self.model_config, modes, feats_batch, feats_lens,
+                beam_size=beam_size,
+                decoding_chunk_size=decoding_chunk_size,
+                num_decoding_left_chunks=num_decoding_left_chunks,
+                ctc_weight=ctc_weight,
+                reverse_weight=reverse_weight,
+                blank_penalty=blank_penalty,
+                length_penalty=length_penalty,
+                cat_embs=cat_embs)
+            results.append(hyps)
+        outputs = []
+        for mode in modes:
+            outputs.append(self.get_output(
+                format, Path(audio_file).name,
+                list(chain(*(r[mode] for r in results))),
+                timings_adjustment, chunk_size))
+        return outputs
+
+    def transcribe(self, audio_file, mode: str = 'ctc_prefix_beam_search',
+                   **kwargs) -> str:
+        return self.transcribe_modes(audio_file, [mode], **kwargs)[0]
+
+    def get_output(self, format: str, audio_name: str,
+                   hyps: List[DecodeResult], timings_adjustment_ms: float,
+                   chunk_size: int) -> str:
+        """Per-chunk word alignment + time re-offset (cli/reverb.py:292-321)."""
+        def id_to_token(tid):
+            return self.tokenizer.detokenize([tid])[1][0]
+
+        if format == 'txt':
+            fmt, delim = hyps_to_txt, ' '
+        elif format == 'ctm':
+            fmt, delim = (lambda p: hyps_to_ctm(audio_name, p)), '\n'
+        else:
+            raise ValueError('Invalid output format.')
+        out = []
+        time_shift_ms = 0
+        for hyp in hyps:
+            times = hyp.times if hyp.times is not None else \
+                list(range(len(hyp.tokens)))
+            path = ctc_align(hyp.tokens, times, hyp.tokens_confidence,
+                             id_to_token, self.output_frame_length,
+                             time_shift_ms)
+            path = adjust_model_time_offset(path, timings_adjustment_ms)
+            time_shift_ms += chunk_size * self.input_frame_length
+            out.extend(fmt(path))
+        return delim.join(out)
+
+
+def get_available_models():
+    return list(_MODELS.keys())
+
+
+def download_model(url: str, root):
+    import subprocess
+    os.makedirs(Path(root).parent, exist_ok=True)
+    subprocess.run(['git', 'clone', url, str(root)], check=True)
+
+
+def load_model(model: str, **kwargs) -> ReverbASR:
+    """Load by local path (dir with config.yaml + *.pt/*.npz) or model name
+    (downloads from HF on first use — cli/reverb.py:324-372)."""
+    if Path(model).exists():
+        model_dir = Path(model)
+    elif model in _MODELS:
+        model_dir = CACHED_MODELS_DIR / model
+        config = model_dir / 'config.yaml'
+        if not config.exists():
+            import shutil
+            shutil.rmtree(model_dir, ignore_errors=True)
+            download_model(_MODELS[model], model_dir)
+    else:
+        raise ValueError(
+            f"Specify a local model path or one of: "
+            f"{','.join(get_available_models())}")
+    config_path = (model_dir / 'config.yaml').resolve()
+    ckpts = sorted(model_dir.glob('*.npz')) + sorted(model_dir.glob('*.pt'))
+    if not ckpts:
+        raise FileNotFoundError(f'no checkpoint (*.pt/*.npz) in {model_dir}')
+    logging.info('Loading model: config=%s checkpoint=%s', config_path,
+                 ckpts[0])
+    return ReverbASR(str(config_path), str(ckpts[0]), **kwargs)

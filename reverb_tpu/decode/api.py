@@ -1,0 +1,89 @@
+"""Decode orchestration: one encoder pass feeding all requested decode modes.
+
+Parity: asr/wenet/transformer/asr_model.py:331-432 (`ASRModel.decode`) — runs
+the encoder once, derives CTC log-probs (with optional blank penalty), then
+dispatches to the requested search methods.  attention_rescoring reuses the
+ctc_prefix_beam_search nbest when both are requested.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from reverb_tpu.decode.attention_beam import attention_beam_search
+from reverb_tpu.decode.greedy import ctc_greedy_search
+from reverb_tpu.decode.prefix_beam import ctc_prefix_beam_search
+from reverb_tpu.decode.rescoring import attention_rescoring
+from reverb_tpu.decode.results import DecodeResult
+from reverb_tpu.models import ctc as ctc_mod
+from reverb_tpu.models.asr_model import ModelConfig, forward_encoder
+
+ALL_MODES = ('attention', 'ctc_greedy_search', 'ctc_prefix_beam_search',
+             'attention_rescoring', 'joint_decoding')
+
+
+@functools.partial(jax.jit, static_argnums=(1, 5, 6))
+def encode_and_ctc(params, cfg: ModelConfig, feats, feats_lens, cat_embs,
+                   blank_penalty: float = 0.0,
+                   decoding_chunk_size: int = -1):
+    """Single jitted program: encoder forward + CTC log-probs."""
+    enc_cat = cat_embs if cfg.lsl_enc else None
+    encoder_out, encoder_mask = forward_encoder(
+        params, cfg, feats, feats_lens, cat_embs=enc_cat,
+        decoding_chunk_size=decoding_chunk_size)
+    encoder_lens = jnp.sum(encoder_mask[:, 0, :], axis=-1).astype(jnp.int32)
+    ctc_probs = ctc_mod.ctc_logprobs(params['ctc'], encoder_out,
+                                     blank_penalty, cfg.blank_id)
+    return encoder_out, encoder_lens, ctc_probs
+
+
+def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
+           beam_size: int = 10,
+           decoding_chunk_size: int = -1,
+           num_decoding_left_chunks: int = -1,
+           ctc_weight: float = 0.0,
+           reverse_weight: float = 0.0,
+           blank_penalty: float = 0.0,
+           length_penalty: float = 0.0,
+           cat_embs=None,
+           context_graph=None) -> Dict[str, List[DecodeResult]]:
+    """Decode a batch of feature chunks with the requested methods."""
+    for m in methods:
+        assert m in ALL_MODES, m
+    cat = jnp.asarray(cat_embs) if cat_embs is not None else None
+    encoder_out, encoder_lens, ctc_probs = encode_and_ctc(
+        params, cfg, jnp.asarray(feats), jnp.asarray(feats_lens), cat,
+        blank_penalty, decoding_chunk_size)
+
+    results: Dict[str, List[DecodeResult]] = {}
+    if 'attention' in methods:
+        results['attention'] = attention_beam_search(
+            params, cfg, encoder_out, encoder_lens, beam_size, length_penalty,
+            cat_embs=cat)
+    if 'ctc_greedy_search' in methods:
+        results['ctc_greedy_search'] = ctc_greedy_search(
+            ctc_probs, encoder_lens, cfg.blank_id)
+    need_prefix = ('ctc_prefix_beam_search' in methods
+                   or 'attention_rescoring' in methods)
+    if need_prefix:
+        prefix_results = ctc_prefix_beam_search(
+            ctc_probs, encoder_lens, beam_size, cfg.blank_id)
+        if context_graph is not None:
+            prefix_results = context_graph.rescore_nbest(prefix_results)
+        if 'ctc_prefix_beam_search' in methods:
+            results['ctc_prefix_beam_search'] = prefix_results
+    if 'attention_rescoring' in methods:
+        results['attention_rescoring'] = attention_rescoring(
+            params, cfg, prefix_results, encoder_out, encoder_lens,
+            ctc_weight, reverse_weight, cat_embs=cat)
+    if 'joint_decoding' in methods:
+        from reverb_tpu.decode.joint import joint_decoding
+        results['joint_decoding'] = joint_decoding(
+            params, cfg, encoder_out, encoder_lens, ctc_probs,
+            ctc_weight=ctc_weight if ctc_weight else 0.5,
+            beam_size=beam_size, length_bonus=length_penalty, cat_embs=cat)
+    return results
