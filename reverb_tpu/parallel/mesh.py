@@ -1,0 +1,142 @@
+"""Device mesh + sharding rules: the TPU-native replacement for the
+reference's NCCL DDP / DeepSpeed ZeRO stack (SURVEY.md §2.11).
+
+Reference capabilities covered:
+  - DDP data parallelism (utils/train_utils.py:353-371)  → 'data' mesh axis;
+    gradients are psum-reduced by XLA from the sharded-batch pjit train step.
+  - DeepSpeed ZeRO-1/2 optimizer-state sharding (train_utils.py:372-391)
+    → optimizer state sharded along 'data' via sharding rules (ZeRO≙sharded
+    adam moments; XLA inserts reduce-scatter/all-gather on ICI).
+  - NEW (no reference counterpart): tensor parallelism over a 'model' axis —
+    attention heads and FFN hidden dims sharded, collectives ride ICI.
+
+The param pytree keys mirror torch paths, so sharding rules are regex→
+PartitionSpec tables over the flattened dotted path.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ('data','model') mesh. data=-1 → all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, (n, model)
+        data = n // model
+    assert data * model == n, (data, model, n)
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ('data', 'model'))
+
+
+# (regex over dotted param path) → PartitionSpec. First match wins.
+# Torch Linear weight is (out, in): shard `out` for column-parallel,
+# `in` for row-parallel.
+TP_RULES = [
+    # attention QKV: column-parallel (heads split across 'model')
+    (r'.*self_attn\.linear_[qkv]\.weight$', P('model', None)),
+    (r'.*self_attn\.linear_[qkv]\.bias$', P('model')),
+    (r'.*src_attn\.linear_[qkv]\.weight$', P('model', None)),
+    (r'.*src_attn\.linear_[qkv]\.bias$', P('model')),
+    (r'.*attn\.linear_pos\.weight$', P('model', None)),
+    (r'.*attn\.pos_bias_[uv]$', P('model', None)),
+    # attention output: row-parallel
+    (r'.*attn\.linear_out\.weight$', P(None, 'model')),
+    # FFN: w_1 column-parallel, w_2 row-parallel
+    (r'.*feed_forward(_macaron)?\.w_1\.weight$', P('model', None)),
+    (r'.*feed_forward(_macaron)?\.w_1\.bias$', P('model')),
+    (r'.*feed_forward(_macaron)?\.w_2\.weight$', P(None, 'model')),
+    # conformer conv module: channel-sharded pointwise/depthwise
+    (r'.*pointwise_conv1\.weight$', P('model', None, None)),
+    (r'.*pointwise_conv1\.bias$', P('model')),
+    (r'.*depthwise_conv\.weight$', P('model', None, None)),
+    (r'.*depthwise_conv\.bias$', P('model')),
+    (r'.*pointwise_conv2\.weight$', P(None, 'model', None)),
+    # vocab projections: column-parallel over vocab
+    (r'.*output_layer\.weight$', P('model', None)),
+    (r'.*output_layer\.bias$', P('model')),
+    (r'.*ctc_lo\.weight$', P('model', None)),
+    (r'.*ctc_lo\.bias$', P('model')),
+    (r'.*embed\.0\.weight$', P('model', None)),   # token embedding (V, d)
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        if isinstance(k, jax.tree_util.DictKey):
+            parts.append(str(k.key))
+        elif isinstance(k, jax.tree_util.SequenceKey):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return '.'.join(parts)
+
+
+def param_pspec(path, leaf, rules=TP_RULES) -> P:
+    s = _path_str(path)
+    for pat, spec in rules:
+        if re.match(pat, s):
+            # drop trailing axes the leaf doesn't have
+            ndim = np.ndim(leaf)
+            spec_t = tuple(spec)
+            if len(spec_t) > ndim:
+                spec_t = spec_t[:ndim]
+            return P(*spec_t)
+    return P()
+
+
+def param_shardings(params, mesh: Mesh, rules=TP_RULES):
+    """Pytree of NamedShardings for the param tree (TP over 'model';
+    replicated over 'data')."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, param_pspec(path, leaf, rules)),
+        params)
+
+
+def opt_state_shardings(opt_state, params, mesh: Mesh, zero: bool = True,
+                        rules=TP_RULES):
+    """Shardings for optax optimizer state.
+
+    When `zero` (ZeRO-style), adam moments additionally shard their first
+    axis over 'data' where divisible — the TPU equivalent of DeepSpeed
+    ZeRO-1/2 (train_utils.py:372-391).
+    """
+    data_size = mesh.shape['data']
+
+    def leaf_sharding(path, leaf):
+        if not hasattr(leaf, 'ndim') or leaf.ndim == 0:
+            return NamedSharding(mesh, P())
+        spec = list(param_pspec(path, leaf, rules))
+        while len(spec) < leaf.ndim:
+            spec.append(None)
+        if zero:
+            for ax in range(leaf.ndim):
+                if spec[ax] is None and leaf.shape[ax] % data_size == 0 and \
+                        leaf.shape[ax] >= data_size:
+                    spec[ax] = 'data'
+                    break
+        return NamedSharding(mesh, P(*spec))
+
+    # moments mirror the param tree structure inside the optax state
+    def map_state(state):
+        return jax.tree_util.tree_map_with_path(leaf_sharding, state)
+
+    return map_state(opt_state)
+
+
+def batch_shardings(batch, mesh: Mesh):
+    """Shard the leading batch dim of every batch leaf over 'data'."""
+    def leaf(x):
+        if hasattr(x, 'ndim') and x.ndim >= 1:
+            return NamedSharding(mesh, P('data', *([None] * (x.ndim - 1))))
+        return NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(leaf, batch)

@@ -1,0 +1,185 @@
+"""pjit training step: optimizer, grad-accum, clipping, freeze rules.
+
+Parity targets:
+  - init_optimizer_and_scheduler (adam/adamw/novograd × schedules, resume)
+      asr/wenet/utils/train_utils.py:394-469
+  - batch_forward/batch_backward amp bf16          train_utils.py:598-656
+  - update_parameter_and_lr: clip grad 50, skip non-finite grad norms
+      train_utils.py:659-709
+  - gradient accumulation (`accum_grad` with no_sync) utils/executor.py:168-174
+      → here a lax.scan over micro-batches inside ONE jitted step (no DDP
+      no_sync needed: the psum happens once, after accumulation, by design)
+  - freeze policies / restrict_learning regex rules  utils/executor.py:57-88,
+      287-323 → optax.masked zeroing updates by param-path regex
+
+The whole train step (fwd+bwd+accum+clip+update) is one pjit program over a
+('data','model') mesh; gradients reduce over ICI automatically via GSPMD.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from reverb_tpu.models.asr_model import ModelConfig, compute_loss
+from reverb_tpu.parallel.mesh import _path_str
+from reverb_tpu.train.scheduler import build_scheduler
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    optim: str = 'adam'
+    optim_conf: Dict = dataclasses.field(default_factory=lambda: {'lr': 1e-3})
+    scheduler: str = 'warmuplr'
+    scheduler_conf: Dict = dataclasses.field(
+        default_factory=lambda: {'warmup_steps': 25000})
+    grad_clip: float = 50.0
+    accum_grad: int = 1
+    freeze_modules: List[str] = dataclasses.field(default_factory=list)
+    restrict_learning: Optional[List[Dict[str, str]]] = None
+
+    @staticmethod
+    def from_config(configs: Dict) -> 'TrainConfig':
+        return TrainConfig(
+            optim=configs.get('optim', 'adam'),
+            optim_conf=dict(configs.get('optim_conf', {'lr': 1e-3})),
+            scheduler=configs.get('scheduler', 'warmuplr'),
+            scheduler_conf=dict(configs.get('scheduler_conf', {}) or {}),
+            grad_clip=configs.get('grad_clip', 50.0),
+            accum_grad=configs.get('accum_grad', 1),
+            freeze_modules=list(configs.get('freeze_modules', []) or []),
+            restrict_learning=configs.get('restrict_learning'))
+
+
+def trainable_mask(params, tc: TrainConfig):
+    """Boolean pytree: False → parameter frozen.
+
+    Implements both `freeze_modules` prefixes and the Rev `restrict_learning`
+    include/exclude regex list (executor.py:295-323: a param trains if it
+    matches any include rule and no exclude rule that precedes it; we apply
+    rules in order, first match wins, default trainable)."""
+    rules = []
+    for item in (tc.restrict_learning or []):
+        if 'include' in item:
+            rules.append((re.compile(item['include']), True))
+        if 'exclude' in item:
+            rules.append((re.compile(item['exclude']), False))
+
+    def decide(path, leaf):
+        s = _path_str(path)
+        for prefix in tc.freeze_modules:
+            if s.startswith(prefix):
+                return False
+        for pat, keep in rules:
+            if pat.search(s):
+                return keep
+        return True
+
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def build_optimizer(tc: TrainConfig, params=None):
+    """optax chain: clip-by-global-norm → adam/adamw/novograd → scheduled lr,
+    with frozen-param masking. Returns (optimizer, schedule_fn)."""
+    lr = tc.optim_conf.get('lr', 1e-3)
+    schedule = build_scheduler(tc.scheduler, lr, tc.scheduler_conf)
+    kwargs = {}
+    if 'betas' in tc.optim_conf:
+        b1, b2 = tc.optim_conf['betas']
+        kwargs.update(b1=b1, b2=b2)
+    if 'eps' in tc.optim_conf:
+        kwargs.update(eps=tc.optim_conf['eps'])
+    wd = tc.optim_conf.get('weight_decay', 0.0)
+    name = tc.optim.lower()
+    if name == 'adam':
+        base = optax.adam(schedule, **kwargs) if wd == 0 else \
+            optax.adamw(schedule, weight_decay=wd, **kwargs)
+    elif name == 'adamw':
+        base = optax.adamw(schedule, weight_decay=wd, **kwargs)
+    elif name == 'novograd':
+        base = optax.novograd(schedule, weight_decay=wd,
+                              **{k: v for k, v in kwargs.items()})
+    else:
+        raise ValueError(f'unknown optimizer {tc.optim!r}')
+    tx = optax.chain(optax.clip_by_global_norm(tc.grad_clip), base)
+    if params is not None and (tc.freeze_modules or tc.restrict_learning):
+        # zero the FINAL updates of frozen params (so adamw weight decay
+        # can't touch them either)
+        mask = trainable_mask(params, tc)
+        frozen = jax.tree.map(lambda b: not b, mask)
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen))
+    return tx, schedule
+
+
+def make_train_step(cfg: ModelConfig, tx, accum_grad: int = 1):
+    """Returns train_step(params, opt_state, batch, step, rng) → (params,
+    opt_state, metrics).
+
+    With accum_grad>1 the batch's leading dim is (accum·micro_b) and a
+    lax.scan accumulates micro-batch grads before ONE optimizer update —
+    numerically the reference's loss/accum_grad + no_sync pattern
+    (train_utils.py:629-656)."""
+
+    def loss_fn(params, batch, rng):
+        out = compute_loss(params, cfg, batch, rng=rng)
+        metrics = {k: (v if v is not None else jnp.zeros(()))
+                   for k, v in out.items()}
+        return out['loss'], metrics
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_step(params, opt_state, batch, step, rng):
+        if accum_grad == 1:
+            (loss, metrics), grads = grad_fn(params, batch, rng)
+        else:
+            def split(x):
+                return x.reshape((accum_grad, x.shape[0] // accum_grad)
+                                 + x.shape[1:])
+            micro = jax.tree.map(split, batch)
+            rngs = jax.random.split(rng, accum_grad)
+
+            def body(acc, inp):
+                mb, r = inp
+                (l, m), g = grad_fn(params, mb, r)
+                acc_g, acc_m = acc
+                return (jax.tree.map(jnp.add, acc_g, g),
+                        jax.tree.map(jnp.add, acc_m, m)), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, params)
+            zero_m = {'loss': jnp.zeros(()), 'loss_att': jnp.zeros(()),
+                      'loss_ctc': jnp.zeros(()), 'th_accuracy': jnp.zeros(())}
+            (grads, msum), _ = jax.lax.scan(body, (zero_g, zero_m),
+                                            (micro, rngs))
+            grads = jax.tree.map(lambda g: g / accum_grad, grads)
+            metrics = jax.tree.map(lambda m: m / accum_grad, msum)
+
+        grad_norm = optax.global_norm(grads)
+        finite = jnp.isfinite(grad_norm)
+        # skip the update on non-finite grad norm (train_utils.py:699-701)
+        safe_grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        updates, new_opt = tx.update(safe_grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_params = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_params, params)
+        new_opt = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_opt, opt_state)
+        metrics = dict(metrics)
+        metrics['grad_norm'] = grad_norm
+        metrics['skipped'] = (~finite).astype(jnp.float32)
+        return new_params, new_opt, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: ModelConfig):
+    def eval_step(params, batch):
+        out = compute_loss(params, cfg, batch, rng=None)
+        return {k: (v if v is not None else jnp.zeros(()))
+                for k, v in out.items()}
+    return eval_step
