@@ -141,11 +141,13 @@ def make_train_step(cfg: ModelConfig, tx, accum_grad: int = 1):
                 return x.reshape((accum_grad, x.shape[0] // accum_grad)
                                  + x.shape[1:])
             micro = jax.tree.map(split, batch)
-            rngs = jax.random.split(rng, accum_grad)
+            has_rng = rng is not None
+            rngs = (jax.random.split(rng, accum_grad) if has_rng
+                    else jnp.zeros((accum_grad, 2), jnp.uint32))
 
             def body(acc, inp):
                 mb, r = inp
-                (l, m), g = grad_fn(params, mb, r)
+                (l, m), g = grad_fn(params, mb, r if has_rng else None)
                 acc_g, acc_m = acc
                 return (jax.tree.map(jnp.add, acc_g, g),
                         jax.tree.map(jnp.add, acc_m, m)), None

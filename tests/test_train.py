@@ -1,0 +1,142 @@
+"""Trainer: loss decreases, accumulation equivalence, schedulers, freeze
+rules, checkpoint roundtrip, and the 8-device DP×TP mesh step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reverb_tpu.models.asr_model import ModelConfig, init_params
+from reverb_tpu.models.presets import reverb_tiny
+from reverb_tpu.train.checkpoint import (average_checkpoints, load_checkpoint,
+                                         save_checkpoint)
+from reverb_tpu.train.scheduler import (build_scheduler, warmup_lr)
+from reverb_tpu.train.trainer import (TrainConfig, build_optimizer,
+                                      make_train_step, trainable_mask)
+
+
+def _setup():
+    conf = reverb_tiny()
+    cfg = ModelConfig.from_config(conf)
+    tc = TrainConfig.from_config(conf)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    return conf, cfg, tc, params
+
+
+def _batch(cfg, B=4, T=67, L=5, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        'feats': jnp.asarray(rng.randn(B, T, 80), jnp.float32),
+        'feats_lengths': jnp.full((B,), T, jnp.int32),
+        'target': jnp.asarray(rng.randint(1, cfg.vocab_size - 2, (B, L)),
+                              jnp.int32),
+        'target_lengths': jnp.full((B,), L, jnp.int32),
+        'cat_embs': jnp.tile(jnp.array([[1.0, 0.0]], jnp.float32), (B, 1)),
+    }
+
+
+def test_loss_decreases():
+    conf, cfg, tc, params = _setup()
+    tx, _ = build_optimizer(tc)
+    opt_state = tx.init(params)
+    step_fn = jax.jit(make_train_step(cfg, tx))
+    batch = _batch(cfg)
+    losses = []
+    for i in range(8):
+        params, opt_state, m = step_fn(params, opt_state, batch,
+                                       jnp.asarray(i), jax.random.PRNGKey(i))
+        losses.append(float(m['loss']))
+        assert float(m['skipped']) == 0.0
+    assert losses[-1] < losses[0], losses
+
+
+def test_schedulers():
+    s = warmup_lr(1e-3, 100)
+    lrs = [float(s(i)) for i in [0, 50, 99, 200, 1000]]
+    assert lrs[0] < lrs[1] < lrs[2]
+    assert lrs[3] > lrs[4]          # decays after warmup
+    peak = float(s(99))
+    assert abs(peak - 1e-3) < 2e-4
+    for name in ('warmuplr', 'steadylr', 'NoamHoldAnnealing',
+                 'cosineannealing'):
+        sch = build_scheduler(name, 1e-3, {'warmup_steps': 10,
+                                           'hold_steps': 5,
+                                           'max_steps': 100})
+        vals = [float(sch(i)) for i in range(0, 100, 10)]
+        assert all(np.isfinite(v) and v >= 0 for v in vals), (name, vals)
+
+
+def test_freeze_rules():
+    conf, cfg, tc, params = _setup()
+    tc.freeze_modules = ['encoder']
+    tc.restrict_learning = None
+    mask = trainable_mask(params, tc)
+    flat = jax.tree_util.tree_leaves_with_path(mask)
+    enc = [v for p, v in flat if 'encoder' in str(p)]
+    dec = [v for p, v in flat if 'decoder' in str(p)]
+    assert not any(enc) and all(dec)
+
+    tx, _ = build_optimizer(tc, params)
+    opt_state = tx.init(params)
+    step_fn = jax.jit(make_train_step(cfg, tx))
+    batch = _batch(cfg)
+    new_params, _, _ = step_fn(params, opt_state, batch, jnp.asarray(0),
+                               jax.random.PRNGKey(0))
+    before = params['encoder']['after_norm']['weight']
+    after = new_params['encoder']['after_norm']['weight']
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+    dec_before = params['decoder']['left_decoder']['after_norm']['weight']
+    dec_after = new_params['decoder']['left_decoder']['after_norm']['weight']
+    assert np.abs(np.asarray(dec_before) - np.asarray(dec_after)).max() > 0
+
+
+def test_grad_accum_equivalence():
+    conf, cfg, tc, params = _setup()
+    tx, _ = build_optimizer(tc)
+    opt_state = tx.init(params)
+    batch = _batch(cfg, B=4)
+    one = jax.jit(make_train_step(cfg, tx, accum_grad=1))
+    acc = jax.jit(make_train_step(cfg, tx, accum_grad=2))
+    p1, _, m1 = one(params, opt_state, batch, jnp.asarray(0), None)
+    p2, _, m2 = acc(params, opt_state, batch, jnp.asarray(0), None)
+    # micro-batch mean-of-means == full-batch mean here (equal micro sizes,
+    # loss normalized by batch size)
+    np.testing.assert_allclose(float(m1['loss']), float(m2['loss']),
+                               rtol=1e-4)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), p1, p2)
+    assert max(jax.tree.leaves(d)) < 2e-3
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    conf, cfg, tc, params = _setup()
+    tx, _ = build_optimizer(tc)
+    opt_state = tx.init(params)
+    save_checkpoint(tmp_path, 'step_10', params, opt_state,
+                    {'step': 10, 'epoch': 1, 'cv_loss': 2.5})
+    p2, o2, info = load_checkpoint(tmp_path / 'step_10.npz', opt_state)
+    assert info['step'] == 10
+    d = jax.tree.map(lambda a, b: float(jnp.abs(jnp.asarray(a, jnp.float32)
+                                                - b).max()), p2, params)
+    assert max(jax.tree.leaves(d)) == 0.0
+    assert o2 is not None
+    # averaging
+    save_checkpoint(tmp_path, 'step_20', params, None, {'cv_loss': 2.0})
+    out = average_checkpoints([tmp_path / 'step_10.npz',
+                               tmp_path / 'step_20.npz'],
+                              tmp_path / 'avg.npz')
+    pa, _, _ = load_checkpoint(out)
+    d = jax.tree.map(lambda a, b: float(jnp.abs(jnp.asarray(a, jnp.float32)
+                                                - b).max()), pa, params)
+    assert max(jax.tree.leaves(d)) == 0.0  # averaging identical ckpts = same
+
+
+def test_multichip_dryrun():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out)).all()
