@@ -1,0 +1,179 @@
+"""Training entrypoint.
+
+Parity: asr/wenet/bin/train.py:64-216 — config load + overrides → tokenizer →
+datasets → model init (or resume / partial init) → optimizer/scheduler (with
+set_step resume) → epoch loop {train, cv, save epoch ckpt + yaml} → final
+dataset drop-stat dump.
+
+SPMD replaces torchrun: one python process drives the whole
+('data','model') mesh; multi-host runs call jax.distributed.initialize
+(--coordinator) and keep the same code path (jax arrays become globally
+sharded).  Gradient allreduce is XLA's, not a DDP hook.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description='train a reverb-tpu model')
+    p.add_argument('--config', required=True)
+    p.add_argument('--data_type', default='raw', choices=['raw', 'shard'])
+    p.add_argument('--train_data', required=True)
+    p.add_argument('--cv_data', required=True)
+    p.add_argument('--model_dir', required=True)
+    p.add_argument('--checkpoint', default=None,
+                   help='resume/init checkpoint (.npz or torch .pt)')
+    p.add_argument('--override_config', action='append', default=[])
+    p.add_argument('--max_epoch', type=int, default=None)
+    p.add_argument('--steps_per_epoch', type=int, default=None)
+    p.add_argument('--num_devices_model', type=int, default=1,
+                   help='tensor-parallel mesh axis size')
+    p.add_argument('--coordinator', default=None,
+                   help='jax.distributed coordinator addr for multi-host')
+    p.add_argument('--num_processes', type=int, default=1)
+    p.add_argument('--process_id', type=int, default=0)
+    p.add_argument('--tensorboard_dir', default=None)
+    p.add_argument('--seed', type=int, default=777)
+    p.add_argument('--log_interval', type=int, default=100)
+    p.add_argument('--enc_init', default=None,
+                   help='partial-init checkpoint (load_trained_modules)')
+    p.add_argument('--enc_init_mods', default='encoder.',
+                   help='comma-separated module prefixes for --enc_init')
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    logging.basicConfig(
+        level=logging.INFO,
+        format='%(asctime)s %(filename)s %(levelname)s: %(message)s')
+
+    if args.coordinator:
+        jax.distributed.initialize(args.coordinator, args.num_processes,
+                                   args.process_id)
+
+    from reverb_tpu.data.dataset import Dataset
+    from reverb_tpu.models.asr_model import ModelConfig, init_params
+    from reverb_tpu.parallel.mesh import (batch_shardings, make_mesh,
+                                          opt_state_shardings,
+                                          param_shardings)
+    from reverb_tpu.text.tokenizer import init_tokenizer
+    from reverb_tpu.train.checkpoint import (load_checkpoint,
+                                             load_trained_modules,
+                                             save_checkpoint)
+    from reverb_tpu.train.executor import Executor
+    from reverb_tpu.train.trainer import (TrainConfig, build_optimizer,
+                                          make_eval_step, make_train_step)
+    from reverb_tpu.utils.config import (check_modify_and_save_config,
+                                         override_config)
+
+    with open(args.config) as f:
+        configs = yaml.safe_load(f)
+    configs = override_config(configs, args.override_config)
+
+    tokenizer = init_tokenizer(configs)
+    configs = check_modify_and_save_config(args, configs,
+                                           tokenizer.symbol_table)
+
+    rank = jax.process_index()
+    world = jax.process_count()
+    ds_conf = configs['dataset_conf']
+    cv_conf = dict(ds_conf)
+    # CV disables augmentation (train_utils.py:301-349)
+    for k in ('spec_aug', 'spec_sub', 'spec_trim', 'speed_perturb',
+              'apply_telephony', 'apply_rir'):
+        cv_conf[k] = False
+    cv_conf['shuffle'] = False
+    cv_conf['cycle'] = 1
+
+    def make_train_ds(epoch):
+        return Dataset(args.data_type, args.train_data, tokenizer, ds_conf,
+                       partition=True, rank=rank, world_size=world,
+                       seed=args.seed + epoch).prefetch(8)
+
+    def make_cv_ds():
+        return Dataset(args.data_type, args.cv_data, tokenizer, cv_conf,
+                       partition=False)
+
+    cfg = ModelConfig.from_config(configs)
+    tc = TrainConfig.from_config(configs)
+    params = init_params(jax.random.PRNGKey(args.seed), cfg)
+    if args.enc_init:
+        params = load_trained_modules(params, args.enc_init,
+                                      args.enc_init_mods.split(','))
+    tx, schedule = build_optimizer(tc, params)
+    opt_state = tx.init(params)
+
+    start_epoch, start_step = 0, 0
+    if args.checkpoint:
+        params, restored_opt, info = load_checkpoint(args.checkpoint,
+                                                     opt_state)
+        if restored_opt is not None:
+            opt_state = restored_opt
+        start_epoch = int(info.get('epoch', 0))
+        start_step = int(info.get('step', 0))     # scheduler.set_step resume
+        logging.info('resumed from %s at epoch %d step %d', args.checkpoint,
+                     start_epoch, start_step)
+
+    mesh = make_mesh(model=args.num_devices_model)
+    p_shard = param_shardings(params, mesh)
+    o_shard = opt_state_shardings(opt_state, params, mesh)
+    params = jax.device_put(params, p_shard)
+    opt_state = jax.device_put(opt_state, o_shard)
+
+    train_step = jax.jit(make_train_step(cfg, tx, tc.accum_grad),
+                         donate_argnums=(0, 1))
+    eval_step = jax.jit(make_eval_step(cfg))
+
+    writer = None
+    if args.tensorboard_dir and rank == 0:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            writer = SummaryWriter(args.tensorboard_dir)
+        except Exception:                          # noqa: BLE001
+            logging.warning('tensorboard unavailable; skipping')
+
+    snap_conf = configs.get('snapshot_saving_conf', {}) or {}
+    ex = Executor(train_step=train_step, eval_step=eval_step,
+                  model_dir=args.model_dir,
+                  log_interval=args.log_interval,
+                  save_interval=snap_conf.get('save_interval', 0),
+                  save_optimizer_every=snap_conf.get('save_optimizer_every',
+                                                     4),
+                  schedule=schedule, writer=writer, step=start_step)
+
+    max_epoch = args.max_epoch or configs.get('max_epoch', 100)
+    rng = jax.random.PRNGKey(args.seed)
+    with jax.set_mesh(mesh):
+        for epoch in range(start_epoch, max_epoch):
+            rng, sub = jax.random.split(rng)
+            params, opt_state = ex.train(
+                params, opt_state, make_train_ds(epoch), epoch, sub,
+                cv_dataset=make_cv_ds() if snap_conf.get('save_interval')
+                else None,
+                max_steps=(args.steps_per_epoch * (epoch + 1)
+                           if args.steps_per_epoch else None))
+            cv_metrics = ex.cv(params, make_cv_ds())
+            logging.info('epoch %d CV: %s', epoch, cv_metrics)
+            if rank == 0:
+                save_checkpoint(
+                    args.model_dir, f'epoch_{epoch}', params, opt_state,
+                    {'epoch': epoch, 'step': ex.step,
+                     'frames_seen': ex.frames_seen,
+                     'lr': float(schedule(ex.step)),
+                     'cv_loss': cv_metrics.get('loss')})
+    from reverb_tpu.data.pipeline import mystats
+    logging.info('dataset statistics: %s', dict(mystats))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,118 @@
+"""Training executor: epoch loop, CV, snapshots, telemetry.
+
+Parity targets:
+  - Executor.train/cv                asr/wenet/utils/executor.py:51-285
+    (mid-epoch step snapshots every save_interval with CV run, full snapshot
+     every save_optimizer_every-th, frames-seen telemetry, straggler-safe
+     fixed-steps semantics instead of gloo join)
+  - epoch loop / ckpt metadata yaml  asr/wenet/bin/train.py:140-196
+  - log_per_step                     utils/train_utils.py:712-764
+
+Straggler/uneven-data handling: the reference joins ranks via gloo
+monitored_barrier (train_utils.py:569-595).  Under SPMD there is one program
+and the input pipeline is rank-sharded host-side; uneven data is handled by
+cycling the dataset and stopping on a step budget — no join barrier needed.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reverb_tpu.data.pipeline import mystats
+from reverb_tpu.train.checkpoint import (save_checkpoint,
+                                         should_force_snapshot)
+
+
+def _device_batch(batch: Dict) -> Dict:
+    """Drop host-only fields; ship arrays to device."""
+    keep = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            keep[k] = jnp.asarray(v)
+    return keep
+
+
+@dataclass
+class Executor:
+    train_step: Callable
+    eval_step: Callable
+    model_dir: str
+    log_interval: int = 100
+    save_interval: int = 0              # mid-epoch snapshot cadence (steps)
+    save_optimizer_every: int = 4       # every Nth snapshot keeps optimizer
+    schedule: Optional[Callable] = None
+    writer: Optional[object] = None     # tensorboard-like .add_scalar
+    step: int = 0
+    frames_seen: float = 0.0
+    snapshots_taken: int = 0
+
+    def train(self, params, opt_state, dataset: Iterable, epoch: int,
+              rng, cv_dataset: Optional[Iterable] = None,
+              max_steps: Optional[int] = None):
+        t0 = time.time()
+        for batch in dataset:
+            if max_steps is not None and self.step >= max_steps:
+                break
+            db = _device_batch(batch)
+            rng, sub = jax.random.split(rng)
+            params, opt_state, metrics = self.train_step(
+                params, opt_state, db, jnp.asarray(self.step), sub)
+            self.step += 1
+            self.frames_seen += float(np.sum(batch['feats_lengths']))
+            if self.step % self.log_interval == 0:
+                self._log('TRAIN', epoch, metrics, t0)
+                t0 = time.time()
+            if self.save_interval and self.step % self.save_interval == 0:
+                self._snapshot(params, opt_state, epoch, cv_dataset)
+        return params, opt_state
+
+    def cv(self, params, dataset: Iterable) -> Dict[str, float]:
+        tot: Dict[str, float] = {}
+        n = 0
+        for batch in dataset:
+            db = _device_batch(batch)
+            m = self.eval_step(params, db)
+            bs = batch['feats'].shape[0]
+            for k, v in m.items():
+                tot[k] = tot.get(k, 0.0) + float(v) * bs
+            n += bs
+        return {k: v / max(n, 1) for k, v in tot.items()}
+
+    # ------------------------------ internals ------------------------------
+
+    def _snapshot(self, params, opt_state, epoch, cv_dataset):
+        self.snapshots_taken += 1
+        with_opt = (self.save_optimizer_every > 0 and
+                    self.snapshots_taken % self.save_optimizer_every == 0)
+        if should_force_snapshot(self.model_dir):
+            with_opt = True
+        info = {'step': self.step, 'epoch': epoch,
+                'frames_seen': self.frames_seen,
+                'lr': float(self.schedule(self.step)) if self.schedule
+                else None,
+                'tag': f'step_{self.step}'}
+        if cv_dataset is not None:
+            cv_metrics = self.cv(params, cv_dataset)
+            info['cv_loss'] = cv_metrics.get('loss')
+            logging.info('CV at step %d: %s', self.step, cv_metrics)
+        save_checkpoint(self.model_dir, f'step_{self.step}', params,
+                        opt_state if with_opt else None, info)
+
+    def _log(self, tag, epoch, metrics, t0):
+        lr = float(self.schedule(self.step)) if self.schedule else float('nan')
+        msg = {k: round(float(v), 4) for k, v in metrics.items()}
+        logging.info('%s epoch %d step %d lr %.3e %s (%.2fs/%d steps, '
+                     'stats %s)', tag, epoch, self.step, lr, msg,
+                     time.time() - t0, self.log_interval, dict(mystats))
+        if self.writer is not None:
+            for k, v in metrics.items():
+                self.writer.add_scalar(f'{tag.lower()}/{k}', float(v),
+                                       self.step)
+            self.writer.add_scalar('train/lr', lr, self.step)

@@ -67,7 +67,9 @@ def build_tiny_model_dir(tmpdir, num_blocks=2, dec_blocks=2, r_blocks=1):
     from reverb_tpu.convert.torch_ckpt import save_npz
     from reverb_tpu.models.asr_model import ModelConfig, init_params
 
+    import os
     d = tmpdir
+    os.makedirs(d, exist_ok=True)
     # symbol table maps sp pieces to model ids
     symbols = [p for p, _, _ in TINY_PIECES]
     with open(d / 'tk.units.txt', 'w') as f:
@@ -114,8 +116,7 @@ def build_tiny_model_dir(tmpdir, num_blocks=2, dec_blocks=2, r_blocks=1):
                            'frame_shift': 10, 'dither': 0.1},
             'pass_cat_emb': True,
             'cat_emb_conf': {'field': 'style', 'emb_len': 2,
-                             'one_hot_ids': {'verbatim': 0,
-                                             'nonverbatim': 1}},
+                             'one_hot_ids': {'v': 0, 'nv': 1}},
             'batch_conf': {'batch_type': 'static', 'batch_size': 2}},
         'output_dim': len(symbols),
     }
