@@ -1,0 +1,244 @@
+"""Diarization models: local segmentation + speaker embedding, pure JAX.
+
+Capability parity with the pyannote.audio stack the reference wraps
+(diarization/infer_pyannote3.0.py, train_pyannote3.0.py): a sliding-window
+**segmentation** network emitting powerset multi-speaker posteriors
+(PyanNet-family: SincNet learnable band-pass frontend → BiLSTM stack →
+linear classifier) and a **speaker-embedding** network (x-vector-family TDNN
+with stats pooling) sharing the fbank frontend.  Architectures are
+re-designed for TPU (static shapes, scan-based LSTM, MXU-friendly widths),
+not ports of pyannote internals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from itertools import combinations
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reverb_tpu.models.modules import (conv1d, init_conv1d, init_layer_norm,
+                                       init_linear, layer_norm, linear)
+
+
+# ------------------------------ powerset ------------------------------
+
+def powerset_classes(max_speakers: int = 3, max_simultaneous: int = 2
+                     ) -> List[Tuple[int, ...]]:
+    """Powerset label classes: ∅, singletons, pairs (pyannote 3.0 uses
+    3 speakers / 2 simultaneous → 7 classes)."""
+    classes: List[Tuple[int, ...]] = [()]
+    for k in range(1, max_simultaneous + 1):
+        classes += list(combinations(range(max_speakers), k))
+    return classes
+
+
+def powerset_to_multilabel(probs: jnp.ndarray, max_speakers: int = 3,
+                           max_simultaneous: int = 2) -> jnp.ndarray:
+    """(…, C) powerset posteriors → (…, S) per-speaker activity."""
+    classes = powerset_classes(max_speakers, max_simultaneous)
+    mapping = np.zeros((len(classes), max_speakers), np.float32)
+    for ci, spk in enumerate(classes):
+        for s in spk:
+            mapping[ci, s] = 1.0
+    return probs @ jnp.asarray(mapping)
+
+
+# ------------------------------ SincNet ------------------------------
+
+def sinc_filters(low_hz, band_hz, kernel_size: int, sample_rate: int):
+    """Differentiable band-pass filterbank (SincNet, arXiv 1808.00158)."""
+    low = 30.0 + jnp.abs(low_hz)                        # (F,1)
+    high = jnp.clip(low + 50.0 + jnp.abs(band_hz), 50.0,
+                    sample_rate / 2)
+    n = (jnp.arange(kernel_size, dtype=jnp.float32)
+         - (kernel_size - 1) / 2) / sample_rate          # (K,)
+    window = jnp.hamming(kernel_size)
+
+    def bandpass(f1, f2):
+        eps = 1e-8
+        return (2 * f2 * jnp.sinc(2 * f2 * n) -
+                2 * f1 * jnp.sinc(2 * f1 * n)) * window
+    filt = jax.vmap(bandpass)(low[:, 0], high[:, 0])     # (F, K)
+    norm = jnp.max(jnp.abs(filt), axis=1, keepdims=True) + 1e-8
+    return filt / norm
+
+
+def init_sincnet(rng, n_filters: int = 80, kernel_size: int = 251,
+                 sample_rate: int = 16000):
+    mel = np.linspace(0, 2595 * np.log10(1 + (sample_rate / 2 - 100) / 700),
+                      n_filters + 1)
+    hz = 700 * (10 ** (mel / 2595) - 1)
+    return {
+        'low_hz': jnp.asarray(hz[:-1, None], jnp.float32),
+        'band_hz': jnp.asarray(np.diff(hz)[:, None], jnp.float32),
+    }
+
+
+def sincnet_forward(p, wave, kernel_size: int = 251, stride: int = 10,
+                    sample_rate: int = 16000):
+    """wave (B, T) → (B, F, T') band-pass energies, log-compressed."""
+    filt = sinc_filters(p['low_hz'], p['band_hz'], kernel_size, sample_rate)
+    x = wave[:, None, :]                                  # (B,1,T)
+    y = jax.lax.conv_general_dilated(
+        x, filt[:, None, :], window_strides=(stride,), padding='VALID',
+        dimension_numbers=('NCH', 'OIH', 'NCH'))
+    return jnp.log1p(jnp.abs(y))
+
+
+# ------------------------------ LSTM ------------------------------
+
+def init_lstm(rng, input_size: int, hidden: int):
+    k1, k2 = jax.random.split(rng)
+    scale = 1.0 / np.sqrt(hidden)
+    return {
+        'w_ih': jax.random.uniform(k1, (4 * hidden, input_size), jnp.float32,
+                                   -scale, scale),
+        'w_hh': jax.random.uniform(k2, (4 * hidden, hidden), jnp.float32,
+                                   -scale, scale),
+        'b': jnp.zeros((4 * hidden,), jnp.float32),
+    }
+
+
+def lstm_forward(p, x):
+    """x (B, T, D) → (B, T, H) via lax.scan (one fused while-loop on TPU)."""
+    H = p['w_hh'].shape[1]
+    B = x.shape[0]
+    xw = x @ p['w_ih'].T + p['b']                         # precompute (B,T,4H)
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + h @ p['w_hh'].T
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros((B, H), x.dtype), jnp.zeros((B, H), x.dtype))
+    _, hs = jax.lax.scan(step, init, xw.transpose(1, 0, 2))
+    return hs.transpose(1, 0, 2)
+
+
+def bilstm_forward(p, x):
+    fwd = lstm_forward(p['fwd'], x)
+    bwd = lstm_forward(p['bwd'], x[:, ::-1])[:, ::-1]
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+# ------------------------------ segmentation ------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SegmentationConfig:
+    sample_rate: int = 16000
+    sinc_filters: int = 80
+    sinc_kernel: int = 251
+    sinc_stride: int = 10
+    lstm_hidden: int = 128
+    lstm_layers: int = 2
+    linear_dim: int = 128
+    max_speakers: int = 3
+    max_simultaneous: int = 2
+
+    @property
+    def num_classes(self):
+        return len(powerset_classes(self.max_speakers, self.max_simultaneous))
+
+
+def init_segmentation(rng, cfg: SegmentationConfig = SegmentationConfig()):
+    ks = jax.random.split(rng, 4 + 2 * cfg.lstm_layers)
+    params = {'sincnet': init_sincnet(ks[0], cfg.sinc_filters,
+                                      cfg.sinc_kernel, cfg.sample_rate),
+              'norm0': init_layer_norm(cfg.sinc_filters)}
+    d = cfg.sinc_filters
+    lstms = []
+    for i in range(cfg.lstm_layers):
+        lstms.append({'fwd': init_lstm(ks[1 + 2 * i], d, cfg.lstm_hidden),
+                      'bwd': init_lstm(ks[2 + 2 * i], d, cfg.lstm_hidden)})
+        d = 2 * cfg.lstm_hidden
+    params['lstm'] = lstms
+    params['linear'] = init_linear(ks[-2], d, cfg.linear_dim)
+    params['classifier'] = init_linear(ks[-1], cfg.linear_dim,
+                                       cfg.num_classes)
+    return params
+
+
+def segmentation_forward(params, wave, cfg: SegmentationConfig
+                         = SegmentationConfig()):
+    """wave (B, T) float32 [-1,1] → (B, T', C) powerset log-probs."""
+    x = sincnet_forward(params['sincnet'], wave, cfg.sinc_kernel,
+                        cfg.sinc_stride, cfg.sample_rate)   # (B,F,T')
+    # downsample 16× more for a ~16 ms frame rate like pyannote's conv stack
+    x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                              (1, 1, 16), (1, 1, 16), 'VALID')
+    x = x.transpose(0, 2, 1)                                # (B,T',F)
+    x = layer_norm(params['norm0'], x)
+    for lp in params['lstm']:
+        x = bilstm_forward(lp, x)
+    x = jax.nn.leaky_relu(linear(params['linear'], x))
+    logits = linear(params['classifier'], x)
+    return jax.nn.log_softmax(logits, axis=-1)
+
+
+def segmentation_frame_rate(cfg: SegmentationConfig) -> float:
+    """Seconds per output frame."""
+    return cfg.sinc_stride * 16 / cfg.sample_rate
+
+
+# ------------------------------ embedding ------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class EmbeddingConfig:
+    feat_dim: int = 80
+    channels: int = 512
+    embed_dim: int = 192
+    layers: int = 4
+
+
+def init_embedding_model(rng, cfg: EmbeddingConfig = EmbeddingConfig()):
+    ks = jax.random.split(rng, cfg.layers + 2)
+    convs = []
+    d = cfg.feat_dim
+    dilations = [1, 2, 3, 1]
+    for i in range(cfg.layers):
+        convs.append({'conv': init_conv1d(ks[i], d, cfg.channels, 3),
+                      'norm': init_layer_norm(cfg.channels)})
+        d = cfg.channels
+    return {'convs': convs,
+            'proj': init_linear(ks[-2], 2 * cfg.channels, cfg.embed_dim)}
+
+
+def embedding_forward(params, feats, feat_lens=None,
+                      cfg: EmbeddingConfig = EmbeddingConfig()):
+    """feats (B, T, F) fbank → L2-normalized embeddings (B, E).
+
+    TDNN (dilated conv1d) stack + mean/std stats pooling (x-vector family)."""
+    x = feats.transpose(0, 2, 1)                            # (B,F,T)
+    dilations = [1, 2, 3, 1]
+    for i, cp in enumerate(params['convs']):
+        w = cp['conv']['weight']
+        y = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(1,),
+            padding=[(dilations[i], dilations[i])],
+            rhs_dilation=(dilations[i],),
+            dimension_numbers=('NCH', 'OIH', 'NCH'))
+        y = y + cp['conv']['bias'][None, :, None]
+        y = y.transpose(0, 2, 1)
+        y = jax.nn.relu(layer_norm(cp['norm'], y))
+        x = y.transpose(0, 2, 1)
+    # stats pooling with optional length masking
+    if feat_lens is not None:
+        T = x.shape[2]
+        mask = (jnp.arange(T)[None, :] < feat_lens[:, None])[:, None, :]
+        cnt = jnp.maximum(jnp.sum(mask, axis=2), 1)
+        mean = jnp.sum(jnp.where(mask, x, 0), axis=2) / cnt
+        var = jnp.sum(jnp.where(mask, (x - mean[:, :, None]) ** 2, 0),
+                      axis=2) / cnt
+    else:
+        mean = jnp.mean(x, axis=2)
+        var = jnp.var(x, axis=2)
+    stats = jnp.concatenate([mean, jnp.sqrt(var + 1e-6)], axis=1)
+    emb = linear(params['proj'], stats)
+    return emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)

@@ -1,0 +1,220 @@
+"""Speaker diarization pipeline: sliding-window segmentation → per-window
+speaker embeddings → agglomerative clustering → stitched global annotation →
+RTTM.
+
+Capability parity with the pyannote pipeline wrapped by
+diarization/infer_pyannote3.0.py:33-42 (inside pyannote: local segmentation,
+embedding, clustering, stitching — SURVEY.md §2.10).  Batched TPU design:
+all windows of a file run as ONE jitted segmentation batch and one embedding
+batch; only clustering/stitching stay on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reverb_tpu.diar.models import (EmbeddingConfig, SegmentationConfig,
+                                    embedding_forward, powerset_to_multilabel,
+                                    segmentation_forward,
+                                    segmentation_frame_rate)
+from reverb_tpu.frontend.fbank import FbankConfig, fbank_numpy
+
+
+@dataclasses.dataclass
+class DiarizationConfig:
+    window_sec: float = 10.0
+    step_sec: float = 5.0
+    onset: float = 0.5           # speaker-activity binarization threshold
+    offset: float = 0.45
+    min_duration_on: float = 0.25
+    min_duration_off: float = 0.2
+    clustering_threshold: float = 0.7    # cosine distance for AHC merge
+    min_cluster_size: int = 1
+    max_speakers: int = 8
+
+
+@dataclasses.dataclass
+class Segment:
+    start: float
+    end: float
+    speaker: str
+
+
+def sliding_windows(n_samples: int, sr: int, cfg: DiarizationConfig
+                    ) -> List[Tuple[int, int]]:
+    win = int(cfg.window_sec * sr)
+    step = int(cfg.step_sec * sr)
+    if n_samples <= win:
+        return [(0, win)]
+    starts = list(range(0, n_samples - win + 1, step))
+    if starts[-1] + win < n_samples:
+        starts.append(n_samples - win)
+    return [(s, s + win) for s in starts]
+
+
+def binarize(activity: np.ndarray, frame_sec: float, cfg: DiarizationConfig
+             ) -> List[Tuple[float, float]]:
+    """Hysteresis-threshold a per-frame activity curve → (start, end) list."""
+    segs = []
+    active = False
+    start = 0.0
+    for t, a in enumerate(activity):
+        if not active and a >= cfg.onset:
+            active = True
+            start = t * frame_sec
+        elif active and a < cfg.offset:
+            active = False
+            end = t * frame_sec
+            if end - start >= cfg.min_duration_on:
+                segs.append((start, end))
+    if active:
+        end = len(activity) * frame_sec
+        if end - start >= cfg.min_duration_on:
+            segs.append((start, end))
+    # merge gaps shorter than min_duration_off
+    merged = []
+    for s in segs:
+        if merged and s[0] - merged[-1][1] < cfg.min_duration_off:
+            merged[-1] = (merged[-1][0], s[1])
+        else:
+            merged.append(list(s))
+    return [(a, b) for a, b in merged]
+
+
+def agglomerative_cluster(embeddings: np.ndarray, threshold: float,
+                          max_clusters: int = 8) -> np.ndarray:
+    """Average-linkage AHC on cosine distance (host-side, N is small)."""
+    n = len(embeddings)
+    if n == 0:
+        return np.zeros((0,), np.int32)
+    clusters = [[i] for i in range(n)]
+    sims = embeddings @ embeddings.T
+
+    def linkage(a, b):
+        return np.mean([sims[i, j] for i in a for j in b])
+
+    while len(clusters) > 1:
+        best = None
+        best_sim = -2.0
+        for i in range(len(clusters)):
+            for j in range(i + 1, len(clusters)):
+                s = linkage(clusters[i], clusters[j])
+                if s > best_sim:
+                    best_sim, best = s, (i, j)
+        if best_sim < 1.0 - threshold and len(clusters) <= max_clusters:
+            break
+        i, j = best
+        clusters[i] = clusters[i] + clusters[j]
+        del clusters[j]
+    labels = np.zeros((n,), np.int32)
+    for ci, members in enumerate(clusters):
+        for m in members:
+            labels[m] = ci
+    return labels
+
+
+class Diarizer:
+    """End-to-end diarization over one audio file."""
+
+    def __init__(self, seg_params, emb_params,
+                 seg_cfg: SegmentationConfig = SegmentationConfig(),
+                 emb_cfg: EmbeddingConfig = EmbeddingConfig(),
+                 cfg: DiarizationConfig = DiarizationConfig()):
+        self.seg_params = seg_params
+        self.emb_params = emb_params
+        self.seg_cfg = seg_cfg
+        self.emb_cfg = emb_cfg
+        self.cfg = cfg
+        self._seg_fn = jax.jit(
+            lambda p, w: jnp.exp(segmentation_forward(p, w, seg_cfg)))
+        self._emb_fn = jax.jit(
+            lambda p, f, l: embedding_forward(p, f, l, emb_cfg))
+
+    def __call__(self, wave: np.ndarray, sr: int = 16000) -> List[Segment]:
+        cfg = self.cfg
+        windows = sliding_windows(len(wave), sr, cfg)
+        win_len = windows[0][1] - windows[0][0]
+        batch = np.zeros((len(windows), win_len), np.float32)
+        for i, (s, e) in enumerate(windows):
+            chunk = wave[s:e]
+            batch[i, :len(chunk)] = chunk
+        probs = np.asarray(self._seg_fn(self.seg_params, jnp.asarray(batch)))
+        activity = np.asarray(powerset_to_multilabel(
+            jnp.asarray(probs), self.seg_cfg.max_speakers,
+            self.seg_cfg.max_simultaneous))            # (W, T', S)
+        frame_sec = segmentation_frame_rate(self.seg_cfg)
+
+        # local segments + their embeddings
+        local: List[Tuple[float, float, int, int]] = []  # start,end,win,slot
+        for w, (ws, _) in enumerate(windows):
+            off = ws / sr
+            for s_idx in range(activity.shape[2]):
+                for a, b in binarize(activity[w, :, s_idx], frame_sec, cfg):
+                    local.append((off + a, off + b, w, s_idx))
+        if not local:
+            return []
+
+        fb_cfg = FbankConfig(sample_rate=sr,
+                             num_mel_bins=self.emb_cfg.feat_dim)
+        feats_list = []
+        max_T = 0
+        for (a, b, _, _) in local:
+            seg_wave = wave[int(a * sr):int(b * sr)] * (1 << 15)
+            f = fbank_numpy(seg_wave.astype(np.float32), fb_cfg)
+            if f.shape[0] == 0:
+                f = np.zeros((2, self.emb_cfg.feat_dim), np.float32)
+            feats_list.append(f)
+            max_T = max(max_T, f.shape[0])
+        feats = np.zeros((len(feats_list), max_T, self.emb_cfg.feat_dim),
+                         np.float32)
+        lens = np.zeros((len(feats_list),), np.int32)
+        for i, f in enumerate(feats_list):
+            feats[i, :f.shape[0]] = f
+            lens[i] = f.shape[0]
+        embs = np.asarray(self._emb_fn(self.emb_params, jnp.asarray(feats),
+                                       jnp.asarray(lens)))
+
+        labels = agglomerative_cluster(embs, cfg.clustering_threshold,
+                                       cfg.max_speakers)
+        segs = [Segment(a, b, f'SPEAKER_{labels[i]:02d}')
+                for i, (a, b, _, _) in enumerate(local)]
+        return merge_segments(segs)
+
+
+def merge_segments(segs: List[Segment], gap: float = 0.1) -> List[Segment]:
+    """Stitch overlapping/adjacent same-speaker segments."""
+    segs = sorted(segs, key=lambda s: (s.speaker, s.start))
+    out: List[Segment] = []
+    for s in segs:
+        if out and out[-1].speaker == s.speaker and \
+                s.start <= out[-1].end + gap:
+            out[-1] = Segment(out[-1].start, max(out[-1].end, s.end),
+                              s.speaker)
+        else:
+            out.append(s)
+    return sorted(out, key=lambda s: s.start)
+
+
+def write_rttm(f, segments: List[Segment], uri: str):
+    """RTTM rows: SPEAKER <uri> 1 <start> <dur> <NA> <NA> <speaker> <NA> <NA>."""
+    for s in segments:
+        f.write(f'SPEAKER {uri} 1 {s.start:.3f} {s.end - s.start:.3f} '
+                f'<NA> <NA> {s.speaker} <NA> <NA>\n')
+
+
+def load_rttm(path) -> Dict[str, List[Segment]]:
+    out: Dict[str, List[Segment]] = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 8 or parts[0] != 'SPEAKER':
+                continue
+            uri, start, dur, spk = parts[1], float(parts[3]), \
+                float(parts[4]), parts[7]
+            out.setdefault(uri, []).append(Segment(start, start + dur, spk))
+    return out

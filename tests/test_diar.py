@@ -1,0 +1,134 @@
+"""Diarization: models, clustering, pipeline e2e, word assignment, training."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from reverb_tpu.diar.assign import (IntervalIndex, assign_words_to_speakers,
+                                    speaker_for_segment)
+from reverb_tpu.diar.models import (EmbeddingConfig, SegmentationConfig,
+                                    embedding_forward, init_embedding_model,
+                                    init_segmentation, powerset_classes,
+                                    powerset_to_multilabel,
+                                    segmentation_forward)
+from reverb_tpu.diar.pipeline import (Diarizer, DiarizationConfig, Segment,
+                                      agglomerative_cluster, binarize,
+                                      merge_segments, write_rttm, load_rttm)
+
+SEG_CFG = SegmentationConfig(sinc_filters=16, lstm_hidden=16, lstm_layers=1,
+                             linear_dim=16)
+EMB_CFG = EmbeddingConfig(feat_dim=80, channels=32, embed_dim=16, layers=2)
+
+
+def test_powerset():
+    classes = powerset_classes(3, 2)
+    assert len(classes) == 7
+    probs = jnp.zeros((1, 7)).at[0, 4].set(1.0)   # class {0,1}
+    ml = np.asarray(powerset_to_multilabel(probs, 3, 2))
+    assert classes[4] == (0, 1)
+    np.testing.assert_allclose(ml[0], [1, 1, 0])
+
+
+def test_segmentation_forward_shapes():
+    params = init_segmentation(jax.random.PRNGKey(0), SEG_CFG)
+    wave = jnp.asarray(np.random.RandomState(0).randn(2, 16000) * 0.1,
+                       jnp.float32)
+    logp = segmentation_forward(params, wave, SEG_CFG)
+    assert logp.shape[0] == 2 and logp.shape[2] == 7
+    assert np.allclose(np.exp(np.asarray(logp)).sum(-1), 1.0, atol=1e-4)
+
+
+def test_embedding_forward():
+    params = init_embedding_model(jax.random.PRNGKey(0), EMB_CFG)
+    feats = jnp.asarray(np.random.RandomState(0).randn(3, 50, 80),
+                        jnp.float32)
+    emb = embedding_forward(params, feats, jnp.array([50, 30, 10]), EMB_CFG)
+    assert emb.shape == (3, 16)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0,
+                               atol=1e-4)
+
+
+def test_clustering_separates():
+    rng = np.random.RandomState(0)
+    a = rng.randn(8) + np.array([5] + [0] * 7)
+    b = rng.randn(8) + np.array([0] * 7 + [5])
+    embs = np.stack([a + 0.1 * rng.randn(8) for _ in range(3)]
+                    + [b + 0.1 * rng.randn(8) for _ in range(3)])
+    embs = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+    labels = agglomerative_cluster(embs, threshold=0.5)
+    assert len(set(labels[:3])) == 1
+    assert len(set(labels[3:])) == 1
+    assert labels[0] != labels[3]
+
+
+def test_binarize_hysteresis():
+    cfg = DiarizationConfig(onset=0.5, offset=0.4, min_duration_on=0.0,
+                            min_duration_off=0.05)
+    act = np.array([0.1, 0.6, 0.7, 0.45, 0.3, 0.1, 0.8, 0.8, 0.1])
+    segs = binarize(act, 0.1, cfg)
+    assert len(segs) == 2
+    assert abs(segs[0][0] - 0.1) < 1e-6
+
+
+def test_diarizer_end_to_end():
+    seg_params = init_segmentation(jax.random.PRNGKey(0), SEG_CFG)
+    emb_params = init_embedding_model(jax.random.PRNGKey(1), EMB_CFG)
+    diar = Diarizer(seg_params, emb_params, SEG_CFG, EMB_CFG,
+                    DiarizationConfig(window_sec=2.0, step_sec=1.0,
+                                      onset=0.1, offset=0.08))
+    wave = (np.random.RandomState(0).randn(16000 * 3) * 0.1).astype(
+        np.float32)
+    segs = diar(wave, 16000)
+    for s in segs:
+        assert s.end > s.start >= 0
+
+
+def test_rttm_roundtrip_and_assign(tmp_path):
+    segs = [Segment(0.0, 2.0, 'SPEAKER_00'), Segment(2.0, 4.0, 'SPEAKER_01'),
+            Segment(5.0, 6.0, 'SPEAKER_00')]
+    rttm_path = tmp_path / 'x.rttm'
+    with open(rttm_path, 'w') as f:
+        write_rttm(f, segs, 'fileA')
+    loaded = load_rttm(rttm_path)
+    assert list(loaded) == ['fileA']
+    assert len(loaded['fileA']) == 3
+
+    idx = IntervalIndex(segs)
+    assert speaker_for_segment(0.5, 0.5, idx) == 'SPEAKER_00'
+    assert speaker_for_segment(1.8, 0.5, idx) == 'SPEAKER_01'  # majority
+    assert speaker_for_segment(4.2, 0.3, idx) == 'SPEAKER_01'  # nearest
+
+    ctm_path = tmp_path / 'x.ctm'
+    ctm_path.write_text('fileA 0 0.50 0.30 hello 1.00\n'
+                        'fileA 0 2.50 0.30 world 1.00\n')
+    stm_path = tmp_path / 'x.stm'
+    assign_words_to_speakers(rttm_path, ctm_path, stm_path)
+    lines = stm_path.read_text().splitlines()
+    assert lines[0].split()[2] == 'SPEAKER_00'
+    assert lines[1].split()[2] == 'SPEAKER_01'
+    assert lines[0].split()[5] == 'hello'
+
+
+def test_segmentation_training_decreases_loss():
+    from reverb_tpu.diar.train_segmentation import (segmentation_loss,
+                                                    train_segmentation)
+    rng = np.random.RandomState(0)
+    params = init_segmentation(jax.random.PRNGKey(0), SEG_CFG)
+    wave = rng.randn(2, 8000).astype(np.float32) * 0.1
+    # labels: all silence (class 0)
+    logp = segmentation_forward(params, jnp.asarray(wave), SEG_CFG)
+    T = logp.shape[1]
+    labels = np.zeros((2, T, 7), np.float32)
+    labels[:, :, 0] = 1.0
+
+    def batches():
+        yield wave, labels
+
+    l0, _ = segmentation_loss(params, jnp.asarray(wave), jnp.asarray(labels),
+                              SEG_CFG)
+    trained = train_segmentation(params, batches, cfg=SEG_CFG, lr=1e-3,
+                                 max_epochs=5, patience=10)
+    l1, _ = segmentation_loss(trained, jnp.asarray(wave),
+                              jnp.asarray(labels), SEG_CFG)
+    assert float(l1) < float(l0)
