@@ -44,9 +44,11 @@ def test_joint_ctc_only_matches_spikes(model):
     rng = np.random.RandomState(1)
     T, V = 10, 50
     enc = rng.randn(1, T, 32).astype(np.float32)
-    # small random filler avoids pre-beam ties (which would smear the times
-    # dict, a quirk shared with the reference's times bookkeeping)
-    logits = (rng.randn(1, T, V) * 0.1 - 8.0).astype(np.float32)
+    # distinct low filler values keep spike tokens OUT of the pre-beam on
+    # non-spike frames (pre-beam inclusion would smear the start times — a
+    # bookkeeping quirk shared with the reference's times dict)
+    filler = -20.0 - (V - np.arange(V)) * 0.01
+    logits = np.tile(filler[None, None, :], (1, T, 1)).astype(np.float32)
     logits[:, :, 0] = 0.0
     logits[0, 3, 7] = 5.0
     logits[0, 3, 0] = -8.0
