@@ -307,16 +307,38 @@ def encoder_forward(params, xs, xs_lens, cfg: EncoderConfig,
     return xs, masks
 
 
-def encoder_forward_chunk(params, xs, offset: int, cfg: EncoderConfig,
+def init_stream_caches(cfg: EncoderConfig, cache_t: int, batch: int = 1,
+                       dtype=jnp.float32):
+    """Zero-initialized static streaming caches:
+    att (L, B, H, cache_t, 2·dk), cnn (L, B, D, k-1)."""
+    L = cfg.num_blocks
+    att = jnp.zeros((L, batch, cfg.attention_heads, cache_t,
+                     2 * cfg.head_dim), dtype)
+    lorder = cfg.cnn_module_kernel - 1 if (cfg.use_cnn_module and cfg.causal) \
+        else 0
+    cnn = jnp.zeros((L, batch, cfg.output_size, lorder), dtype) \
+        if lorder else None
+    return att, cnn
+
+
+def encoder_forward_chunk(params, xs, offset, cfg: EncoderConfig,
                           att_cache, cnn_cache, cat_embs=None, cmvn=None):
-    """Streaming chunk forward with static-shape KV/conv caches.
+    """Streaming chunk forward with static-shape ring KV/conv caches.
 
-    Parity: encoder.py:231-339 (cache layout (L,H,Tc,2dk) per layer), but with
-    fixed-size ring caches so the whole step is one compiled XLA program.
+    Parity: encoder.py:231-339 (per-layer KV cache (H,Tc,2dk) + conv cache);
+    redesigned with FIXED cache shapes so every streaming step is the same
+    compiled XLA program: the cache is a right-aligned ring whose first
+    `cache_t - min(offset, cache_t)` slots are masked out of attention, and
+    rel-pos indices follow the absolute stream position.
 
-    xs: (1, chunk_T, F). att_cache: (L, 1, H, Tc, 2*dk). cnn_cache: (L, 1, D, k-1).
-    Returns (ys, new_att_cache, new_cnn_cache) with the same static shapes.
+    xs: (B, window_T, F) raw feature window (window_T yields chunk_t
+        subsampled frames, e.g. (c-1)*4+7 for conv2d).
+    offset: traced int scalar — absolute SUBSAMPLED position of this chunk.
+    att_cache: (L, B, H, cache_t, 2*dk); cnn_cache: (L, B, D, k-1) or None.
+    Returns (ys (B, chunk_t, D), new_att_cache, new_cnn_cache).
     """
+    from reverb_tpu.models.embedding import pe_table
+
     B = xs.shape[0]
     masks = jnp.ones((B, 1, xs.shape[1]), dtype=bool)
     if cmvn is not None:
@@ -325,22 +347,31 @@ def encoder_forward_chunk(params, xs, offset: int, cfg: EncoderConfig,
     sub_fn = SUBSAMPLE_FNS[cfg.input_layer]
     cache_t = att_cache.shape[3]
     chunk_t = subsampled_len(cfg, xs.shape[1])
-    # pos_emb spans cache + current chunk (encoder.py:294-303)
-    xs, pos_emb, _ = sub_fn(params['embed'], xs, masks, cfg,
-                            offset=max(offset - cache_t, 0),
-                            pos_len=cache_t + chunk_t)
+    xs, _, _ = sub_fn(params['embed'], xs, masks, cfg, 0)
+
+    # rel-pos over [offset - cache_t, offset + chunk_t): key slot j ↔ absolute
+    # position offset - cache_t + j (invalid slots are masked anyway)
+    S = cache_t + chunk_t
+    table = jnp.asarray(pe_table(cfg.output_size))
+    idx = jnp.clip(offset - cache_t + jnp.arange(S), 0, table.shape[0] - 1)
+    pos_emb = table[idx][None].astype(xs.dtype)
+
+    # key validity: last min(offset, cache_t) cache slots + whole chunk
+    valid_cache = jnp.minimum(offset, cache_t)
+    slot = jnp.arange(S)
+    key_mask = jnp.broadcast_to(
+        (slot >= cache_t - valid_cache)[None, None, :], (B, 1, S))
+
     layer_fn = (conformer_layer if cfg.encoder_type == 'conformer'
                 else transformer_layer)
     new_att, new_cnn = [], []
     for i, lp in enumerate(params['encoders']):
         xs, a_cache, c_cache = layer_fn(
-            lp, xs, None, pos_emb, None, cfg, cat_embs,
-            att_cache=att_cache[i], cnn_cache=(cnn_cache[i] if cnn_cache is not
-                                               None else None),
+            lp, xs, key_mask, pos_emb, None, cfg, cat_embs,
+            att_cache=att_cache[i],
+            cnn_cache=(cnn_cache[i] if cnn_cache is not None else None),
             is_lsl=_layer_is_lsl(cfg, i))
-        # keep only the trailing cache_t steps (ring)
-        new_att.append(a_cache[:, :, -cache_t:, :] if cache_t > 0 else
-                       a_cache[:, :, :0, :])
+        new_att.append(a_cache[:, :, -cache_t:, :])
         if c_cache is not None:
             new_cnn.append(c_cache)
     if cfg.normalize_before:
@@ -348,3 +379,37 @@ def encoder_forward_chunk(params, xs, offset: int, cfg: EncoderConfig,
     new_att_cache = jnp.stack(new_att, axis=0)
     new_cnn_cache = jnp.stack(new_cnn, axis=0) if new_cnn else cnn_cache
     return xs, new_att_cache, new_cnn_cache
+
+
+def encoder_forward_chunk_by_chunk(params, xs, cfg: EncoderConfig,
+                                   decoding_chunk_size: int,
+                                   num_decoding_left_chunks: int = -1,
+                                   cat_embs=None, cmvn=None):
+    """Full-utterance simulation of streaming (encoder.py:341-402): overlapped
+    raw-feature windows stride `subsample·chunk`, each produces chunk_t
+    subsampled frames; caches carry between calls.
+
+    xs: (1, T, F). Returns (ys (1, T', D), masks)."""
+    sub = cfg.subsampling_rate
+    context = {1: 1, 4: 7, 6: 11, 8: 15}[sub]   # right_context + 1
+    stride = sub * decoding_chunk_size
+    window = (decoding_chunk_size - 1) * sub + context
+    num_left = (num_decoding_left_chunks if num_decoding_left_chunks >= 0
+                else 16)
+    cache_t = decoding_chunk_size * num_left
+    att_cache, cnn_cache = init_stream_caches(cfg, cache_t, xs.shape[0],
+                                              xs.dtype)
+    outputs = []
+    offset = 0
+    T = xs.shape[1]
+    for start in range(0, T - context + 1, stride):
+        end = min(start + window, T)
+        chunk = xs[:, start:end]
+        ys, att_cache, cnn_cache = encoder_forward_chunk(
+            params, chunk, jnp.asarray(offset), cfg, att_cache, cnn_cache,
+            cat_embs, cmvn)
+        outputs.append(ys)
+        offset += ys.shape[1]
+    ys = jnp.concatenate(outputs, axis=1)
+    masks = jnp.ones((xs.shape[0], 1, ys.shape[1]), bool)
+    return ys, masks
