@@ -49,6 +49,12 @@ def dropout(x, rate: float, rng):
 def linear(p, x):
     y = jnp.matmul(x, p['weight'].T.astype(x.dtype),
                    precision=jax.lax.Precision.HIGHEST)
+    if 'lora_A' in p:   # LoRA adapter (train/lora.py): y += s·(x Aᵀ) Bᵀ
+        h = jnp.matmul(x, p['lora_A'].T.astype(x.dtype),
+                       precision=jax.lax.Precision.HIGHEST)
+        y = y + p['lora_scale'].astype(x.dtype) * jnp.matmul(
+            h, p['lora_B'].T.astype(x.dtype),
+            precision=jax.lax.Precision.HIGHEST)
     if 'bias' in p and p['bias'] is not None:
         y = y + p['bias'].astype(x.dtype)
     return y
