@@ -30,10 +30,20 @@ from reverb_tpu.frontend.fbank import FbankConfig, fbank_numpy
 
 def decode_wav(sample: Dict) -> Dict:
     """Decode wav bytes/path → float32 (C, T) in [-1, 1) + sample_rate.
-    Supports start/end sub-segment fields (processor.py:179-211)."""
+    Supports start/end sub-segment fields (processor.py:179-211).
+    Uses the native C++ decoder (reverb_tpu.native) when available."""
     wav = sample['wav']
     if isinstance(wav, (bytes, bytearray)):
-        data, sr = _parse_wav(bytes(wav))
+        from reverb_tpu import native
+        decoded = None
+        try:
+            decoded = native.decode_wav(bytes(wav))
+        except Exception:
+            decoded = None
+        if decoded is not None:
+            data, sr = decoded
+        else:
+            data, sr = _parse_wav(bytes(wav))
     elif isinstance(wav, str):
         from reverb_tpu.frontend.audio import load_audio
         data, sr = load_audio(wav)
@@ -82,7 +92,14 @@ def compute_fbank(sample: Dict, num_mel_bins: int = 23,
     wave = sample['wav'][0] * (1 << 15)
     if dither > 0:
         wave = wave + dither * np.random.randn(len(wave)).astype(np.float32)
-    sample['feat'] = fbank_numpy(wave, cfg)
+    from reverb_tpu import native
+    feat = None
+    try:
+        feat = native.fbank(wave, cfg.sample_rate, cfg.num_mel_bins,
+                            cfg.frame_length_ms, cfg.frame_shift_ms)
+    except Exception:
+        feat = None
+    sample['feat'] = feat if feat is not None else fbank_numpy(wave, cfg)
     return sample
 
 
