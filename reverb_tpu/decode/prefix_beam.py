@@ -101,7 +101,15 @@ def _segment_logsumexp(vals, seg_ids, num_segments):
 
 
 def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int):
-    """One frame update. inputs = (topk_logp (K2,), topk_idx (K2,), t, valid)."""
+    """One frame update. inputs = (topk_logp (K2,), topk_idx (K2,), t, valid).
+
+    Sort-free merge: extended prefixes are pairwise distinct and keep
+    prefixes are pairwise distinct, so the only duplicates are keep_i ==
+    extend_(j,u) pairs — found with a (K, K·K2) hash-match matrix and folded
+    into the extend bank; matched keep entries are then masked out.  This
+    removes the per-step lexsort + segment reductions entirely (the scan is
+    dispatch-bound on TPU, so fewer/simpler ops ≙ wall-clock).
+    """
     topk_logp, topk_idx, t, valid = inputs
     L = state.prefixes.shape[1]
     viterbi = jnp.maximum(state.v_s, state.v_ns)
@@ -129,114 +137,98 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int):
     ext_ns = jnp.where(u_eq_last, state.s[:, None] + pu, score[:, None] + pu)
     ext_v_base = jnp.where(u_eq_last, state.v_s[:, None], viterbi[:, None])
     ext_v_ns = ext_v_base + pu
-    dead = (score[:, None] <= NEG_INF) | u_is_blank
-    ext_ns = jnp.where(dead | (jnp.where(u_eq_last, state.s[:, None],
-                                         score[:, None]) <= NEG_INF),
-                       NEG_INF, ext_ns)
+    dead = ((jnp.where(u_eq_last, state.s[:, None], score[:, None])
+             <= NEG_INF) | u_is_blank)
+    ext_ns = jnp.where(dead, NEG_INF, ext_ns)
     ext_v_ns = jnp.where(dead | (ext_v_base <= NEG_INF), NEG_INF, ext_v_ns)
     eh1, eh2 = _child_hash(state.h1[:, None], state.h2[:, None], u)
-    # poison hashes of dead entries so they never merge with live ones
-    dead_mask = ext_ns <= NEG_INF
-    dead_tag = (jnp.arange(K * K2, dtype=jnp.uint32).reshape(K, K2)
-                + jnp.uint32(0xDEAD0001))
-    eh1 = jnp.where(dead_mask, dead_tag, eh1)
-    eh2 = jnp.where(dead_mask, dead_tag * jnp.uint32(3), eh2)
 
-    # ---- flatten: N = K keep + K*K2 extend entries ----
-    N = K + K * K2
-    h1 = jnp.concatenate([state.h1, eh1.reshape(-1)])
-    h2 = jnp.concatenate([state.h2, eh2.reshape(-1)])
-    ent_s = jnp.concatenate([keep_s, jnp.full((K * K2,), NEG_INF)])
-    ent_ns = jnp.concatenate([keep_ns, ext_ns.reshape(-1)])
-    ent_v_s = jnp.concatenate([keep_v_s, jnp.full((K * K2,), NEG_INF)])
-    ent_v_ns = jnp.concatenate([keep_v_ns, ext_v_ns.reshape(-1)])
-    parent = jnp.concatenate([jnp.arange(K, dtype=jnp.int32),
-                              jnp.repeat(jnp.arange(K, dtype=jnp.int32), K2)])
-    token = jnp.concatenate([jnp.full((K,), -1, jnp.int32),
-                             u.reshape(-1).astype(jnp.int32)])
-    ent_rep_tok = jnp.concatenate([jnp.zeros((K,), bool),
-                                   u_eq_last.reshape(-1)])
+    # ---- merge each keep entry into its (unique) matching extend entry ----
+    live_keep = score > NEG_INF
+    match = ((state.h1[:, None, None] == eh1[None]) &
+             (state.h2[:, None, None] == eh2[None]) &
+             (~dead)[None] & live_keep[:, None, None])   # (K, K, K2)
+    matched_to_ext = jnp.any(match, axis=(1, 2))         # keep i absorbed?
+    has_m = jnp.any(match, axis=0)                       # (K, K2)
+    m_idx = jnp.argmax(match, axis=0).astype(jnp.int32)  # (K, K2) keep index
 
-    # ---- sort by hash → contiguous segments of equal prefixes ----
-    order = jnp.lexsort((h2, h1))
-    h1s, h2s = h1[order], h2[order]
-    new_seg = jnp.concatenate([
-        jnp.array([True]), (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])])
-    seg_ids = jnp.cumsum(new_seg) - 1                             # (N,)
+    def at_m(v):
+        return jnp.where(has_m, v[m_idx], NEG_INF)
 
-    seg_s = _segment_logsumexp(ent_s[order], seg_ids, N)
-    seg_ns = _segment_logsumexp(ent_ns[order], seg_ids, N)
-    v_s_sorted = ent_v_s[order]
-    v_ns_sorted = ent_v_ns[order]
-    seg_v_s = jax.ops.segment_max(v_s_sorted, seg_ids, num_segments=N)
-    seg_v_ns = jax.ops.segment_max(v_ns_sorted, seg_ids, num_segments=N)
-    seg_v_s = jnp.where(jnp.isfinite(seg_v_s), seg_v_s, NEG_INF)
-    seg_v_ns = jnp.where(jnp.isfinite(seg_v_ns), seg_v_ns, NEG_INF)
+    mrg_s = at_m(keep_s)
+    mrg_ns = _log_add(ext_ns, at_m(keep_ns))
+    mrg_v_s = at_m(keep_v_s)
+    mrg_v_ns = jnp.maximum(ext_v_ns, at_m(keep_v_ns))
+    vwin_is_keep = has_m & (at_m(keep_v_ns) > ext_v_ns)
+    ext_total = _log_add(mrg_s, mrg_ns)
+    ext_total = jnp.where(dead & ~has_m, NEG_INF, ext_total)
 
-    # representative = min original index in segment → keep entry when present
-    rep_entry = jax.ops.segment_min(order, seg_ids, num_segments=N)
-    rep_entry = jnp.clip(rep_entry, 0, N - 1)
-    # viterbi-winning contributor (times_ns source): first sorted entry whose
-    # v_ns equals the segment max
-    arangeN = jnp.arange(N)
-    is_vwin = (v_ns_sorted >= seg_v_ns[seg_ids]) & (v_ns_sorted > NEG_INF)
-    vwin_sorted_pos = jax.ops.segment_min(jnp.where(is_vwin, arangeN, N),
-                                          seg_ids, num_segments=N)
-    vwin_entry = order[jnp.clip(vwin_sorted_pos, 0, N - 1)]
+    keep_total = jnp.where(matched_to_ext | ~live_keep, NEG_INF,
+                           _log_add(keep_s, keep_ns))
 
-    n_seg = seg_ids[-1] + 1
-    seg_live = (arangeN < n_seg)
-    seg_total = jnp.where(seg_live, _log_add(seg_s, seg_ns), NEG_INF)
-
-    # ---- second beam prune: top-K segments by total score ----
-    top_total, top_seg = jax.lax.top_k(seg_total, K)
+    # ---- second beam prune over K·K2 extend + K keep candidates ----
+    totals = jnp.concatenate([ext_total.reshape(-1), keep_total])
+    top_total, top_idx = jax.lax.top_k(totals, K)
     del top_total
+    is_ext = top_idx < K * K2
+    j = jnp.where(is_ext, top_idx // K2, 0)              # extend parent
+    uu = jnp.where(is_ext, top_idx % K2, 0)
+    keep_i = jnp.clip(top_idx - K * K2, 0, K - 1)        # keep parent
+    parent = jnp.where(is_ext, j, keep_i)
+    tok = topk_idx[uu].astype(jnp.int32)
 
-    rep = rep_entry[top_seg]
-    vwin = vwin_entry[top_seg]
-    rep_parent = parent[rep]
-    rep_token = token[rep]
-    rep_ext = rep >= K
-    vwin_parent = parent[vwin]
-    vwin_ext = vwin >= K
-    vwin_rep_tok = ent_rep_tok[vwin]
+    flat = lambda a: a.reshape(-1)[jnp.clip(top_idx, 0, K * K2 - 1)]
+
+    new_s = jnp.where(is_ext, flat(mrg_s), keep_s[keep_i])
+    new_ns = jnp.where(is_ext, flat(mrg_ns), keep_ns[keep_i])
+    new_v_s = jnp.where(is_ext, flat(mrg_v_s), keep_v_s[keep_i])
+    new_v_ns = jnp.where(is_ext, flat(mrg_v_ns), keep_v_ns[keep_i])
 
     # ---- rebuild beam state for the K winners ----
-    new_plen = state.plen[rep_parent] + rep_ext.astype(jnp.int32)
-    new_last = jnp.where(rep_ext, rep_token, state.last[rep_parent])
-    ch1, ch2 = _child_hash(state.h1[rep_parent], state.h2[rep_parent],
-                           jnp.maximum(rep_token, 0))
-    new_h1 = jnp.where(rep_ext, ch1, state.h1[rep_parent])
-    new_h2 = jnp.where(rep_ext, ch2, state.h2[rep_parent])
-    write_one = (jnp.arange(L)[None, :] == state.plen[rep_parent][:, None])
-    new_prefixes = jnp.where(rep_ext[:, None] & write_one,
-                             rep_token[:, None], state.prefixes[rep_parent])
+    new_plen = state.plen[parent] + is_ext.astype(jnp.int32)
+    new_last = jnp.where(is_ext, tok, state.last[parent])
+    ch1, ch2 = _child_hash(state.h1[parent], state.h2[parent],
+                           jnp.maximum(tok, 0))
+    new_h1 = jnp.where(is_ext, ch1, state.h1[parent])
+    new_h2 = jnp.where(is_ext, ch2, state.h2[parent])
+    write_one = (jnp.arange(L)[None, :] == state.plen[parent][:, None])
+    new_prefixes = jnp.where(is_ext[:, None] & write_one, tok[:, None],
+                             state.prefixes[parent])
 
-    # times_s: the keep entry's blank path copies the parent's viterbi times
-    # (search.py:166-167); extend-only segments have v_s=-inf so times_s is
-    # never consulted until a later blank overwrites it.
-    new_times_s = parent_vit_times[rep_parent]
+    # times_s: blank keeps the prefix and copies the parent's viterbi times
+    # (search.py:166-167); for a merged extend entry the v_s contribution
+    # comes from the matched keep parent.
+    m_sel = flat(m_idx)
+    hasm_sel = flat(has_m)
+    ts_parent = jnp.where(is_ext,
+                          jnp.where(hasm_sel, m_sel, parent), keep_i)
+    new_times_s = parent_vit_times[ts_parent]
 
     # times_ns from the viterbi-winning contributor:
-    #  - extend entry: parent's viterbi times (times_s when repeat-token, else
-    #    times()) with t appended at plen[parent]     (search.py:193-214)
+    #  - extend entry: parent's viterbi times (times_s for a repeated token,
+    #    else times()) with t written at plen[parent]   (search.py:193-214)
     #  - keep entry (repeated token): parent's times_ns, last slot → t
     #    (search.py:177-183)
-    vw_src_ext = jnp.where(vwin_rep_tok[:, None],
-                           state.times_s[vwin_parent],
-                           parent_vit_times[vwin_parent])
-    app_one = (jnp.arange(L)[None, :] == state.plen[vwin_parent][:, None])
+    w_keep = jnp.where(is_ext, flat(vwin_is_keep), True)
+    tns_parent = jnp.where(is_ext & ~w_keep, parent,
+                           jnp.where(is_ext, m_sel, keep_i))
+    rep_tok = flat(u_eq_last)
+    vw_src_ext = jnp.where(rep_tok[:, None], state.times_s[parent],
+                           parent_vit_times[parent])
+    app_one = (jnp.arange(L)[None, :] == state.plen[parent][:, None])
     ext_times = jnp.where(app_one, t, vw_src_ext)
     last_one = (jnp.arange(L)[None, :] ==
-                jnp.maximum(state.plen[vwin_parent] - 1, 0)[:, None])
-    keep_times = jnp.where(last_one, t, state.times_ns[vwin_parent])
-    new_times_ns = jnp.where(vwin_ext[:, None], ext_times, keep_times)
+                jnp.maximum(state.plen[tns_parent] - 1, 0)[:, None])
+    repeat_fired = keep_ns[tns_parent] > NEG_INF
+    keep_times = jnp.where(last_one & repeat_fired[:, None], t,
+                           state.times_ns[tns_parent])
+    new_times_ns = jnp.where((is_ext & ~w_keep)[:, None], ext_times,
+                             keep_times)
 
     new_state = BeamState(
         prefixes=new_prefixes, plen=new_plen, last=new_last,
         h1=new_h1, h2=new_h2,
-        s=seg_s[top_seg], ns=seg_ns[top_seg],
-        v_s=seg_v_s[top_seg], v_ns=seg_v_ns[top_seg],
+        s=new_s, ns=new_ns, v_s=new_v_s, v_ns=new_v_ns,
         times_s=new_times_s, times_ns=new_times_ns)
 
     # freeze state past the utterance's true length
