@@ -254,15 +254,22 @@ def init_decoder_params(rng, cfg: DecoderConfig):
     return _init_single_decoder(rng, cfg, cfg.num_blocks)
 
 
-def init_params(rng, cfg: ModelConfig, cmvn: Optional[tuple] = None):
+def init_params(rng, cfg: ModelConfig, cmvn: Optional[tuple] = None,
+                with_context_adaptor: bool = False):
     """Full model param tree, torch-state_dict-shaped (SURVEY.md App. B)."""
-    k1, k2, k3 = jax.random.split(rng, 3)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
     params = {
         'encoder': init_encoder_params(k1, cfg.encoder),
         'decoder': init_decoder_params(k2, cfg.decoder),
         'ctc': {'ctc_lo': init_linear(k3, cfg.encoder.output_size,
                                       cfg.vocab_size)},
     }
+    if with_context_adaptor:
+        from reverb_tpu.models.context_adaptor import (ContextAdaptorConfig,
+                                                       init_context_adaptor)
+        params['context_adaptor'] = init_context_adaptor(
+            k4, ContextAdaptorConfig(vocab_size=cfg.vocab_size,
+                                     output_size=cfg.encoder.output_size))
     if cmvn is not None:
         mean, istd = cmvn
         params['encoder']['global_cmvn'] = {
@@ -305,9 +312,29 @@ def compute_loss(params, cfg: ModelConfig, batch, rng=None):
     rngs = Rngs(rng) if rng is not None else None
     chunk_rng = rngs.next() if rngs else None
     cat_embs = batch.get('cat_embs')
-    encoder_out, encoder_mask = forward_encoder(
-        params, cfg, batch['feats'], batch['feats_lengths'], cat_embs, rngs,
-        chunk_rng, decoding_chunk_size=0)
+    use_adaptor = 'context_adaptor' in params and 'cv_list' in batch
+    if use_adaptor:
+        # deep-biasing path (asr_model.py:162-165): encoder layer mix
+        # cross-attends to encoded context phrases; result added to output
+        from reverb_tpu.models.context_adaptor import (
+            ContextAdaptorConfig, context_adaptor_forward, encode_cv)
+        ca_cfg = ContextAdaptorConfig(
+            vocab_size=cfg.vocab_size,
+            output_size=cfg.encoder.output_size)
+        feats = batch['feats'].astype(cfg.compute_dtype)
+        encoder_out, encoder_mask, layer_outs = encoder_forward(
+            params['encoder'], feats, batch['feats_lengths'], cfg.encoder,
+            cat_embs=cat_embs if cfg.lsl_enc else None,
+            cmvn=_get_cmvn(params), decoding_chunk_size=0, rngs=rngs,
+            chunk_rng=chunk_rng, return_layers=True)
+        cv_emb = encode_cv(params['context_adaptor'], batch['cv_list'],
+                           batch['cv_list_lengths'], ca_cfg)
+        encoder_out = encoder_out + context_adaptor_forward(
+            params['context_adaptor'], layer_outs, cv_emb, ca_cfg)
+    else:
+        encoder_out, encoder_mask = forward_encoder(
+            params, cfg, batch['feats'], batch['feats_lengths'], cat_embs,
+            rngs, chunk_rng, decoding_chunk_size=0)
     encoder_out_lens = jnp.sum(encoder_mask[:, 0, :], axis=-1)
     text, text_lens = batch['target'], batch['target_lengths']
 

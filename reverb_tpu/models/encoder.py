@@ -274,10 +274,13 @@ def encoder_forward(params, xs, xs_lens, cfg: EncoderConfig,
                     decoding_chunk_size: int = 0,
                     num_decoding_left_chunks: int = -1,
                     rngs: Rngs | None = None,
-                    chunk_rng=None):
+                    chunk_rng=None,
+                    return_layers: bool = False):
     """Full encoder forward (encoder.py:117-149).
 
-    xs: (B, T, F) features; xs_lens: (B,). Returns (out (B,T',D), masks (B,1,T')).
+    xs: (B, T, F) features; xs_lens: (B,). Returns (out (B,T',D), masks
+    (B,1,T')), plus per-layer outputs when return_layers
+    (forward_return_layers, encoder.py:151-206 — feeds the context adaptor).
     cmvn: optional (mean, istd) applied before subsampling.
     """
     B, T, _ = xs.shape
@@ -295,6 +298,7 @@ def encoder_forward(params, xs, xs_lens, cfg: EncoderConfig,
 
     layer_fn = (conformer_layer if cfg.encoder_type == 'conformer'
                 else transformer_layer)
+    layer_outs = []
     for i, lp in enumerate(params['encoders']):
         step = lambda x: layer_fn(lp, x, chunk_masks, pos_emb, mask_pad, cfg,
                                   cat_embs, rngs, is_lsl=_layer_is_lsl(cfg, i))
@@ -302,8 +306,12 @@ def encoder_forward(params, xs, xs_lens, cfg: EncoderConfig,
             xs, _, _ = jax.checkpoint(step)(xs)
         else:
             xs, _, _ = step(xs)
+        if return_layers:
+            layer_outs.append(xs)
     if cfg.normalize_before:
         xs = layer_norm(params['after_norm'], xs)
+    if return_layers:
+        return xs, masks, layer_outs
     return xs, masks
 
 
