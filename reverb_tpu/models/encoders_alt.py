@@ -1,0 +1,283 @@
+"""Alternative encoder families: Branchformer, E-Branchformer, Squeezeformer,
+Efficient-Conformer-style grouped attention.
+
+Capability parity with asr/wenet/{branchformer,e_branchformer,squeezeformer,
+efficient_conformer}/ (SURVEY.md §2.4) — same architectural ideas,
+re-implemented TPU-first on the shared functional module layer:
+  - ConvolutionalGatingMLP (cgMLP): proj→GELU → spatial gating (depthwise
+    conv on half the channels, elementwise gate) → proj
+    (branchformer/cgmlp.py:24-194)
+  - BranchformerEncoderLayer: parallel attention + cgMLP branches merged by
+    concat+linear (branchformer/encoder_layer.py:24-230)
+  - EBranchformerEncoderLayer: macaron FFN halves + depthwise-conv merge
+    (e_branchformer/encoder_layer.py)
+  - Squeezeformer: conformer-style blocks around a temporal
+    reduce/recover U-structure (squeezeformer/encoder.py:35,
+    subsampling.py:95-300)
+  - Grouped rel-pos attention (efficient_conformer/attention.py:28): heads
+    attend over strided key groups.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from reverb_tpu.models import attention as att
+from reverb_tpu.models.encoder import (EncoderConfig, SUBSAMPLE_FNS,
+                                       conformer_layer, feed_forward)
+from reverb_tpu.models.modules import (ACTIVATIONS, conv1d, dropout,
+                                       init_conv1d, init_layer_norm,
+                                       init_linear, layer_norm, linear)
+from reverb_tpu.models.asr_model import _init_mha, _init_ffn
+from reverb_tpu.utils.common import make_pad_mask
+
+
+# ------------------------------ cgMLP ------------------------------
+
+def init_cgmlp(rng, size: int, linear_units: int, kernel: int,
+               use_linear_after_conv: bool = False):
+    ks = jax.random.split(rng, 4)
+    p = {'channel_proj1': init_linear(ks[0], size, linear_units),
+         'csgu_norm': init_layer_norm(linear_units // 2),
+         'csgu_conv': init_conv1d(ks[1], linear_units // 2,
+                                  linear_units // 2, kernel,
+                                  groups=linear_units // 2),
+         'channel_proj2': init_linear(ks[2], linear_units // 2, size)}
+    if use_linear_after_conv:
+        p['csgu_linear'] = init_linear(ks[3], linear_units // 2,
+                                       linear_units // 2)
+    return p
+
+
+def cgmlp_forward(p, x, kernel: int, gate_activation: str = 'identity',
+                  rate: float = 0.0, rng=None):
+    """(B,T,D) → (B,T,D): proj-GELU → spatial gating → proj."""
+    x = jax.nn.gelu(linear(p['channel_proj1'], x))
+    xr, xg = jnp.split(x, 2, axis=-1)
+    xg = layer_norm(p['csgu_norm'], xg)
+    xg_c = xg.transpose(0, 2, 1)
+    xg_c = jnp.pad(xg_c, ((0, 0), (0, 0), (kernel - 1, 0)))  # causal
+    xg_c = conv1d(p['csgu_conv'], xg_c, groups=xg_c.shape[1])
+    xg = xg_c.transpose(0, 2, 1)
+    if 'csgu_linear' in p:
+        xg = linear(p['csgu_linear'], xg)
+    if gate_activation != 'identity':
+        xg = ACTIVATIONS[gate_activation](xg)
+    x = xr * xg
+    x = dropout(x, rate, rng)
+    return linear(p['channel_proj2'], x)
+
+
+# ------------------------------ branchformer ------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class BranchformerConfig:
+    input_size: int = 80
+    output_size: int = 256
+    attention_heads: int = 4
+    num_blocks: int = 12
+    cgmlp_linear_units: int = 2048
+    cgmlp_conv_kernel: int = 31
+    dropout_rate: float = 0.1
+    merge_method: str = 'concat'          # concat | learned_ave
+    e_branchformer: bool = False          # adds macaron FFNs + conv merge
+    ffn_units: int = 2048
+    merge_conv_kernel: int = 3
+    pos_enc_layer_type: str = 'rel_pos'
+
+
+def init_branchformer_layer(rng, cfg: BranchformerConfig):
+    ks = jax.random.split(rng, 8)
+    d = cfg.output_size
+    p = {'norm_mha': init_layer_norm(d),
+         'norm_mlp': init_layer_norm(d),
+         'self_attn': _init_mha(ks[0], d, True,
+                                cfg.pos_enc_layer_type == 'rel_pos',
+                                cfg.attention_heads),
+         'cgmlp': init_cgmlp(ks[1], d, cfg.cgmlp_linear_units,
+                             cfg.cgmlp_conv_kernel)}
+    if cfg.e_branchformer:
+        p['feed_forward'] = _init_ffn(ks[2], d, cfg.ffn_units)
+        p['feed_forward_macaron'] = _init_ffn(ks[3], d, cfg.ffn_units)
+        p['norm_ff'] = init_layer_norm(d)
+        p['norm_ff_macaron'] = init_layer_norm(d)
+        p['merge_conv'] = init_conv1d(ks[4], 2 * d, 2 * d,
+                                      cfg.merge_conv_kernel, groups=2 * d)
+        p['merge_proj'] = init_linear(ks[5], 2 * d, d)
+        p['norm_final'] = init_layer_norm(d)
+    else:
+        p['merge_proj'] = init_linear(ks[4], 2 * d, d)
+    return p
+
+
+def branchformer_layer_forward(p, x, mask, pos_emb, cfg: BranchformerConfig,
+                               rngs=None):
+    rate = cfg.dropout_rate
+
+    def drop(v):
+        return dropout(v, rate, rngs.next() if rngs else None)
+
+    if cfg.e_branchformer:
+        residual = x
+        xn = layer_norm(p['norm_ff_macaron'], x)
+        h = jax.nn.silu(linear(p['feed_forward_macaron']['w_1'], xn))
+        h = linear(p['feed_forward_macaron']['w_2'], h)
+        x = residual + 0.5 * drop(h)
+
+    # branch 1: attention
+    x1 = layer_norm(p['norm_mha'], x)
+    if cfg.pos_enc_layer_type == 'rel_pos':
+        x1, _ = att.rel_pos_mha(p['self_attn'], x1, x1, x1, mask, pos_emb,
+                                cfg.attention_heads)
+    else:
+        x1, _ = att.mha(p['self_attn'], x1, x1, x1, mask,
+                        cfg.attention_heads)
+    x1 = drop(x1)
+    # branch 2: cgMLP
+    x2 = layer_norm(p['norm_mlp'], x)
+    x2 = cgmlp_forward(p['cgmlp'], x2, cfg.cgmlp_conv_kernel,
+                       rate=rate, rng=rngs.next() if rngs else None)
+    x2 = drop(x2)
+
+    cat = jnp.concatenate([x1, x2], axis=-1)
+    if cfg.e_branchformer:
+        conv = cat.transpose(0, 2, 1)
+        conv = conv1d(p['merge_conv'], conv,
+                      padding=(cfg.merge_conv_kernel - 1) // 2,
+                      groups=conv.shape[1])
+        cat = cat + conv.transpose(0, 2, 1)
+    x = x + drop(linear(p['merge_proj'], cat))
+
+    if cfg.e_branchformer:
+        residual = x
+        xn = layer_norm(p['norm_ff'], x)
+        h = jax.nn.silu(linear(p['feed_forward']['w_1'], xn))
+        h = linear(p['feed_forward']['w_2'], h)
+        x = residual + 0.5 * drop(h)
+        x = layer_norm(p['norm_final'], x)
+    return x
+
+
+def init_branchformer(rng, cfg: BranchformerConfig):
+    from reverb_tpu.models.asr_model import init_encoder_params
+    base_cfg = EncoderConfig(input_size=cfg.input_size,
+                             output_size=cfg.output_size,
+                             pos_enc_layer_type=cfg.pos_enc_layer_type)
+    ks = jax.random.split(rng, cfg.num_blocks + 1)
+    base = init_encoder_params(ks[0], dataclasses.replace(base_cfg,
+                                                          num_blocks=0))
+    base['encoders'] = [init_branchformer_layer(ks[i + 1], cfg)
+                        for i in range(cfg.num_blocks)]
+    return base
+
+
+def branchformer_forward(params, xs, xs_lens, cfg: BranchformerConfig,
+                         cmvn=None, rngs=None):
+    """(B,T,F) → (B,T',D), masks — BranchformerEncoder.forward."""
+    base_cfg = EncoderConfig(input_size=cfg.input_size,
+                             output_size=cfg.output_size,
+                             dropout_rate=cfg.dropout_rate,
+                             pos_enc_layer_type=cfg.pos_enc_layer_type)
+    B, T, _ = xs.shape
+    masks = (~make_pad_mask(xs_lens, T))[:, None, :]
+    if cmvn is not None:
+        xs = (xs - cmvn[0]) * cmvn[1]
+    xs, pos_emb, masks = SUBSAMPLE_FNS['conv2d'](params['embed'], xs, masks,
+                                                 base_cfg, 0, rngs)
+    for lp in params['encoders']:
+        xs = branchformer_layer_forward(lp, xs, masks, pos_emb, cfg, rngs)
+    xs = layer_norm(params['after_norm'], xs)
+    return xs, masks
+
+
+# ------------------------------ squeezeformer ------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SqueezeformerConfig:
+    input_size: int = 80
+    output_size: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 12
+    reduce_idx: int = 5            # temporal 2× reduction after this block
+    recover_idx: int = 11          # upsample + residual recovery before this
+    dropout_rate: float = 0.1
+    cnn_module_kernel: int = 31
+
+
+def init_squeezeformer(rng, cfg: SqueezeformerConfig):
+    from reverb_tpu.models.asr_model import (_init_conformer_layer,
+                                             init_encoder_params)
+    base_cfg = EncoderConfig(
+        input_size=cfg.input_size, output_size=cfg.output_size,
+        attention_heads=cfg.attention_heads, linear_units=cfg.linear_units,
+        cnn_module_kernel=cfg.cnn_module_kernel,
+        dropout_rate=cfg.dropout_rate)
+    ks = jax.random.split(rng, cfg.num_blocks + 3)
+    base = init_encoder_params(ks[0], dataclasses.replace(base_cfg,
+                                                          num_blocks=0))
+    base['encoders'] = [_init_conformer_layer(ks[i + 1], base_cfg, False)
+                       for i in range(cfg.num_blocks)]
+    d = cfg.output_size
+    base['time_reduce'] = init_conv1d(ks[-2], d, d, 5, groups=d)
+    base['time_recover'] = init_linear(ks[-1], d, d)
+    return base
+
+
+def squeezeformer_forward(params, xs, xs_lens, cfg: SqueezeformerConfig,
+                          cmvn=None, rngs=None):
+    """Conformer stack with a 2× temporal squeeze between reduce_idx and
+    recover_idx and residual recovery (squeezeformer/encoder.py:35)."""
+    base_cfg = EncoderConfig(
+        input_size=cfg.input_size, output_size=cfg.output_size,
+        attention_heads=cfg.attention_heads, linear_units=cfg.linear_units,
+        cnn_module_kernel=cfg.cnn_module_kernel,
+        dropout_rate=cfg.dropout_rate)
+    B, T, _ = xs.shape
+    masks = (~make_pad_mask(xs_lens, T))[:, None, :]
+    if cmvn is not None:
+        xs = (xs - cmvn[0]) * cmvn[1]
+    xs, pos_emb, masks = SUBSAMPLE_FNS['conv2d'](params['embed'], xs, masks,
+                                                 base_cfg, 0, rngs)
+    mask_pad = masks
+    pre_reduce = None
+    cur_masks = masks
+    cur_pos = pos_emb
+    for i, lp in enumerate(params['encoders']):
+        if i == cfg.reduce_idx:
+            pre_reduce = xs
+            # strided depthwise conv 2× reduction (TimeReductionLayer1D)
+            xc = xs.transpose(0, 2, 1)
+            xc = conv1d(params['time_reduce'], xc, stride=2, padding=2,
+                        groups=xc.shape[1])
+            xs = xc.transpose(0, 2, 1)
+            cur_masks = cur_masks[:, :, ::2][:, :, :xs.shape[1]]
+            cur_pos = cur_pos[:, :xs.shape[1]]
+        if i == cfg.recover_idx and pre_reduce is not None:
+            # nearest-neighbor upsample + linear + residual recovery
+            up = jnp.repeat(xs, 2, axis=1)[:, :pre_reduce.shape[1]]
+            xs = linear(params['time_recover'], up) + pre_reduce
+            cur_masks = masks
+            cur_pos = pos_emb
+        xs, _, _ = conformer_layer(lp, xs, cur_masks, cur_pos,
+                                   cur_masks, base_cfg, rngs=rngs)
+    xs = layer_norm(params['after_norm'], xs)
+    return xs, masks
+
+
+# -------------------- grouped attention (efficient conformer) -----------
+
+def grouped_rel_pos_mha(p, x, mask, pos_emb, h: int, group_size: int = 3):
+    """Grouped/strided rel-pos attention in the efficient-conformer spirit
+    (efficient_conformer/attention.py:28): full-resolution queries attend to
+    group-strided keys/values, cutting the score-matrix FLOPs and HBM
+    traffic by group_size."""
+    kv = x[:, ::group_size]
+    mask_kv = mask[:, :, ::group_size] if mask is not None else None
+    pos_kv = pos_emb[:, ::group_size]
+    out, _ = att.rel_pos_mha(p, x, kv, kv, mask_kv, pos_kv, h)
+    return out
