@@ -171,7 +171,8 @@ class ReverbASR:
                          reverse_weight: float = 0.0,
                          blank_penalty: float = 0.0,
                          length_penalty: float = 0.0,
-                         timings_adjustment: float = 230) -> List[str]:
+                         timings_adjustment: float = 230,
+                         blank_skip_threshold: float = 0.0) -> List[str]:
         feats = self.compute_feats(audio_file)
         cat_embs = np.asarray([verbatimicity, 1.0 - verbatimicity],
                               dtype=np.float32)
@@ -187,7 +188,8 @@ class ReverbASR:
                 reverse_weight=reverse_weight,
                 blank_penalty=blank_penalty,
                 length_penalty=length_penalty,
-                cat_embs=cat_embs)
+                cat_embs=cat_embs,
+                blank_skip_threshold=blank_skip_threshold)
             results.append(hyps)
         outputs = []
         for mode in modes:

