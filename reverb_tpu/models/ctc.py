@@ -80,3 +80,37 @@ def label_smoothing_loss(logits, target, lens, smoothing: float,
     kl = jnp.where(mask, kl, 0.0)
     denom = jnp.sum(mask) if normalize_length else B
     return jnp.sum(kl) / denom
+
+
+def ctc_activation_more(params, encoder_out,
+                        missing_blank_from_top2_threshold: float,
+                        non_blank_prob_threshold: float,
+                        top_blank_prob_penalty: float,
+                        blank_id: int = 0):
+    """Blank-suppression activation with instrumentation counters.
+
+    Parity: asr_model.py:736-840 (`ctc_activation_more`, the streaming
+    "hack"): when the fraction of frames whose top-2 tokens are both
+    non-blank is below `missing_blank_from_top2_threshold`, every frame whose
+    best token is blank but whose runner-up beats `non_blank_prob_threshold`
+    has its blank log-prob penalized by `top_blank_prob_penalty`.  Fully
+    vectorized (the reference loops frames in python).
+
+    encoder_out: (1, T, D).  Returns (ctc_probs (1,T,V), maxlen,
+    n_only_nonblank_top2, ratio, applied_hack (bool array), n_changes).
+    """
+    ctc_probs = ctc_log_softmax(params, encoder_out)[0]        # (T, V)
+    T = ctc_probs.shape[0]
+    top2_vals, top2_idx = jax.lax.top_k(ctc_probs, 2)
+    only_nonblank = jnp.all(top2_idx != blank_id, axis=1)
+    n_only_nonblank = jnp.sum(only_nonblank)
+    ratio = n_only_nonblank / T
+    apply_hack = ratio < missing_blank_from_top2_threshold
+
+    best_is_blank = top2_idx[:, 0] == blank_id
+    runner_good = top2_vals[:, 1] > non_blank_prob_threshold
+    change = apply_hack & best_is_blank & runner_good          # (T,)
+    penalized = ctc_probs.at[:, blank_id].add(
+        jnp.where(change, -top_blank_prob_penalty, 0.0))
+    return (penalized[None], T, n_only_nonblank, ratio, apply_hack,
+            jnp.sum(change))

@@ -165,6 +165,6 @@ def init_tokenizer(configs) -> BaseTokenizer:
             multilingual=conf.get('is_multilingual', False),
             num_languages=conf.get('num_languages', 99))
     if kind == 'hugging_face':
-        from reverb_tpu.text.hugging_face_tokenizer import HuggingFaceTokenizer
+        from reverb_tpu.text.whisper_tokenizer import HuggingFaceTokenizer
         return HuggingFaceTokenizer(conf['model'])
     raise ValueError(f"unknown tokenizer type {kind!r}")

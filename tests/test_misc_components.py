@@ -1,0 +1,109 @@
+"""CTL model, blank suppression, kaldi IO, wav distortion, AOT export."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.test_model_forward import TINY
+
+
+def test_ctl_loss():
+    from reverb_tpu.models.asr_model import ModelConfig, init_params
+    from reverb_tpu.models.ctl import ctl_compute_loss
+    import dataclasses
+    conf = dict(TINY)
+    conf['encoder_conf'] = dict(conf['encoder_conf'],
+                                use_dynamic_chunk=True)
+    cfg = ModelConfig.from_config(conf)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        'feats': jnp.asarray(rng.randn(2, 43, 80), jnp.float32),
+        'feats_lengths': jnp.array([43, 43]),
+        'target': jnp.array([[3, 4, 5, -1], [6, 7, -1, -1]]),
+        'target_lengths': jnp.array([3, 2]),
+        'cat_embs': jnp.array([[1.0, 0.0], [1.0, 0.0]]),
+    }
+    out = ctl_compute_loss(params, cfg, batch, rng=jax.random.PRNGKey(1),
+                           ctl_weight=0.5,
+                           decoding_chunk_size=4)
+    assert np.isfinite(float(out['loss']))
+    assert float(out['loss_ctl']) >= 0
+
+
+def test_ctc_activation_more():
+    from reverb_tpu.models.ctc import ctc_activation_more
+    V, D, T = 10, 8, 12
+    rng = np.random.RandomState(0)
+    params = {'ctc_lo': {'weight': jnp.asarray(rng.randn(V, D),
+                                               jnp.float32),
+                         'bias': jnp.zeros(V)}}
+    enc = jnp.asarray(rng.randn(1, T, D), jnp.float32)
+    probs, maxlen, n_nb, ratio, applied, changes = ctc_activation_more(
+        params, enc, missing_blank_from_top2_threshold=1.1,
+        non_blank_prob_threshold=-100.0, top_blank_prob_penalty=5.0)
+    assert probs.shape == (1, T, V)
+    assert maxlen == T
+    # hack applied (threshold 1.1 > any ratio); blank-top frames penalized
+    base = np.asarray(jax.nn.log_softmax(
+        enc @ params['ctc_lo']['weight'].T, axis=-1))
+    best_blank = base[0].argmax(-1) == 0
+    assert int(changes) == int(best_blank.sum())
+
+
+def test_kaldi_io_roundtrip(tmp_path):
+    from reverb_tpu.data.kaldi_io import read_ark, read_scp, write_ark
+    rng = np.random.RandomState(0)
+    items = {'utt1': rng.randn(5, 3).astype(np.float32),
+             'utt2': rng.randn(2, 3).astype(np.float32),
+             'vec1': rng.randn(7).astype(np.float32)}
+    ark = tmp_path / 'feats.ark'
+    scp = tmp_path / 'feats.scp'
+    write_ark(str(ark), items, str(scp))
+    got = dict(read_ark(str(ark)))
+    assert set(got) == set(items)
+    np.testing.assert_allclose(got['utt1'], items['utt1'], rtol=1e-6)
+    np.testing.assert_allclose(got['vec1'], items['vec1'], rtol=1e-6)
+    got2 = dict(read_scp(str(scp)))
+    np.testing.assert_allclose(got2['utt2'], items['utt2'], rtol=1e-6)
+
+
+def test_wav_distortion():
+    from reverb_tpu.data import wav_distortion as wd
+    x = np.linspace(-1, 1, 1000).astype(np.float32)
+    clipped = wd.distort_max(x, -10.0)
+    assert np.abs(clipped).max() <= wd.db2amp(-10.0) + 1e-6
+    fenced = wd.distort_fence(x, -40.0, -10.0)
+    assert (fenced == 0).any() and (fenced != 0).any()
+    jag = wd.distort_jag(x, levels=4)
+    assert len(np.unique(jag)) <= 9
+    s = {'wav': x[None, :]}
+    out = wd.distort_wav(s, prob=1.1)
+    assert out['wav'].shape == (1, 1000)
+
+
+def test_aot_export():
+    from reverb_tpu.export.aot import (export_serving_functions,
+                                       scriptability_check)
+    from reverb_tpu.models.asr_model import ModelConfig, init_params
+    import dataclasses
+    conf = dict(TINY)
+    conf['encoder_conf'] = dict(conf['encoder_conf'], causal=True)
+    cfg = ModelConfig.from_config(conf)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert scriptability_check(params, cfg)
+    compiled, meta = export_serving_functions(params, cfg, chunk_size=4,
+                                              num_left_chunks=2,
+                                              rescoring_nbest=3,
+                                              max_hyp_len=8)
+    assert set(compiled) == {'encoder_chunk', 'ctc_activation',
+                             'attention_decoder'}
+    # compiled functions execute with the exported shapes
+    feats = jnp.zeros((1, meta['window'], 80), jnp.float32)
+    ys, att, cnn = compiled['encoder_chunk'](
+        params, feats, jnp.asarray(0), meta['att_cache'], meta['cnn_cache'],
+        jnp.array([1.0, 0.0]))
+    assert ys.shape[1] == 4
+    ctc = compiled['ctc_activation'](params, jnp.zeros((1, 4, 32)))
+    assert ctc.shape[-1] == 50
