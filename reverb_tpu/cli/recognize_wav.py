@@ -12,7 +12,7 @@ import os
 from pathlib import Path
 
 MODES = ['attention', 'ctc_greedy_search', 'ctc_prefix_beam_search',
-         'attention_rescoring', 'joint_decoding']
+         'attention_rescoring', 'joint_decoding', 'onmt_attention_decoding']
 
 
 def get_args(argv=None):

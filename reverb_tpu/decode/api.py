@@ -23,7 +23,8 @@ from reverb_tpu.models import ctc as ctc_mod
 from reverb_tpu.models.asr_model import ModelConfig, forward_encoder
 
 ALL_MODES = ('attention', 'ctc_greedy_search', 'ctc_prefix_beam_search',
-             'attention_rescoring', 'joint_decoding')
+             'attention_rescoring', 'joint_decoding',
+             'onmt_attention_decoding')
 
 
 @functools.partial(jax.jit, static_argnums=(1, 5, 6))
@@ -82,6 +83,10 @@ def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
         results['attention_rescoring'] = attention_rescoring(
             params, cfg, prefix_results, encoder_out, encoder_lens,
             ctc_weight, reverse_weight, cat_embs=cat)
+    if 'onmt_attention_decoding' in methods:
+        from reverb_tpu.decode.onmt_beam import onmt_attention_decoding
+        results['onmt_attention_decoding'] = onmt_attention_decoding(
+            params, cfg, encoder_out, encoder_lens, beam_size, cat_embs=cat)
     if 'joint_decoding' in methods:
         from reverb_tpu.decode.joint import joint_decoding
         results['joint_decoding'] = joint_decoding(

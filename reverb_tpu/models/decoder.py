@@ -68,10 +68,13 @@ def _lsl_mix(lang_params, x, cat_embs):
 
 def decoder_layer(p, x, tgt_mask, memory, memory_mask, cfg: DecoderConfig,
                   cat_embs=None, rngs: Rngs | None = None,
-                  is_lsl: bool = False, q_slice: Optional[int] = None):
+                  is_lsl: bool = False, q_slice: Optional[int] = None,
+                  return_src_attn: bool = False):
     """One decoder block. If q_slice is not None, only the query at position
     q_slice attends (incremental decoding); x is still the full (B,L,D) buffer.
-    Returns the per-position output (B,L,D) or (B,1,D) when q_slice set."""
+    Returns the per-position output (B,L,D) or (B,1,D) when q_slice set; with
+    return_src_attn also the cross-attention weights (B,H,Tq,Tmem) — the
+    reference's forward_one_step_with_attn surface (decoder.py:236-281)."""
     eps = 1e-12 if is_lsl else 1e-5
     rate = cfg.dropout_rate
 
@@ -91,12 +94,20 @@ def decoder_layer(p, x, tgt_mask, memory, memory_mask, cfg: DecoderConfig,
                     rngs.next() if rngs else None)
     x = res_q + drop(sa)
 
+    src_attn_w = None
     if cfg.src_attention:
         residual = x
         xn = layer_norm(p['norm2'], x, eps)
-        ca, _ = att.mha(p['src_attn'], xn, memory, memory, memory_mask,
-                        cfg.attention_heads, cfg.src_attention_dropout_rate,
-                        rngs.next() if rngs else None)
+        if return_src_attn:
+            ca, _, src_attn_w = att.mha(
+                p['src_attn'], xn, memory, memory, memory_mask,
+                cfg.attention_heads, cfg.src_attention_dropout_rate,
+                rngs.next() if rngs else None, return_weights=True)
+        else:
+            ca, _ = att.mha(p['src_attn'], xn, memory, memory, memory_mask,
+                            cfg.attention_heads,
+                            cfg.src_attention_dropout_rate,
+                            rngs.next() if rngs else None)
         x = residual + drop(ca)
 
     residual = x
@@ -115,6 +126,8 @@ def decoder_layer(p, x, tgt_mask, memory, memory_mask, cfg: DecoderConfig,
                    dropout(act(linear(p['feed_forward']['w_1'], xn)), rate,
                            rngs.next() if rngs else None))
         x = residual + drop(h)
+    if return_src_attn:
+        return x, src_attn_w
     return x
 
 
@@ -169,7 +182,8 @@ def decoder_forward(params, memory, memory_mask, ys_in_pad, ys_in_lens,
 
 
 def decoder_forward_one_step(params, memory, memory_mask, tgt_buf, step,
-                             cache, cfg: DecoderConfig, cat_embs=None):
+                             cache, cfg: DecoderConfig, cat_embs=None,
+                             return_src_attn: bool = False):
     """Incremental decode step over a static-size token buffer.
 
     tgt_buf: (B, Lmax) int32 with tokens [0..step] valid; step: traced scalar.
@@ -195,11 +209,17 @@ def decoder_forward_one_step(params, memory, memory_mask, tgt_buf, step,
     # is the embedded buffer (i=0) or layer i-1's updated cache (i>0); only
     # the query at position `step` is recomputed (reference decoder.py:214-227
     # concat-cache semantics, static-shape version).
+    attn_sum = None
     for i, lp in enumerate(p['decoders']):
         out_q = decoder_layer(lp, x, tgt_mask, memory, memory_mask, cfg,
                               cat_embs, None,
                               is_lsl=_layer_is_lsl(cfg, i, n_blocks),
-                              q_slice=step)              # (B,1,D)
+                              q_slice=step,
+                              return_src_attn=return_src_attn)  # (B,1,D)
+        if return_src_attn:
+            out_q, w = out_q                           # w: (B,H,1,Tmem)
+            layer_mean = jnp.mean(w.astype(jnp.float32), axis=1)[:, 0]
+            attn_sum = layer_mean if attn_sum is None else attn_sum + layer_mean
         upd = jax.lax.dynamic_update_slice_in_dim(cache[i], out_q, step, axis=1)
         new_cache.append(upd)
         x = upd
@@ -208,5 +228,9 @@ def decoder_forward_one_step(params, memory, memory_mask, tgt_buf, step,
         y = layer_norm(p['after_norm'], y)
     if cfg.use_output_layer:
         y = linear(p['output_layer'], y)
-    return jax.nn.log_softmax(y.astype(jnp.float32), axis=-1), \
-        jnp.stack(new_cache, axis=0)
+    logp = jax.nn.log_softmax(y.astype(jnp.float32), axis=-1)
+    if return_src_attn:
+        # mean over layers and heads (asr_model.py:1045-1046)
+        return logp, jnp.stack(new_cache, axis=0), \
+            attn_sum / len(p['decoders'])
+    return logp, jnp.stack(new_cache, axis=0)

@@ -1,0 +1,110 @@
+"""Pallas kernel parity tests (interpret mode on CPU).
+
+The flash rel-pos attention kernel must match the XLA formulation in
+reverb_tpu.models.attention.rel_pos_mha bit-for-tolerance, including key
+padding and gradients (custom VJP recomputes through the XLA path).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reverb_tpu.models import attention as att
+from reverb_tpu.models.modules import init_linear
+from reverb_tpu.ops import flash_attention as fa
+
+
+def _mk_params(rng, d, h):
+    ks = jax.random.split(rng, 6)
+    p = {
+        'linear_q': init_linear(ks[0], d, d),
+        'linear_k': init_linear(ks[1], d, d),
+        'linear_v': init_linear(ks[2], d, d),
+        'linear_out': init_linear(ks[3], d, d),
+        'linear_pos': init_linear(ks[4], d, d, bias=False),
+        'pos_bias_u': jax.random.normal(ks[5], (h, d // h)) * 0.1,
+        'pos_bias_v': jax.random.normal(ks[5], (h, d // h)) * 0.1,
+    }
+    return p
+
+
+@pytest.mark.parametrize('T,lens', [(37, (37, 21)), (130, (130, 64))])
+def test_flash_matches_xla_path(T, lens):
+    d, h, B = 64, 4, 2
+    rng = jax.random.PRNGKey(0)
+    p = _mk_params(rng, d, h)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, d))
+    pos = jax.random.normal(jax.random.PRNGKey(2), (1, T, d))
+    mask = (jnp.arange(T)[None, None, :] <
+            jnp.asarray(lens)[:, None, None])
+
+    fa.set_use_pallas(False)
+    try:
+        ref, _ = att.rel_pos_mha(p, x, x, x, mask, pos, h)
+        fa.set_use_pallas(True)
+        out, _ = att.rel_pos_mha(p, x, x, x, mask, pos, h)
+    finally:
+        fa.set_use_pallas(None)
+    # padded query rows may differ (both get masked downstream); compare valid
+    for b, L in enumerate(lens):
+        np.testing.assert_allclose(np.asarray(out)[b, :L],
+                                   np.asarray(ref)[b, :L],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_flash_gradients_match():
+    d, h, B, T = 64, 4, 2, 48
+    p = _mk_params(jax.random.PRNGKey(0), d, h)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, d))
+    pos = jax.random.normal(jax.random.PRNGKey(2), (1, T, d))
+    mask = (jnp.arange(T)[None, None, :] <
+            jnp.asarray([T, T - 9])[:, None, None])
+
+    def loss(params, x, enable):
+        fa.set_use_pallas(enable)
+        try:
+            out, _ = att.rel_pos_mha(params, x, x, x, mask, pos, h)
+        finally:
+            fa.set_use_pallas(None)
+        w = mask[:, 0, :, None]
+        return jnp.sum(jnp.where(w, out, 0.0) ** 2)
+
+    g_ref = jax.grad(loss)(p, x, False)
+    g_new = jax.grad(loss)(p, x, True)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5), g_ref, g_new)
+
+
+def test_flash_bf16_runs():
+    d, h, B, T = 64, 2, 1, 40
+    p = _mk_params(jax.random.PRNGKey(0), d, h)
+    p = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, d), jnp.bfloat16)
+    pos = jax.random.normal(jax.random.PRNGKey(2), (1, T, d), jnp.bfloat16)
+    mask = jnp.ones((B, 1, T), bool)
+    fa.set_use_pallas(True)
+    try:
+        out, _ = att.rel_pos_mha(p, x, x, x, mask, pos, h)
+    finally:
+        fa.set_use_pallas(None)
+    assert out.dtype == jnp.bfloat16 and out.shape == (B, T, d)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_ineligible_cases_fall_back():
+    # chunk mask (B,T,T) and KV cache must not take the kernel path
+    assert not fa.flash_attention_eligible(jnp.ones((2, 8, 8), bool), 0.0,
+                                           None, None) or not \
+        fa.use_pallas_enabled()
+    fa.set_use_pallas(True)
+    try:
+        assert not fa.flash_attention_eligible(jnp.ones((2, 8, 8), bool),
+                                               0.0, None, None)
+        assert not fa.flash_attention_eligible(jnp.ones((2, 1, 8), bool),
+                                               0.0, None,
+                                               jnp.zeros((2, 4, 0, 32)))
+        assert fa.flash_attention_eligible(jnp.ones((2, 1, 8), bool), 0.0,
+                                           None, None)
+    finally:
+        fa.set_use_pallas(None)
