@@ -142,6 +142,21 @@ def _init_ffn(rng, d: int, hidden: int):
     return {'w_1': init_linear(k1, d, hidden), 'w_2': init_linear(k2, hidden, d)}
 
 
+def _init_moe_ffn(rng, d: int, hidden: int, n_expert: int):
+    """MoEFFNLayer params (positionwise_feed_forward.py:83-91)."""
+    kg, ke = jax.random.split(rng)
+    return {'gate': init_linear(kg, d, n_expert, bias=False),
+            'experts': [_init_ffn(k, d, hidden)
+                        for k in jax.random.split(ke, n_expert)]}
+
+
+def _init_enc_ffn(rng, cfg: EncoderConfig):
+    if cfg.positionwise_layer_type == 'moe':
+        return _init_moe_ffn(rng, cfg.output_size, cfg.linear_units,
+                             cfg.n_expert)
+    return _init_ffn(rng, cfg.output_size, cfg.linear_units)
+
+
 def _init_conv_module(rng, cfg: EncoderConfig):
     d = cfg.output_size
     ks = jax.random.split(rng, 3)
@@ -162,12 +177,12 @@ def _init_conformer_layer(rng, cfg: EncoderConfig, is_lsl: bool):
         'self_attn': _init_mha(ks[0], d, cfg.key_bias,
                                cfg.selfattention_layer_type == 'rel_selfattn',
                                cfg.attention_heads),
-        'feed_forward': _init_ffn(ks[1], d, cfg.linear_units),
+        'feed_forward': _init_enc_ffn(ks[1], cfg),
         'norm_ff': init_layer_norm(d),
         'norm_mha': init_layer_norm(d),
     }
     if cfg.macaron_style:
-        p['feed_forward_macaron'] = _init_ffn(ks[2], d, cfg.linear_units)
+        p['feed_forward_macaron'] = _init_enc_ffn(ks[2], cfg)
         p['norm_ff_macaron'] = init_layer_norm(d)
     if cfg.use_cnn_module:
         p.update(_init_conv_module(ks[3], cfg))
@@ -184,7 +199,7 @@ def _init_transformer_enc_layer(rng, cfg: EncoderConfig):
     ks = jax.random.split(rng, 2)
     return {'self_attn': _init_mha(ks[0], d, cfg.key_bias, False,
                                    cfg.attention_heads),
-            'feed_forward': _init_ffn(ks[1], d, cfg.linear_units),
+            'feed_forward': _init_enc_ffn(ks[1], cfg),
             'norm1': init_layer_norm(d), 'norm2': init_layer_norm(d)}
 
 

@@ -60,6 +60,10 @@ class EncoderConfig:
     num_langs: int = 0          # >0 → first+last layers are LSL
     encoder_type: str = 'conformer'   # 'conformer' | 'transformer'
     gradient_checkpointing: bool = False
+    # MoE FFN (positionwise_feed_forward.py:58-121): token-choice top-k
+    positionwise_layer_type: str = 'position_wise_feed_forward'
+    n_expert: int = 8
+    n_expert_per_token: int = 3
 
     @property
     def head_dim(self):
@@ -165,10 +169,43 @@ def conv_module(p, x, mask_pad, cfg: EncoderConfig, rngs=None,
 # ------------------------------ FFN ------------------------------
 
 def feed_forward(p, x, cfg: EncoderConfig, rngs=None, activation=None):
+    if 'experts' in p:
+        return moe_feed_forward(p, x, cfg, rngs, activation)
     act = activation or ACTIVATIONS[cfg.activation_type]
     x = act(linear(p['w_1'], x))
     x = dropout(x, cfg.dropout_rate, rngs.next() if rngs else None)
     return linear(p['w_2'], x)
+
+
+def moe_feed_forward(p, x, cfg: EncoderConfig, rngs=None, activation=None):
+    """Token-choice top-k mixture-of-experts FFN.
+
+    Parity: MoEFFNLayer (positionwise_feed_forward.py:58-121) — gate linear
+    (no bias) → top-k router logits → softmax over the selected k (f32) →
+    weighted sum of the selected experts' FFN outputs.
+
+    TPU design: instead of the reference's per-expert gather/scatter (dynamic
+    shapes), every expert runs densely over all tokens and non-selected
+    experts get weight 0 — identical math, static shapes, and each expert is
+    one big MXU matmul.  Dense compute costs E/k extra FLOPs, the right trade
+    at reference scale (E=8); a capacity-bucketed dispatch over an 'expert'
+    mesh axis is the scale-out path.
+    """
+    act = activation or ACTIVATIONS[cfg.activation_type]
+    B, L, D = x.shape
+    xs = x.reshape(-1, D)
+    router = linear(p['gate'], xs)                       # (N, E)
+    k = min(cfg.n_expert_per_token, len(p['experts']))
+    logits, idx = jax.lax.top_k(router, k)               # (N, k)
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = jnp.zeros_like(xs)
+    for e, ep in enumerate(p['experts']):
+        we = jnp.sum(jnp.where(idx == e, w, 0.0), axis=-1)   # (N,)
+        h = linear(ep['w_2'], dropout(act(linear(ep['w_1'], xs)),
+                                      cfg.dropout_rate,
+                                      rngs.next() if rngs else None))
+        out = out + we[:, None] * h
+    return out.reshape(B, L, D)
 
 
 def _lsl_mix(lang_params, x, cat_embs):
