@@ -30,6 +30,12 @@ def get_args(argv=None):
     p.add_argument('--length_penalty', type=float, default=0.0)
     p.add_argument('--verbatimicity', type=float, default=1.0)
     p.add_argument('--override_config', action='append', default=[])
+    # HLG decoding (reference recognize.py --hlg/--word/--*_scale flags)
+    p.add_argument('--hlg', default='', help='HLG graph (OpenFST text)')
+    p.add_argument('--word', default='', help='word symbol table path')
+    p.add_argument('--lm_scale', type=float, default=0.0)
+    p.add_argument('--decoder_scale', type=float, default=0.0)
+    p.add_argument('--r_decoder_scale', type=float, default=0.0)
     return p.parse_args(argv)
 
 
@@ -86,6 +92,16 @@ def main(argv=None):
 
     cat_embs = np.asarray([args.verbatimicity, 1 - args.verbatimicity],
                           np.float32)
+    hlg_graph, word_table = None, {}
+    if any(m.startswith('hlg') for m in args.modes):
+        from reverb_tpu.decode.hlg import Fst
+        hlg_graph = Fst.load(args.hlg)
+        if args.word:
+            with open(args.word, encoding='utf8') as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 2:
+                        word_table[int(parts[1])] = parts[0]
     n = 0
     for batch in ds:
         results = decode(
@@ -93,10 +109,18 @@ def main(argv=None):
             beam_size=args.beam_size, ctc_weight=args.ctc_weight,
             reverse_weight=args.reverse_weight,
             blank_penalty=args.blank_penalty,
-            length_penalty=args.length_penalty, cat_embs=cat_embs)
+            length_penalty=args.length_penalty, cat_embs=cat_embs,
+            hlg_graph=hlg_graph, hlg_lm_scale=args.lm_scale,
+            hlg_decoder_scale=args.decoder_scale,
+            hlg_r_decoder_scale=args.r_decoder_scale)
         for mode in args.modes:
             for key, res in zip(batch['keys'], results[mode]):
-                text, _ = tokenizer.detokenize(res.tokens)
+                if mode.startswith('hlg'):
+                    # hlg results carry word ids (get_texts semantics)
+                    text = ' '.join(word_table.get(w, str(w))
+                                    for w in res.tokens)
+                else:
+                    text, _ = tokenizer.detokenize(res.tokens)
                 files[mode].write(f'{key} {text}\n')
         n += len(batch['keys'])
         logging.info('decoded %d utterances', n)

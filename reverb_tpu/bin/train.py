@@ -48,6 +48,10 @@ def get_args(argv=None):
                    help='partial-init checkpoint (load_trained_modules)')
     p.add_argument('--enc_init_mods', default='encoder.',
                    help='comma-separated module prefixes for --enc_init')
+    p.add_argument('--profile_dir', default=None,
+                   help='write a jax.profiler xplane trace here')
+    p.add_argument('--profile_start_step', type=int, default=10)
+    p.add_argument('--profile_num_steps', type=int, default=5)
     return p.parse_args(argv)
 
 
@@ -150,6 +154,11 @@ def main(argv=None):
                   save_optimizer_every=snap_conf.get('save_optimizer_every',
                                                      4),
                   schedule=schedule, writer=writer, step=start_step)
+    if args.profile_dir:
+        from reverb_tpu.utils.profiling import ProfileWindow
+        ex.profiler = ProfileWindow(args.profile_dir,
+                                    args.profile_start_step,
+                                    args.profile_num_steps)
 
     max_epoch = args.max_epoch or configs.get('max_epoch', 100)
     rng = jax.random.PRNGKey(args.seed)

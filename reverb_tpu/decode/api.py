@@ -24,7 +24,7 @@ from reverb_tpu.models.asr_model import ModelConfig, forward_encoder
 
 ALL_MODES = ('attention', 'ctc_greedy_search', 'ctc_prefix_beam_search',
              'attention_rescoring', 'joint_decoding',
-             'onmt_attention_decoding')
+             'onmt_attention_decoding', 'hlg_onebest', 'hlg_rescore')
 
 
 @functools.partial(jax.jit, static_argnums=(1, 5, 6))
@@ -52,7 +52,11 @@ def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
            length_penalty: float = 0.0,
            cat_embs=None,
            context_graph=None,
-           blank_skip_threshold: float = 0.0) -> Dict[str, List[DecodeResult]]:
+           blank_skip_threshold: float = 0.0,
+           hlg_graph=None,
+           hlg_lm_scale: float = 0.0,
+           hlg_decoder_scale: float = 0.0,
+           hlg_r_decoder_scale: float = 0.0) -> Dict[str, List[DecodeResult]]:
     """Decode a batch of feature chunks with the requested methods."""
     for m in methods:
         assert m in ALL_MODES, m
@@ -93,4 +97,16 @@ def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
             params, cfg, encoder_out, encoder_lens, ctc_probs,
             ctc_weight=ctc_weight if ctc_weight else 0.5,
             beam_size=beam_size, length_bonus=length_penalty, cat_embs=cat)
+    if 'hlg_onebest' in methods or 'hlg_rescore' in methods:
+        assert hlg_graph is not None, 'hlg modes need hlg_graph (decode/hlg.Fst)'
+        from reverb_tpu.decode.hlg import hlg_onebest, hlg_rescore
+        if 'hlg_onebest' in methods:
+            results['hlg_onebest'] = hlg_onebest(
+                ctc_probs, encoder_lens, hlg_graph, cfg.blank_id)
+        if 'hlg_rescore' in methods:
+            results['hlg_rescore'] = hlg_rescore(
+                params, cfg, ctc_probs, encoder_lens, encoder_out,
+                encoder_lens, hlg_graph, cfg.blank_id,
+                lm_scale=hlg_lm_scale, decoder_scale=hlg_decoder_scale,
+                r_decoder_scale=hlg_r_decoder_scale, cat_embs=cat)
     return results

@@ -75,6 +75,31 @@ def _rescore_device(params, cfg: ModelConfig, hyps_pad, hyps_lens, encoder_out,
     return att, r_att, tok_logp
 
 
+def score_hyps_with_decoder(params, cfg: ModelConfig, token_paths,
+                            encoder_out, encoder_lens, cat_embs=None):
+    """Teacher-forced decoder scores for arbitrary token paths (one utt).
+
+    Returns (att (N,), r_att (N,)) numpy arrays — the building block for
+    HLG rescoring (asr_model.py:555-595).  Empty paths score 0."""
+    N = len(token_paths)
+    if N == 0:
+        return np.zeros((0,)), np.zeros((0,))
+    Lmax = max((len(h) for h in token_paths), default=0)
+    if Lmax == 0:
+        return np.zeros((N,)), np.zeros((N,))
+    hyps_pad = np.zeros((N, Lmax), dtype=np.int32)
+    lens = np.zeros((N,), dtype=np.int32)
+    for i, h in enumerate(token_paths):
+        hyps_pad[i, :len(h)] = h
+        lens[i] = len(h)
+    enc = jnp.asarray(np.asarray(encoder_out)[0:1, :int(encoder_lens[0])])
+    rw = 1.0 if cfg.decoder.r_num_blocks > 0 else 0.0
+    att, r_att, _ = _rescore_device(
+        params, cfg, jnp.asarray(hyps_pad), jnp.asarray(lens), enc, rw,
+        jnp.asarray(cat_embs) if cat_embs is not None else None)
+    return np.asarray(att), np.asarray(r_att)
+
+
 def attention_rescoring(params, cfg: ModelConfig,
                         ctc_prefix_results: List[DecodeResult],
                         encoder_outs, encoder_lens,

@@ -52,6 +52,7 @@ class Executor:
     step: int = 0
     frames_seen: float = 0.0
     snapshots_taken: int = 0
+    profiler: Optional[object] = None   # utils.profiling.ProfileWindow
 
     def train(self, params, opt_state, dataset: Iterable, epoch: int,
               rng, cv_dataset: Optional[Iterable] = None,
@@ -60,10 +61,14 @@ class Executor:
         for batch in dataset:
             if max_steps is not None and self.step >= max_steps:
                 break
+            if self.profiler is not None:
+                self.profiler.maybe_start(self.step)
             db = _device_batch(batch)
             rng, sub = jax.random.split(rng)
             params, opt_state, metrics = self.train_step(
                 params, opt_state, db, jnp.asarray(self.step), sub)
+            if self.profiler is not None:
+                self.profiler.maybe_stop(self.step)
             self.step += 1
             self.frames_seen += float(np.sum(batch['feats_lengths']))
             if self.step % self.log_interval == 0:
@@ -71,6 +76,8 @@ class Executor:
                 t0 = time.time()
             if self.save_interval and self.step % self.save_interval == 0:
                 self._snapshot(params, opt_state, epoch, cv_dataset)
+        if self.profiler is not None:
+            self.profiler.close()
         return params, opt_state
 
     def cv(self, params, dataset: Iterable) -> Dict[str, float]:
