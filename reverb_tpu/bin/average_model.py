@@ -1,7 +1,9 @@
 """Checkpoint averaging CLI.
 
 Parity: asr/wenet/bin/average_model.py — average the best/last N checkpoints
-(best-N by cv_loss from the sidecar yamls).
+(best-N by cv_loss from the sidecar yamls) — and
+asr/wenet/bin/average_model_fixed_list.py via --models (average an explicit
+list of checkpoint paths).
 """
 
 from __future__ import annotations
@@ -14,8 +16,10 @@ import os
 def get_args(argv=None):
     p = argparse.ArgumentParser(description='average model checkpoints')
     p.add_argument('--dst_model', required=True)
-    p.add_argument('--src_path', required=True,
+    p.add_argument('--src_path', default=None,
                    help='model dir containing *.npz + *.yaml')
+    p.add_argument('--models', nargs='+', default=None,
+                   help='explicit checkpoint list (average_model_fixed_list)')
     p.add_argument('--num', type=int, default=5)
     p.add_argument('--val_best', action='store_true',
                    help='pick best-N by cv_loss (else last-N by step)')
@@ -30,6 +34,11 @@ def main(argv=None):
 
     from reverb_tpu.train.checkpoint import (average_checkpoints,
                                              find_best_checkpoints)
+    if args.models:
+        print(f'averaging {len(args.models)} checkpoints: {args.models}')
+        average_checkpoints(args.models, args.dst_model)
+        return
+    assert args.src_path, 'need --src_path or --models'
     if args.val_best:
         paths = find_best_checkpoints(args.src_path, args.num)
     else:

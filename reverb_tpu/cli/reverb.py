@@ -172,7 +172,8 @@ class ReverbASR:
                          blank_penalty: float = 0.0,
                          length_penalty: float = 0.0,
                          timings_adjustment: float = 230,
-                         blank_skip_threshold: float = 0.0) -> List[str]:
+                         blank_skip_threshold: float = 0.0,
+                         context_graph=None) -> List[str]:
         feats = self.compute_feats(audio_file)
         cat_embs = np.asarray([verbatimicity, 1.0 - verbatimicity],
                               dtype=np.float32)
@@ -189,7 +190,8 @@ class ReverbASR:
                 blank_penalty=blank_penalty,
                 length_penalty=length_penalty,
                 cat_embs=cat_embs,
-                blank_skip_threshold=blank_skip_threshold)
+                blank_skip_threshold=blank_skip_threshold,
+                context_graph=context_graph)
             results.append(hyps)
         outputs = []
         for mode in modes:

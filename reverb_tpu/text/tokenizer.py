@@ -167,4 +167,8 @@ def init_tokenizer(configs) -> BaseTokenizer:
     if kind == 'hugging_face':
         from reverb_tpu.text.whisper_tokenizer import HuggingFaceTokenizer
         return HuggingFaceTokenizer(conf['model'])
+    if kind == 'paraformer':
+        from reverb_tpu.text.paraformer_tokenizer import ParaformerTokenizer
+        return ParaformerTokenizer(conf['symbol_table_path'],
+                                   conf.get('seg_dict_path'))
     raise ValueError(f"unknown tokenizer type {kind!r}")
