@@ -16,6 +16,12 @@ def load_model(model: str, **kwargs):
     return _load_model(model, **kwargs)
 
 
+def init_model(configs, rng=None, cmvn=None):
+    """Config-registry model construction (utils/init_model.py parity)."""
+    from reverb_tpu.models.registry import init_model as _init_model
+    return _init_model(configs, rng=rng, cmvn=cmvn)
+
+
 def __getattr__(name):
     if name == "ReverbASR":
         from reverb_tpu.cli.reverb import ReverbASR

@@ -76,7 +76,11 @@ def label_smoothing_loss(logits, target, lens, smoothing: float,
     true_dist = jnp.full((B, L, V), low, dtype=jnp.float32)
     true_dist = jnp.put_along_axis(
         true_dist, tgt[..., None], confidence, axis=-1, inplace=False)
-    kl = jnp.sum(true_dist * (jnp.log(true_dist) - logp), axis=-1)  # (B,L)
+    # torch.nn.KLDivLoss convention: 0·log 0 = 0 (smoothing=0 must not NaN)
+    kl_terms = jnp.where(true_dist > 0,
+                         true_dist * (jnp.log(jnp.maximum(true_dist, 1e-30))
+                                      - logp), 0.0)
+    kl = jnp.sum(kl_terms, axis=-1)                                 # (B,L)
     kl = jnp.where(mask, kl, 0.0)
     denom = jnp.sum(mask) if normalize_length else B
     return jnp.sum(kl) / denom

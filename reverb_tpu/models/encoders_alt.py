@@ -281,3 +281,103 @@ def grouped_rel_pos_mha(p, x, mask, pos_emb, h: int, group_size: int = 3):
     pos_kv = pos_emb[:, ::group_size]
     out, _ = att.rel_pos_mha(p, x, kv, kv, mask_kv, pos_kv, h)
     return out
+
+
+# -------------------- efficient conformer (full encoder) -----------------
+
+@dataclasses.dataclass(frozen=True)
+class EfficientConformerConfig:
+    """EfficientConformerEncoder (efficient_conformer/encoder.py:41):
+    conformer blocks with grouped rel-pos attention and progressive
+    time-stride downsampling at `stride_layer_idx` (no recovery — later
+    layers run at the reduced rate)."""
+    input_size: int = 80
+    output_size: int = 256
+    attention_heads: int = 4
+    linear_units: int = 2048
+    num_blocks: int = 12
+    cnn_module_kernel: int = 15
+    dropout_rate: float = 0.1
+    group_size: int = 3
+    stride_layer_idx: tuple = (3,)
+    stride: tuple = (2,)
+
+
+def _eff_base_cfg(cfg: EfficientConformerConfig) -> EncoderConfig:
+    return EncoderConfig(
+        input_size=cfg.input_size, output_size=cfg.output_size,
+        attention_heads=cfg.attention_heads, linear_units=cfg.linear_units,
+        cnn_module_kernel=cfg.cnn_module_kernel,
+        dropout_rate=cfg.dropout_rate)
+
+
+def init_efficient_conformer(rng, cfg: EfficientConformerConfig):
+    from reverb_tpu.models.asr_model import (_init_conformer_layer,
+                                             init_encoder_params)
+    base_cfg = _eff_base_cfg(cfg)
+    ks = jax.random.split(rng, cfg.num_blocks + 2)
+    base = init_encoder_params(ks[0], dataclasses.replace(base_cfg,
+                                                          num_blocks=0))
+    base['encoders'] = [_init_conformer_layer(ks[i + 1], base_cfg, False)
+                       for i in range(cfg.num_blocks)]
+    d = cfg.output_size
+    base['stride_convs'] = [init_conv1d(k, d, d, 5, groups=d)
+                            for k in jax.random.split(
+                                ks[-1], max(len(cfg.stride_layer_idx), 1))]
+    return base
+
+
+def _efficient_layer(p, x, mask, pos_emb, cfg: EfficientConformerConfig,
+                     base_cfg: EncoderConfig, rngs=None):
+    """One conformer block with grouped attention
+    (efficient_conformer/encoder_layer.py semantics)."""
+    from reverb_tpu.models.encoder import conv_module
+
+    def drop(v):
+        return dropout(v, cfg.dropout_rate, rngs.next() if rngs else None)
+
+    residual = x
+    xn = layer_norm(p['norm_ff_macaron'], x)
+    x = residual + 0.5 * drop(feed_forward(p['feed_forward_macaron'], xn,
+                                           base_cfg, rngs))
+    residual = x
+    xn = layer_norm(p['norm_mha'], x)
+    x = residual + drop(grouped_rel_pos_mha(p['self_attn'], xn, mask,
+                                            pos_emb, cfg.attention_heads,
+                                            cfg.group_size))
+    residual = x
+    xn = layer_norm(p['norm_conv'], x)
+    xc, _ = conv_module(p, xn, mask, base_cfg, rngs)
+    x = residual + drop(xc)
+    residual = x
+    xn = layer_norm(p['norm_ff'], x)
+    x = residual + 0.5 * drop(feed_forward(p['feed_forward'], xn, base_cfg,
+                                           rngs))
+    return layer_norm(p['norm_final'], x)
+
+
+def efficient_conformer_forward(params, xs, xs_lens,
+                                cfg: EfficientConformerConfig,
+                                cmvn=None, rngs=None):
+    """(B,T,F) → (B,T',D), masks — progressive-downsampling conformer."""
+    base_cfg = _eff_base_cfg(cfg)
+    B, T, _ = xs.shape
+    masks = (~make_pad_mask(xs_lens, T))[:, None, :]
+    if cmvn is not None:
+        xs = (xs - cmvn[0]) * cmvn[1]
+    xs, pos_emb, masks = SUBSAMPLE_FNS['conv2d'](params['embed'], xs, masks,
+                                                 base_cfg, 0, rngs)
+    stride_at = dict(zip(cfg.stride_layer_idx, range(len(cfg.stride))))
+    for i, lp in enumerate(params['encoders']):
+        if i in stride_at:
+            j = stride_at[i]
+            s = cfg.stride[j]
+            xc = xs.transpose(0, 2, 1)
+            xc = conv1d(params['stride_convs'][j], xc, stride=s, padding=2,
+                        groups=xc.shape[1])
+            xs = xc.transpose(0, 2, 1)
+            masks = masks[:, :, ::s][:, :, :xs.shape[1]]
+            pos_emb = pos_emb[:, :xs.shape[1]]
+        xs = _efficient_layer(lp, xs, masks, pos_emb, cfg, base_cfg, rngs)
+    xs = layer_norm(params['after_norm'], xs)
+    return xs, masks

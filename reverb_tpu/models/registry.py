@@ -1,0 +1,336 @@
+"""Model registry: config-driven model construction, the `init_model` API.
+
+Parity: asr/wenet/utils/init_model.py:50-277 — a string registry dispatching
+on configs['model'] / configs['encoder'] / configs['decoder'] so every model
+family is reachable from a YAML config alone:
+
+  model: asr_model (default) | transducer | paraformer | ctl_model |
+         bestrq | whisper
+  encoder: conformer | transformer | branchformer | e_branchformer |
+           squeezeformer  (asr_model families)
+
+Each entry returns a `ModelBundle` — (kind, cfg, params, loss_fn) — with a
+uniform `loss_fn(params, batch, rng) → {'loss': ..., ...}` so the trainer is
+model-agnostic, mirroring how the reference trains every family through
+`ASRModel.forward(batch)`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from reverb_tpu.models import ctc as ctc_mod
+from reverb_tpu.models.asr_model import (ModelConfig, compute_loss,
+                                         init_decoder_params, init_params)
+from reverb_tpu.models.decoder import DecoderConfig, decoder_forward
+from reverb_tpu.models.modules import Rngs, init_linear
+from reverb_tpu.utils.common import add_sos_eos, reverse_sequence, th_accuracy
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    kind: str
+    cfg: Any
+    params: Dict
+    loss_fn: Callable        # (params, batch, rng) -> metrics dict w/ 'loss'
+
+
+def _dataclass_kwargs(cls, conf: Dict) -> Dict:
+    fields = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in conf.items() if k in fields}
+
+
+# ------------------------- hybrid loss over alt encoders -------------------
+
+def _hybrid_loss(encode_fn, mcfg: ModelConfig):
+    """CTC + label-smoothed attention loss over a pluggable encoder — the
+    asr_model.forward math (asr_model.py:131-208) with encode_fn swapped."""
+
+    def loss(params, batch, rng=None):
+        rngs = Rngs(rng) if rng is not None else None
+        enc, mask = encode_fn(params, batch['feats'].astype(jnp.float32),
+                              batch['feats_lengths'], rngs)
+        enc_lens = jnp.sum(mask[:, 0, :], axis=-1)
+        text, text_lens = batch['target'], batch['target_lengths']
+        loss_ctc = ctc_mod.ctc_loss(
+            params['ctc'], enc, enc_lens,
+            jnp.where(text == mcfg.ignore_id, 0, text), text_lens,
+            blank_id=mcfg.blank_id) if mcfg.ctc_weight != 0.0 else None
+        loss_att, acc = None, None
+        if mcfg.ctc_weight != 1.0:
+            ys_in, ys_out = add_sos_eos(text, text_lens, mcfg.sos, mcfg.eos,
+                                        mcfg.ignore_id)
+            r_text = reverse_sequence(text, text_lens, mcfg.ignore_id)
+            r_ys_in, _ = add_sos_eos(r_text, text_lens, mcfg.sos, mcfg.eos,
+                                     mcfg.ignore_id)
+            l_x, _ = decoder_forward(params['decoder'], enc, mask, ys_in,
+                                     text_lens + 1, r_ys_in,
+                                     mcfg.reverse_weight, mcfg.decoder,
+                                     rngs=rngs)
+            loss_att = ctc_mod.label_smoothing_loss(
+                l_x, ys_out, text_lens + 1, mcfg.lsm_weight, mcfg.vocab_size,
+                mcfg.ignore_id, mcfg.length_normalized_loss)
+            acc = th_accuracy(l_x, ys_out, mcfg.ignore_id)
+        if loss_ctc is None:
+            total = loss_att
+        elif loss_att is None:
+            total = loss_ctc
+        else:
+            total = (mcfg.ctc_weight * loss_ctc
+                     + (1 - mcfg.ctc_weight) * loss_att)
+        return {'loss': total, 'loss_att': loss_att, 'loss_ctc': loss_ctc,
+                'th_accuracy': acc}
+
+    return loss
+
+
+def _alt_encoder_bundle(configs, rng, cmvn, kind: str) -> ModelBundle:
+    from reverb_tpu.models import encoders_alt as alt
+    enc_conf = dict(configs.get('encoder_conf', {}))
+    enc_conf['input_size'] = configs.get('input_dim', 80)
+    vocab = configs.get('output_dim') or configs['vocab_size']
+    model_conf = configs.get('model_conf', {}) or {}
+
+    if kind in ('branchformer', 'e_branchformer'):
+        ecfg = alt.BranchformerConfig(
+            e_branchformer=(kind == 'e_branchformer'),
+            **_dataclass_kwargs(alt.BranchformerConfig, enc_conf))
+        k1 = jax.random.fold_in(rng, 1)
+        enc_params = alt.init_branchformer(k1, ecfg)
+
+        def encode(params, feats, lens, rngs):
+            return alt.branchformer_forward(params['encoder'], feats, lens,
+                                            ecfg, cmvn=cmvn, rngs=rngs)
+    elif kind == 'squeezeformer':
+        ecfg = alt.SqueezeformerConfig(
+            **_dataclass_kwargs(alt.SqueezeformerConfig, enc_conf))
+        k1 = jax.random.fold_in(rng, 1)
+        enc_params = alt.init_squeezeformer(k1, ecfg)
+
+        def encode(params, feats, lens, rngs):
+            return alt.squeezeformer_forward(params['encoder'], feats, lens,
+                                             ecfg, cmvn=cmvn, rngs=rngs)
+    elif kind == 'efficient_conformer':
+        for k in ('stride_layer_idx', 'stride'):
+            if k in enc_conf and isinstance(enc_conf[k], list):
+                enc_conf[k] = tuple(enc_conf[k])
+        ecfg = alt.EfficientConformerConfig(
+            **_dataclass_kwargs(alt.EfficientConformerConfig, enc_conf))
+        k1 = jax.random.fold_in(rng, 1)
+        enc_params = alt.init_efficient_conformer(k1, ecfg)
+
+        def encode(params, feats, lens, rngs):
+            return alt.efficient_conformer_forward(
+                params['encoder'], feats, lens, ecfg, cmvn=cmvn, rngs=rngs)
+    else:
+        raise ValueError(f'unknown alt encoder {kind!r}')
+
+    dec_conf = dict(configs.get('decoder_conf', {}))
+    dcfg = DecoderConfig(vocab_size=vocab,
+                         encoder_output_size=ecfg.output_size,
+                         decoder_type='bitransformer'
+                         if 'bitransformer' in configs.get('decoder', '')
+                         else 'transformer',
+                         **_dataclass_kwargs(DecoderConfig, dec_conf))
+    mcfg = ModelConfig(
+        vocab_size=vocab,
+        encoder=None, decoder=dcfg,
+        ctc_weight=model_conf.get('ctc_weight', 0.3),
+        lsm_weight=model_conf.get('lsm_weight', 0.1),
+        reverse_weight=model_conf.get('reverse_weight', 0.0),
+        sos=vocab - 1, eos=vocab - 1)
+    k2, k3 = jax.random.split(jax.random.fold_in(rng, 2))
+    params = {'encoder': enc_params,
+              'decoder': init_decoder_params(k2, dcfg),
+              'ctc': {'ctc_lo': init_linear(k3, ecfg.output_size, vocab)}}
+    return ModelBundle(kind, (ecfg, mcfg), params, _hybrid_loss(encode, mcfg))
+
+
+# ------------------------------ families ------------------------------
+
+def _asr_bundle(configs, rng, cmvn) -> ModelBundle:
+    cfg = ModelConfig.from_config(configs)
+    ds_conf = configs.get('dataset_conf', {}) or {}
+    with_adaptor = bool((ds_conf.get('deep_bias_conf') or {})
+                        .get('deep_biasing', False))
+    params = init_params(rng, cfg, cmvn=cmvn,
+                         with_context_adaptor=with_adaptor)
+
+    def loss(params, batch, rng=None):
+        return compute_loss(params, cfg, batch, rng=rng)
+
+    return ModelBundle('asr_model', cfg, params, loss)
+
+
+def _transducer_bundle(configs, rng, cmvn) -> ModelBundle:
+    """Transducer (transducer/transducer.py:19): conformer encoder +
+    predictor + joint; loss = transducer_weight·rnnt + ctc_weight·ctc."""
+    from reverb_tpu.models.asr_model import forward_encoder
+    from reverb_tpu.models.transducer import (TransducerConfig,
+                                              init_transducer,
+                                              transducer_loss)
+    acfg = ModelConfig.from_config(configs)
+    model_conf = configs.get('model_conf', {}) or {}
+    w_t = model_conf.get('transducer_weight', 0.75)
+    w_ctc = model_conf.get('ctc_weight', 0.25)
+    pred_conf = configs.get('predictor_conf', {}) or {}
+    joint_conf = configs.get('joint_conf', {}) or {}
+    tcfg = TransducerConfig(
+        vocab_size=acfg.vocab_size,
+        blank_id=acfg.blank_id,
+        encoder_output_size=acfg.encoder.output_size,
+        predictor=configs.get('predictor', 'rnn'),
+        **_dataclass_kwargs(TransducerConfig,
+                            {**pred_conf, **joint_conf}))
+    k1, k2 = jax.random.split(rng)
+    params = init_params(k1, acfg, cmvn=cmvn)
+    params.update(init_transducer(k2, tcfg))
+
+    def loss(params, batch, rng=None):
+        rngs = Rngs(rng) if rng is not None else None
+        enc, mask = forward_encoder(params, acfg, batch['feats'],
+                                    batch['feats_lengths'],
+                                    batch.get('cat_embs')
+                                    if acfg.lsl_enc else None, rngs)
+        enc_lens = jnp.sum(mask[:, 0, :], axis=-1).astype(jnp.int32)
+        text, text_lens = batch['target'], batch['target_lengths']
+        labels = jnp.where(text == acfg.ignore_id, 0, text)
+        l_rnnt = transducer_loss(params, enc, enc_lens, labels, text_lens,
+                                 tcfg)
+        l_ctc = ctc_mod.ctc_loss(params['ctc'], enc, enc_lens, labels,
+                                 text_lens, blank_id=acfg.blank_id) \
+            if w_ctc else 0.0
+        return {'loss': w_t * l_rnnt + w_ctc * l_ctc, 'loss_rnnt': l_rnnt,
+                'loss_ctc': l_ctc}
+
+    return ModelBundle('transducer', (acfg, tcfg), params, loss)
+
+
+def _paraformer_bundle(configs, rng, cmvn) -> ModelBundle:
+    from reverb_tpu.models.asr_model import forward_encoder
+    from reverb_tpu.models.paraformer import (CifConfig, ParaformerConfig,
+                                              init_paraformer_head,
+                                              paraformer_loss)
+    acfg = ModelConfig.from_config(configs)
+    pconf = dict(configs.get('paraformer_conf', {}) or {})
+    cif_kwargs = _dataclass_kwargs(CifConfig, pconf.pop('cif_conf', {}) or {})
+    cif_kwargs['idim'] = acfg.encoder.output_size
+    cif = CifConfig(**cif_kwargs)
+    pcfg = ParaformerConfig(
+        vocab_size=acfg.vocab_size, cif=cif,
+        **_dataclass_kwargs(ParaformerConfig,
+                            dict(pconf,
+                                 encoder_output_size=acfg.encoder.output_size)))
+    k1, k2 = jax.random.split(rng)
+    params = init_params(k1, acfg, cmvn=cmvn)
+    params.update(init_paraformer_head(k2, pcfg))
+
+    def loss(params, batch, rng=None):
+        rngs = Rngs(rng) if rng is not None else None
+        enc, mask = forward_encoder(params, acfg, batch['feats'],
+                                    batch['feats_lengths'], None, rngs)
+        text, text_lens = batch['target'], batch['target_lengths']
+        return paraformer_loss(params, enc, mask,
+                               jnp.where(text == acfg.ignore_id, 0, text),
+                               text_lens, pcfg, ignore_id=acfg.ignore_id)
+
+    return ModelBundle('paraformer', (acfg, pcfg), params, loss)
+
+
+def _ctl_bundle(configs, rng, cmvn) -> ModelBundle:
+    from reverb_tpu.models.ctl import ctl_compute_loss
+    cfg = ModelConfig.from_config(configs)
+    params = init_params(rng, cfg, cmvn=cmvn)
+    model_conf = configs.get('model_conf', {}) or {}
+
+    def loss(params, batch, rng=None):
+        return ctl_compute_loss(
+            params, cfg, batch, rng=rng,
+            ctl_weight=model_conf.get('ctl_weight', 1.0),
+            temperature=model_conf.get('temperature', 0.1))
+
+    return ModelBundle('ctl_model', cfg, params, loss)
+
+
+def _bestrq_bundle(configs, rng, cmvn) -> ModelBundle:
+    from reverb_tpu.models.asr_model import forward_encoder
+    from reverb_tpu.models.ssl import (BestRQConfig, bestrq_loss, init_bestrq)
+    acfg = ModelConfig.from_config(configs)
+    bcfg = BestRQConfig(
+        **_dataclass_kwargs(BestRQConfig,
+                            dict(configs.get('bestrq_conf', {}) or {},
+                                 input_dim=configs.get('input_dim', 80),
+                                 encoder_output_size=acfg.encoder.output_size)))
+    k1, k2 = jax.random.split(rng)
+    params = init_params(k1, acfg, cmvn=cmvn)
+    params.update(init_bestrq(k2, bcfg))
+
+    def loss(params, batch, rng=None):
+        def encoder_apply(feats, lens):
+            return forward_encoder(params, acfg, feats, lens, None, None)
+        return bestrq_loss(params, encoder_apply, batch['feats'],
+                           batch['feats_lengths'],
+                           rng if rng is not None else jax.random.PRNGKey(0),
+                           bcfg)
+
+    return ModelBundle('bestrq', (acfg, bcfg), params, loss)
+
+
+def _whisper_bundle(configs, rng, cmvn) -> ModelBundle:
+    del cmvn   # whisper uses log-mel without external CMVN
+    from reverb_tpu.models.whisper import (WhisperConfig, init_whisper,
+                                           whisper_decode, whisper_encode)
+    wcfg = WhisperConfig(**_dataclass_kwargs(
+        WhisperConfig, dict(configs.get('encoder_conf', {}) or {},
+                            **(configs.get('whisper_conf', {}) or {}))))
+    params = init_whisper(rng, wcfg)
+
+    def loss(params, batch, rng=None):
+        feats = whisper_encode(params['encoder'], batch['feats'], wcfg)
+        text, text_lens = batch['target'], batch['target_lengths']
+        tokens = jnp.where(text == -1, 0, text)
+        logits = whisper_decode(params['decoder'], tokens[:, :-1], feats,
+                                wcfg)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        tgt = tokens[:, 1:]
+        valid = (jnp.arange(tgt.shape[1])[None] < (text_lens - 1)[:, None])
+        nll = -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0]
+        total = jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(
+            jnp.sum(valid), 1)
+        return {'loss': total}
+
+    return ModelBundle('whisper', wcfg, params, loss)
+
+
+_MODEL_REGISTRY = {
+    'asr_model': _asr_bundle,
+    'transducer': _transducer_bundle,
+    'paraformer': _paraformer_bundle,
+    'ctl_model': _ctl_bundle,
+    'bestrq': _bestrq_bundle,
+    'w2vbert': _bestrq_bundle,          # shared masked-prediction objective
+    'whisper': _whisper_bundle,
+}
+
+_ALT_ENCODERS = ('branchformer', 'e_branchformer', 'squeezeformer',
+                 'efficient_conformer')
+
+
+def init_model(configs: Dict, rng=None, cmvn: Optional[tuple] = None
+               ) -> ModelBundle:
+    """Registry dispatch (init_model.py:99-277).  k2-style LF-MMI models are
+    intentionally descoped (SURVEY.md §2.9); HLG decoding is covered by
+    reverb_tpu.decode.hlg."""
+    rng = rng if rng is not None else jax.random.PRNGKey(777)
+    kind = configs.get('model', 'asr_model')
+    enc = configs.get('encoder', 'conformer')
+    if kind == 'asr_model' and enc in _ALT_ENCODERS:
+        return _alt_encoder_bundle(configs, rng, cmvn, enc)
+    if kind not in _MODEL_REGISTRY:
+        raise ValueError(f'unknown model type {kind!r}; choose from '
+                         f'{sorted(_MODEL_REGISTRY)}')
+    return _MODEL_REGISTRY[kind](configs, rng, cmvn)
