@@ -280,6 +280,60 @@ def _bestrq_bundle(configs, rng, cmvn) -> ModelBundle:
     return ModelBundle('bestrq', (acfg, bcfg), params, loss)
 
 
+def _wav2vec2_bundle(configs, rng, cmvn) -> ModelBundle:
+    from reverb_tpu.models.asr_model import forward_encoder
+    from reverb_tpu.models.ssl import (Wav2vec2Config, init_wav2vec2,
+                                       wav2vec2_loss)
+    acfg = ModelConfig.from_config(configs)
+    wcfg = Wav2vec2Config(
+        **_dataclass_kwargs(Wav2vec2Config,
+                            dict(configs.get('wav2vec2_conf', {}) or {},
+                                 input_dim=configs.get('input_dim', 80),
+                                 encoder_output_size=acfg.encoder.output_size)))
+    k1, k2 = jax.random.split(rng)
+    params = init_params(k1, acfg, cmvn=cmvn)
+    params.update(init_wav2vec2(k2, wcfg))
+
+    def loss(params, batch, rng=None):
+        def encoder_apply(feats, lens):
+            return forward_encoder(params, acfg, feats, lens, None, None)
+        return wav2vec2_loss(params, encoder_apply, batch['feats'],
+                             batch['feats_lengths'],
+                             rng if rng is not None else jax.random.PRNGKey(0),
+                             wcfg)
+
+    return ModelBundle('wav2vec2', (acfg, wcfg), params, loss)
+
+
+def _w2vbert_bundle(configs, rng, cmvn) -> ModelBundle:
+    from reverb_tpu.models.asr_model import forward_encoder
+    from reverb_tpu.models.ssl import (BestRQConfig, Wav2vec2Config,
+                                       init_bestrq, init_wav2vec2,
+                                       w2vbert_loss)
+    acfg = ModelConfig.from_config(configs)
+    common = dict(input_dim=configs.get('input_dim', 80),
+                  encoder_output_size=acfg.encoder.output_size)
+    wcfg = Wav2vec2Config(**_dataclass_kwargs(
+        Wav2vec2Config, dict(configs.get('wav2vec2_conf', {}) or {},
+                             **common)))
+    bcfg = BestRQConfig(**_dataclass_kwargs(
+        BestRQConfig, dict(configs.get('bestrq_conf', {}) or {}, **common)))
+    k1, k2, k3 = jax.random.split(rng, 3)
+    params = init_params(k1, acfg, cmvn=cmvn)
+    params.update(init_wav2vec2(k2, wcfg))
+    params.update(init_bestrq(k3, bcfg))
+
+    def loss(params, batch, rng=None):
+        def encoder_apply(feats, lens):
+            return forward_encoder(params, acfg, feats, lens, None, None)
+        return w2vbert_loss(params, encoder_apply, batch['feats'],
+                            batch['feats_lengths'],
+                            rng if rng is not None else jax.random.PRNGKey(0),
+                            wcfg, bcfg)
+
+    return ModelBundle('w2vbert', (acfg, wcfg, bcfg), params, loss)
+
+
 def _whisper_bundle(configs, rng, cmvn) -> ModelBundle:
     del cmvn   # whisper uses log-mel without external CMVN
     from reverb_tpu.models.whisper import (WhisperConfig, init_whisper,
@@ -312,7 +366,8 @@ _MODEL_REGISTRY = {
     'paraformer': _paraformer_bundle,
     'ctl_model': _ctl_bundle,
     'bestrq': _bestrq_bundle,
-    'w2vbert': _bestrq_bundle,          # shared masked-prediction objective
+    'wav2vec2': _wav2vec2_bundle,
+    'w2vbert': _w2vbert_bundle,
     'whisper': _whisper_bundle,
 }
 

@@ -116,3 +116,119 @@ def contrastive_loss(anchor, positive, mask, temperature: float = 0.1,
         axis=-1)[..., 0]
     denom = jnp.maximum(jnp.sum(mask), 1)
     return -jnp.sum(jnp.where(mask, pos_lp, 0.0)) / denom
+
+
+# ------------------------------ wav2vec 2.0 ------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Wav2vec2Config:
+    """Wav2vec2Model (ssl/wav2vec2/wav2vec2_model.py): masked contrastive
+    prediction of gumbel-VQ quantized features + codebook diversity loss."""
+    input_dim: int = 80
+    encoder_output_size: int = 256
+    num_codebooks: int = 2           # product quantizer groups
+    codebook_size: int = 320
+    codebook_dim: int = 128          # per-group code dim
+    final_dim: int = 256             # contrastive projection dim
+    mask_prob: float = 0.065
+    mask_length: int = 10
+    stack_frames: int = 4
+    num_negatives: int = 25
+    contrastive_temperature: float = 0.1
+    diversity_weight: float = 0.1
+    gumbel_temperature: float = 2.0
+
+
+def init_wav2vec2(rng, cfg: Wav2vec2Config):
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    d_in = cfg.input_dim * cfg.stack_frames
+    qdim = cfg.num_codebooks * cfg.codebook_dim
+    return {
+        # trainable gumbel vector quantizer over stacked raw features
+        'vq_proj': init_linear(k1, d_in,
+                               cfg.num_codebooks * cfg.codebook_size),
+        'vq_codebook': jax.random.normal(
+            k2, (cfg.num_codebooks, cfg.codebook_size, cfg.codebook_dim))
+        * 0.1,
+        'proj_q': init_linear(k3, qdim, cfg.final_dim),
+        'proj_c': init_linear(k4, cfg.encoder_output_size, cfg.final_dim),
+    }
+
+
+def _gumbel_quantize(params, x, rng, cfg: Wav2vec2Config, hard: bool = True):
+    """x (B,T,d_in) → (quantized (B,T,K*Dc), avg code probs (K,C))."""
+    logits = linear(params['vq_proj'], x).reshape(
+        x.shape[0], x.shape[1], cfg.num_codebooks, cfg.codebook_size)
+    g = -jnp.log(-jnp.log(
+        jax.random.uniform(rng, logits.shape, minval=1e-6, maxval=1 - 1e-6)))
+    y = jax.nn.softmax((logits + g) / cfg.gumbel_temperature, axis=-1)
+    if hard:
+        idx = jnp.argmax(y, axis=-1)
+        onehot = jax.nn.one_hot(idx, cfg.codebook_size, dtype=y.dtype)
+        y = onehot + y - jax.lax.stop_gradient(y)   # straight-through
+    q = jnp.einsum('btkc,kcd->btkd', y, params['vq_codebook'])
+    q = q.reshape(x.shape[0], x.shape[1], -1)
+    probs = jnp.mean(jax.nn.softmax(logits, axis=-1), axis=(0, 1))  # (K,C)
+    return q, probs
+
+
+def wav2vec2_loss(params, encoder_apply, feats, feats_lens, rng,
+                  cfg: Wav2vec2Config):
+    """Mask spans → encode noised features → InfoNCE against the quantized
+    targets of the masked positions (negatives sampled from the same
+    utterance) + diversity loss pushing codebook usage to uniform."""
+    B, T, F = feats.shape
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    Ts = T // cfg.stack_frames
+    stacked = feats[:, :Ts * cfg.stack_frames].reshape(
+        B, Ts, cfg.stack_frames * F)
+    bcfg = BestRQConfig(mask_prob=cfg.mask_prob,
+                        mask_length=cfg.mask_length,
+                        stack_frames=cfg.stack_frames)
+    mask = make_mask(k1, B, T, bcfg)                      # (B,T)
+    noise = jax.random.normal(k2, feats.shape) * 0.1
+    enc_out, enc_mask = encoder_apply(
+        jnp.where(mask[..., None], noise, feats), feats_lens)
+    Tq = min(enc_out.shape[1], Ts)
+
+    q, code_probs = _gumbel_quantize(params, stacked[:, :Tq], k3, cfg)
+    targets = linear(params['proj_q'], q)                  # (B,Tq,Df)
+    context = linear(params['proj_c'], enc_out[:, :Tq])    # (B,Tq,Df)
+
+    m_sub = mask[:, :Tq * cfg.stack_frames:cfg.stack_frames][:, :Tq]
+    valid = enc_mask[:, 0, :Tq] & m_sub                    # (B,Tq)
+
+    def cos(a, b):
+        a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-8)
+        b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-8)
+        return jnp.einsum('btd,bsd->bts', a, b)
+
+    sims = cos(context, targets) / cfg.contrastive_temperature  # (B,Tq,Tq)
+    # positives on the diagonal; negatives = other masked positions.
+    # Exclude positions equal to the positive target (wav2vec2 semantics).
+    neg_ok = valid[:, None, :] & ~jnp.eye(Tq, dtype=bool)[None]
+    logits = jnp.where(neg_ok | jnp.eye(Tq, dtype=bool)[None], sims, -1e9)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    pos_lp = jnp.einsum('btt->bt', logp)
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    contrastive = -jnp.sum(jnp.where(valid, pos_lp, 0.0)) / denom
+    # diversity: maximize softmax-prob entropy per codebook
+    K, C = code_probs.shape
+    entropy = -jnp.sum(code_probs * jnp.log(code_probs + 1e-9), axis=-1)
+    diversity = jnp.sum((jnp.log(C) - entropy) / jnp.log(C))
+    loss = contrastive + cfg.diversity_weight * diversity
+    return {'loss': loss, 'loss_contrastive': contrastive,
+            'loss_diversity': diversity, 'num_masked': jnp.sum(valid)}
+
+
+def w2vbert_loss(params, encoder_apply, feats, feats_lens, rng,
+                 w2v_cfg: Wav2vec2Config, mlm_cfg: BestRQConfig,
+                 mlm_weight: float = 1.0, contrastive_weight: float = 1.0):
+    """W2VBERTModel: contrastive (wav2vec2) + masked-prediction (bestrq)
+    objectives over one shared encoder pass's mask."""
+    k1, k2 = jax.random.split(rng)
+    c = wav2vec2_loss(params, encoder_apply, feats, feats_lens, k1, w2v_cfg)
+    m = bestrq_loss(params, encoder_apply, feats, feats_lens, k2, mlm_cfg)
+    return {'loss': contrastive_weight * c['loss'] + mlm_weight * m['loss'],
+            'loss_contrastive': c['loss_contrastive'],
+            'loss_mlm': m['loss'], 'code_accuracy': m['code_accuracy']}
