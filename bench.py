@@ -39,7 +39,7 @@ def main():
             params)
 
     CHUNK = 2051                      # 20.51 s of 10 ms frames
-    B = 8 if on_tpu else 2
+    B = 32 if on_tpu else 2           # server-batch: 32 chunks in flight
     BEAM = 10
     sr = 16000
     chunk_sec = CHUNK * 0.01

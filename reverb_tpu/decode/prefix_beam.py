@@ -1,29 +1,26 @@
-"""CTC prefix beam search as a single device-side `lax.scan`.
+"""Device-side CTC prefix beam search as a vectorized `lax.scan`.
 
-Behavioral parity target: asr/wenet/transformer/search.py:124-248
-(PrefixScore at :61-103).  The reference walks python dicts per utterance per
-frame on the host; here the whole search is one compiled XLA program: static
-beam K, per-frame top-K candidate tokens, prefix identity via 2×32-bit rolling
-hashes, duplicate-prefix merging via sorted segments, viterbi timestamp
-tracking carried as int32 arrays in the scan state.  Batched over utterances
-with vmap; batched over chunks of a long file by the caller.
+Parity: asr/wenet/transformer/search.py:61-103, 124-248 — PrefixScore
+semantics {s, ns, v_s, v_ns, times} with viterbi timestamps; the reference
+runs a pure-python per-utterance per-frame loop over dict-keyed prefixes.
 
-Semantics notes (documented divergences from the reference):
-  * search.py:178 has a typo (`vs_ns`) that skips the viterbi-score update in
-    the repeated-token-same-prefix branch; we implement the intended update.
-    Total scores (s/ns) are unaffected; timestamps can differ by ≲1 frame in
-    rare repeat-token cases.
-  * log-add accumulates in float32 (reference: python float64).
-
-Candidate structure per frame (the key insight that removes the dicts):
-  - "keep" entries (prefix unchanged): one per live beam — blank extends the
-    blank-ending score (s); a repeated last token extends the non-blank score
-    (ns).
-  - "extend" entries (prefix + u): one per (beam, top-K token u≠blank).
-  Extended prefixes are pairwise distinct (current beams are distinct
-  prefixes), so the ONLY possible duplicate is a keep entry colliding with an
-  extend entry (prefix_i == prefix_j + u); the hash-sorted segment merge
-  handles exactly that.
+TPU design (three load-bearing choices):
+ 1. **Sort-free merge**: extended prefixes are pairwise distinct and keep
+    prefixes are pairwise distinct, so the only duplicates are keep_i ==
+    extend_(j,u) pairs — found with a (K, K·K2) rolling-hash match matrix
+    and folded into the extend bank (no per-step lexsort/segment ops).
+ 2. **O(K) scan state + backpointers**: prefixes and viterbi times are NOT
+    carried through the scan as (K, L) buffers (profiling shows those
+    per-step buffer rotations dominate the sequential scan's wall-clock).
+    Each step emits tiny (K,) backpointer records — parent beam, bank
+    (s/ns), append/overwrite position — and the full prefix/timestamp
+    matrices are reconstructed AFTER the scan by a reverse scan over (K,)
+    state plus one scatter.  Sequential-phase state: 8 × (K,) vectors.
+ 3. **Exact blank-run folding** (`blank_skip_threshold`): frames dominated
+    by blank are collapsed into their successor's keep update with exact
+    probability mass (production blank-skip, cf. ctc_activation_more
+    blank suppression, asr_model.py:736-840), cutting scan length ~4× on
+    real speech.
 """
 
 from __future__ import annotations
@@ -46,7 +43,6 @@ _SEED2 = np.uint32(0x87654321)
 
 
 class BeamState(NamedTuple):
-    prefixes: jax.Array   # (K, L) int32
     plen: jax.Array       # (K,) int32
     last: jax.Array       # (K,) int32  (-1 when empty)
     h1: jax.Array         # (K,) uint32 rolling hash
@@ -55,9 +51,37 @@ class BeamState(NamedTuple):
     ns: jax.Array         # (K,) f32 non-blank-ending logprob
     v_s: jax.Array        # (K,) f32 viterbi blank-ending score
     v_ns: jax.Array       # (K,) f32 viterbi non-blank-ending score
-    times_s: jax.Array    # (K, L) int32 viterbi times of blank-ending path
-    times_ns: jax.Array   # (K, L) int32 viterbi times of non-blank path
 
+
+class StepEmit(NamedTuple):
+    """Per-step backpointers for post-scan reconstruction.  Banks: the
+    viterbi time history lives in two banks per beam (s-ending / ns-ending);
+    each new bank row is a copy of one old (beam, bank) row plus at most one
+    position write (valued with the current frame index)."""
+    pfx_parent: jax.Array   # (K,) int32 prefix-chain parent beam
+    pfx_tok: jax.Array      # (K,) int32 appended token (ext only)
+    pfx_wpos: jax.Array     # (K,) int32 append position, -1 = none
+    s_src_beam: jax.Array   # (K,) int32 source of the new s-bank row
+    s_src_is_ns: jax.Array  # (K,) bool  source bank
+    ns_src_beam: jax.Array  # (K,) int32 source of the new ns-bank row
+    ns_src_is_ns: jax.Array  # (K,) bool
+    ns_wpos: jax.Array      # (K,) int32 time write position, -1 = none
+    wval: jax.Array         # ()   int32 written time value (original frame)
+
+
+
+def _take1(v, idx):
+    """Gather v[idx] for tiny v via one-hot masked reduction.
+
+    XLA lowers small dynamic gathers inside a `while` body to ~4.6 µs
+    scalarizing kernels on TPU (the beam scan is launch-latency-bound);
+    a compare+select+sum over K elements fuses into the surrounding
+    elementwise work instead.  Exact for all dtypes incl. uint32/bool."""
+    n = v.shape[0]
+    m = idx[..., None] == jnp.arange(n, dtype=idx.dtype)
+    if v.dtype == jnp.bool_:
+        return jnp.any(m & v, axis=-1)
+    return jnp.sum(jnp.where(m, v, jnp.zeros((), v.dtype)), axis=-1)
 
 def _log_add(a, b):
     mx = jnp.maximum(a, b)
@@ -66,11 +90,10 @@ def _log_add(a, b):
     return jnp.where(mx <= NEG_INF, NEG_INF, out)
 
 
-def _init_state(K: int, L: int) -> BeamState:
+def _init_state(K: int) -> BeamState:
     beam_ix = jnp.arange(K, dtype=jnp.int32)
     active = beam_ix == 0
     return BeamState(
-        prefixes=jnp.zeros((K, L), jnp.int32),
         plen=jnp.zeros((K,), jnp.int32),
         last=jnp.full((K,), -1, jnp.int32),
         # dead beams get distinct sentinel hashes so they never merge
@@ -79,9 +102,7 @@ def _init_state(K: int, L: int) -> BeamState:
         s=jnp.where(active, 0.0, NEG_INF),
         ns=jnp.full((K,), NEG_INF),
         v_s=jnp.where(active, 0.0, NEG_INF),
-        v_ns=jnp.where(active, 0.0, NEG_INF),
-        times_s=jnp.zeros((K, L), jnp.int32),
-        times_ns=jnp.zeros((K, L), jnp.int32),
+        v_ns=jnp.full((K,), NEG_INF),
     )
 
 
@@ -90,44 +111,36 @@ def _child_hash(h1, h2, u):
     return (h1 * _MULT1 + uu, h2 * _MULT2 + uu)
 
 
-def _segment_logsumexp(vals, seg_ids, num_segments):
-    seg_max = jax.ops.segment_max(vals, seg_ids, num_segments=num_segments)
-    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, NEG_INF)
-    shifted = jnp.exp(vals - seg_max[seg_ids])
-    shifted = jnp.where(vals <= NEG_INF, 0.0, shifted)
-    seg_sum = jax.ops.segment_sum(shifted, seg_ids, num_segments=num_segments)
-    out = seg_max + jnp.log(jnp.maximum(seg_sum, 1e-37))
-    return jnp.where(seg_max <= NEG_INF, NEG_INF, out)
-
-
 def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int):
-    """One frame update. inputs = (topk_logp (K2,), topk_idx (K2,), t, valid).
-
-    Sort-free merge: extended prefixes are pairwise distinct and keep
-    prefixes are pairwise distinct, so the only duplicates are keep_i ==
-    extend_(j,u) pairs — found with a (K, K·K2) hash-match matrix and folded
-    into the extend bank; matched keep entries are then masked out.  This
-    removes the per-step lexsort + segment reductions entirely (the scan is
-    dispatch-bound on TPU, so fewer/simpler ops ≙ wall-clock).
-    """
+    """One frame update. inputs = (topk_logp (K2,), topk_idx (K2,), t, valid,
+    blank_acc, has_skip).  Returns (new_state, StepEmit)."""
     topk_logp, topk_idx, t, valid, blank_acc, has_skip = inputs
-    L = state.prefixes.shape[1]
+    beam_ix = jnp.arange(K, dtype=jnp.int32)
+    orig_state = state      # frozen steps must be TRUE no-ops (no fold)
+
+    # pre-fold viterbi bank selection (needed to compose the fold's bank
+    # remap into the emitted backpointers)
+    pre_sel_ns = ~(state.v_s > state.v_ns)                   # (K,) bool
+
     # fold a preceding run of skipped blank-dominated frames into one exact
     # blank-collapse update: s ← (s ⊕ ns)·Πp_blank, ns ← -inf
     col_s = _log_add(state.s, state.ns) + blank_acc
     col_v_s = jnp.maximum(state.v_s, state.v_ns) + blank_acc
-    col_times_s = jnp.where((state.v_s > state.v_ns)[:, None],
-                            state.times_s, state.times_ns)
     state = state._replace(
         s=jnp.where(has_skip, col_s, state.s),
         ns=jnp.where(has_skip, NEG_INF, state.ns),
         v_s=jnp.where(has_skip, col_v_s, state.v_s),
-        v_ns=jnp.where(has_skip, NEG_INF, state.v_ns),
-        times_s=jnp.where(has_skip, col_times_s, state.times_s))
+        v_ns=jnp.where(has_skip, NEG_INF, state.v_ns))
+    # post-fold bank k's s-row refers to pre-fold bank:
+    #   has_skip → the pre-fold viterbi winner; else the pre-fold s-row
+    s_bank_pre_is_ns = jnp.where(has_skip, pre_sel_ns, False)  # (K,)
+
     viterbi = jnp.maximum(state.v_s, state.v_ns)
     score = _log_add(state.s, state.ns)
-    parent_vit_times = jnp.where((state.v_s > state.v_ns)[:, None],
-                                 state.times_s, state.times_ns)
+    post_sel_ns = ~(state.v_s > state.v_ns)                  # (K,) bool
+    # (beam, post-vit bank) → pre-fold bank
+    vit_pre_is_ns = jnp.where(post_sel_ns, True,
+                              s_bank_pre_is_ns)              # (K,)
 
     # ---- keep entries (one per beam): blank / repeated-last updates ----
     is_blank_col = topk_idx == blank_id
@@ -165,7 +178,7 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int):
     m_idx = jnp.argmax(match, axis=0).astype(jnp.int32)  # (K, K2) keep index
 
     def at_m(v):
-        return jnp.where(has_m, v[m_idx], NEG_INF)
+        return jnp.where(has_m, _take1(v, m_idx), NEG_INF)
 
     mrg_s = at_m(keep_s)
     mrg_ns = _log_add(ext_ns, at_m(keep_ns))
@@ -184,69 +197,113 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int):
     del top_total
     is_ext = top_idx < K * K2
     j = jnp.where(is_ext, top_idx // K2, 0)              # extend parent
-    uu = jnp.where(is_ext, top_idx % K2, 0)
     keep_i = jnp.clip(top_idx - K * K2, 0, K - 1)        # keep parent
     parent = jnp.where(is_ext, j, keep_i)
-    tok = topk_idx[uu].astype(jnp.int32)
+    uu = jnp.where(is_ext, top_idx % K2, 0)
+    tok = _take1(topk_idx, uu).astype(jnp.int32)
 
-    flat = lambda a: a.reshape(-1)[jnp.clip(top_idx, 0, K * K2 - 1)]
+    ext_sel = jnp.clip(top_idx, 0, K * K2 - 1)
+    flat = lambda a: _take1(a.reshape(-1), ext_sel)
 
-    new_s = jnp.where(is_ext, flat(mrg_s), keep_s[keep_i])
-    new_ns = jnp.where(is_ext, flat(mrg_ns), keep_ns[keep_i])
-    new_v_s = jnp.where(is_ext, flat(mrg_v_s), keep_v_s[keep_i])
-    new_v_ns = jnp.where(is_ext, flat(mrg_v_ns), keep_v_ns[keep_i])
+    new_s = jnp.where(is_ext, flat(mrg_s), _take1(keep_s, keep_i))
+    new_ns = jnp.where(is_ext, flat(mrg_ns), _take1(keep_ns, keep_i))
+    new_v_s = jnp.where(is_ext, flat(mrg_v_s), _take1(keep_v_s, keep_i))
+    new_v_ns = jnp.where(is_ext, flat(mrg_v_ns), _take1(keep_v_ns, keep_i))
 
     # ---- rebuild beam state for the K winners ----
-    new_plen = state.plen[parent] + is_ext.astype(jnp.int32)
-    new_last = jnp.where(is_ext, tok, state.last[parent])
-    ch1, ch2 = _child_hash(state.h1[parent], state.h2[parent],
+    plen_parent = _take1(state.plen, parent)
+    new_plen = plen_parent + is_ext.astype(jnp.int32)
+    new_last = jnp.where(is_ext, tok, _take1(state.last, parent))
+    ch1, ch2 = _child_hash(_take1(state.h1, parent),
+                           _take1(state.h2, parent),
                            jnp.maximum(tok, 0))
-    new_h1 = jnp.where(is_ext, ch1, state.h1[parent])
-    new_h2 = jnp.where(is_ext, ch2, state.h2[parent])
-    write_one = (jnp.arange(L)[None, :] == state.plen[parent][:, None])
-    new_prefixes = jnp.where(is_ext[:, None] & write_one, tok[:, None],
-                             state.prefixes[parent])
+    new_h1 = jnp.where(is_ext, ch1, _take1(state.h1, parent))
+    new_h2 = jnp.where(is_ext, ch2, _take1(state.h2, parent))
 
-    # times_s: blank keeps the prefix and copies the parent's viterbi times
-    # (search.py:166-167); for a merged extend entry the v_s contribution
-    # comes from the matched keep parent.
+    # ---- backpointer emits (replaces carrying (K,L) buffers) ----
     m_sel = flat(m_idx)
     hasm_sel = flat(has_m)
-    ts_parent = jnp.where(is_ext,
-                          jnp.where(hasm_sel, m_sel, parent), keep_i)
-    new_times_s = parent_vit_times[ts_parent]
+    # new s-bank row: parent's viterbi-winning bank; for a merged extend
+    # entry the s mass comes from the matched keep parent (search.py:166-167)
+    ts_parent = jnp.where(is_ext, jnp.where(hasm_sel, m_sel, parent), keep_i)
+    s_src_beam = ts_parent
+    s_src_is_ns = _take1(vit_pre_is_ns, ts_parent)
 
-    # times_ns from the viterbi-winning contributor:
-    #  - extend entry: parent's viterbi times (times_s for a repeated token,
-    #    else times()) with t written at plen[parent]   (search.py:193-214)
-    #  - keep entry (repeated token): parent's times_ns, last slot → t
-    #    (search.py:177-183)
+    # new ns-bank row (search.py:177-214):
+    #  - extend winner: parent's bank (s-bank for a repeated token, else the
+    #    viterbi winner), appending t at plen[parent]
+    #  - keep winner / merged-keep viterbi winner: parent's ns-bank, with the
+    #    last written slot overwritten by t when the repeat fired
     w_keep = jnp.where(is_ext, flat(vwin_is_keep), True)
-    tns_parent = jnp.where(is_ext & ~w_keep, parent,
-                           jnp.where(is_ext, m_sel, keep_i))
+    ext_win = is_ext & ~w_keep
     rep_tok = flat(u_eq_last)
-    vw_src_ext = jnp.where(rep_tok[:, None], state.times_s[parent],
-                           parent_vit_times[parent])
-    app_one = (jnp.arange(L)[None, :] == state.plen[parent][:, None])
-    ext_times = jnp.where(app_one, t, vw_src_ext)
-    last_one = (jnp.arange(L)[None, :] ==
-                jnp.maximum(state.plen[tns_parent] - 1, 0)[:, None])
-    repeat_fired = keep_ns[tns_parent] > NEG_INF
-    keep_times = jnp.where(last_one & repeat_fired[:, None], t,
-                           state.times_ns[tns_parent])
-    new_times_ns = jnp.where((is_ext & ~w_keep)[:, None], ext_times,
-                             keep_times)
+    ext_src_is_ns = jnp.where(rep_tok, _take1(s_bank_pre_is_ns, parent),
+                              _take1(vit_pre_is_ns, parent))
+    tns_parent = jnp.where(is_ext, m_sel, keep_i)
+    repeat_fired = _take1(keep_ns, tns_parent) > NEG_INF
+    keep_wpos = jnp.where(repeat_fired,
+                          jnp.maximum(_take1(state.plen, tns_parent) - 1, 0),
+                          -1)
+    ns_src_beam = jnp.where(ext_win, parent, tns_parent)
+    ns_src_is_ns = jnp.where(ext_win, ext_src_is_ns, True)
+    ns_wpos = jnp.where(ext_win, plen_parent, keep_wpos)
 
-    new_state = BeamState(
-        prefixes=new_prefixes, plen=new_plen, last=new_last,
-        h1=new_h1, h2=new_h2,
-        s=new_s, ns=new_ns, v_s=new_v_s, v_ns=new_v_ns,
-        times_s=new_times_s, times_ns=new_times_ns)
+    pfx_wpos = jnp.where(is_ext, plen_parent, -1)
 
-    # freeze state past the utterance's true length
+    new_state = BeamState(plen=new_plen, last=new_last, h1=new_h1,
+                          h2=new_h2, s=new_s, ns=new_ns, v_s=new_v_s,
+                          v_ns=new_v_ns)
+    # freeze state past the utterance's true length; identity emits
     merged = jax.tree.map(lambda new, old: jnp.where(valid, new, old),
-                          new_state, state)
-    return merged, None
+                          new_state, orig_state)
+    emit = StepEmit(
+        pfx_parent=jnp.where(valid, parent, beam_ix),
+        pfx_tok=tok,
+        pfx_wpos=jnp.where(valid, pfx_wpos, -1),
+        s_src_beam=jnp.where(valid, s_src_beam, beam_ix),
+        s_src_is_ns=jnp.where(valid, s_src_is_ns, False),
+        ns_src_beam=jnp.where(valid, ns_src_beam, beam_ix),
+        ns_src_is_ns=jnp.where(valid, ns_src_is_ns, True),
+        ns_wpos=jnp.where(valid, ns_wpos, -1),
+        wval=t.astype(jnp.int32),
+    )
+    return merged, emit
+
+
+def _backtrace(emits: StepEmit, order, final_sel_ns, K: int, L: int):
+    """Reconstruct (K, L) prefixes and viterbi times from per-step
+    backpointers: a reverse scan over (K,) chain state, then one scatter.
+    `order` selects/reorders the final beams to trace."""
+
+    def back(carry, em):
+        cur_p, cur_tb, cur_ns = carry
+        p_pos = _take1(em.pfx_wpos, cur_p)
+        p_tok = _take1(em.pfx_tok, cur_p)
+        nxt_p = _take1(em.pfx_parent, cur_p)
+        wpos = jnp.where(cur_ns, _take1(em.ns_wpos, cur_tb), -1)
+        nxt_tb = jnp.where(cur_ns, _take1(em.ns_src_beam, cur_tb),
+                           _take1(em.s_src_beam, cur_tb))
+        nxt_ns = jnp.where(cur_ns, _take1(em.ns_src_is_ns, cur_tb),
+                           _take1(em.s_src_is_ns, cur_tb))
+        return ((nxt_p, nxt_tb, nxt_ns),
+                (p_pos, p_tok, wpos, jnp.broadcast_to(em.wval, p_pos.shape)))
+
+    init = (order, order, final_sel_ns)
+    _, (p_pos, p_tok, wpos, wval) = jax.lax.scan(back, init, emits,
+                                                 reverse=True)
+    # p_* : (T, K) — scatter into (K, L); -1 positions are routed
+    # out-of-bounds and dropped
+    kk = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :],
+                          p_pos.shape)
+    p_pos_ob = jnp.where(p_pos >= 0, p_pos, L)
+    prefixes = jnp.zeros((K, L), jnp.int32).at[kk, p_pos_ob].max(
+        p_tok, mode='drop')
+    # times: multiple writes to one slot resolve to the LATEST (frame
+    # indices are monotone in step, so max == last write)
+    wpos_ob = jnp.where(wpos >= 0, wpos, L)
+    times = jnp.zeros((K, L), jnp.int32).at[kk, wpos_ob].max(
+        wval, mode='drop')
+    return prefixes, times
 
 
 def _search_one(ctc_topk_logp, ctc_topk_idx, num_t, K: int, blank_id: int,
@@ -256,7 +313,7 @@ def _search_one(ctc_topk_logp, ctc_topk_idx, num_t, K: int, blank_id: int,
     inputs from `_compress_blanks` (`ts` carries ORIGINAL frame indices for
     timestamps; validity counts steps)."""
     T, K2 = ctc_topk_logp.shape
-    state = _init_state(K, L)
+    state = _init_state(K)
     valid = jnp.arange(T, dtype=jnp.int32) < num_t
     if ts is None:
         ts = jnp.arange(T, dtype=jnp.int32)
@@ -264,18 +321,17 @@ def _search_one(ctc_topk_logp, ctc_topk_idx, num_t, K: int, blank_id: int,
         blank_acc = jnp.zeros((T,), jnp.float32)
         has_skip = jnp.zeros((T,), bool)
     step = functools.partial(_step, K=K, K2=K2, blank_id=blank_id)
-    state, _ = jax.lax.scan(step, state,
-                            (ctc_topk_logp, ctc_topk_idx, ts, valid,
-                             blank_acc, has_skip))
+    state, emits = jax.lax.scan(step, state,
+                                (ctc_topk_logp, ctc_topk_idx, ts, valid,
+                                 blank_acc, has_skip))
     total = _log_add(state.s, state.ns)
     if tail_acc is not None:
         # trailing skipped blank mass (after the last kept frame)
         total = total + tail_acc
-    order = jnp.argsort(-total)
-    times = jnp.where((state.v_s > state.v_ns)[:, None], state.times_s,
-                      state.times_ns)
-    return (state.prefixes[order], state.plen[order], total[order],
-            times[order])
+    order = jnp.argsort(-total).astype(jnp.int32)
+    final_sel_ns = ~(state.v_s > state.v_ns)[order]
+    prefixes, times = _backtrace(emits, order, final_sel_ns, K, L)
+    return prefixes, state.plen[order], total[order], times
 
 
 def _compress_blanks(ctc_probs, ctc_lens, blank_id: int, threshold: float,
