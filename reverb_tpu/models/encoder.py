@@ -28,8 +28,10 @@ import jax.numpy as jnp
 from reverb_tpu.models import attention as att
 from reverb_tpu.models import embedding as emb
 from reverb_tpu.models.modules import (ACTIVATIONS, Rngs, batch_norm_1d,
-                                       conv1d, conv2d, dropout, glu,
-                                       layer_norm, linear)
+                                       batch_norm_last, conv1d, conv2d,
+                                       depthwise_conv1d_ntc, dropout, glu,
+                                       layer_norm, linear,
+                                       pointwise_conv_as_linear)
 from reverb_tpu.utils.common import (add_optional_chunk_mask, make_pad_mask)
 
 
@@ -135,35 +137,38 @@ SUBSAMPLE_FNS = {'conv2d': conv2d_subsampling4, 'linear': linear_input}
 def conv_module(p, x, mask_pad, cfg: EncoderConfig, rngs=None,
                 cnn_cache: Optional[jax.Array] = None):
     """Conformer conv: pw(2C)→GLU→dw(k)→norm→swish→pw. x (B,T,C).
-    Returns (out, new_cnn_cache (B,C,k-1) when causal)."""
+    Returns (out, new_cnn_cache (B,C,k-1) when causal).
+
+    TPU layout: everything stays (B,T,C) — the pointwise convs are plain
+    matmuls on the MXU and the depthwise conv runs in NWC, so there are no
+    (B,T,C)↔(B,C,T) layout copies (profiled at ~20 ms/fwd on the flagship
+    before this change).  The streaming cnn_cache keeps its (B,C,k-1)
+    public layout (tiny transposes)."""
     act = ACTIVATIONS[cfg.activation_type]
-    x = x.transpose(0, 2, 1)                    # (B,C,T)
     if mask_pad is not None:
-        x = jnp.where(mask_pad, x, 0.0)
+        keep = mask_pad.transpose(0, 2, 1)      # (B,T,1)
+        x = jnp.where(keep, x, 0.0)
     lorder = cfg.cnn_module_kernel - 1 if cfg.causal else 0
     new_cache = None
     if lorder > 0:
         if cnn_cache is None:
-            x = jnp.pad(x, ((0, 0), (0, 0), (lorder, 0)))
+            x = jnp.pad(x, ((0, 0), (lorder, 0), (0, 0)))
         else:
-            x = jnp.concatenate([cnn_cache, x], axis=2)
-        new_cache = x[:, :, -lorder:]
+            x = jnp.concatenate([cnn_cache.transpose(0, 2, 1), x], axis=1)
+        new_cache = x[:, -lorder:].transpose(0, 2, 1)
         pad_same = 0
     else:
         pad_same = (cfg.cnn_module_kernel - 1) // 2
-    x = glu(conv1d(p['pointwise_conv1'], x), axis=1)
-    x = conv1d(p['depthwise_conv'], x, padding=pad_same,
-               groups=x.shape[1])
+    x = glu(pointwise_conv_as_linear(p['pointwise_conv1'], x), axis=-1)
+    x = depthwise_conv1d_ntc(p['depthwise_conv'], x, padding=pad_same)
     if cfg.cnn_module_norm == 'layer_norm':
-        x = x.transpose(0, 2, 1)
         x = act(layer_norm(p['norm'], x))
-        x = x.transpose(0, 2, 1)
     else:
-        x = act(batch_norm_1d(p['norm'], x))
-    x = conv1d(p['pointwise_conv2'], x)
+        x = act(batch_norm_last(p['norm'], x))
+    x = pointwise_conv_as_linear(p['pointwise_conv2'], x)
     if mask_pad is not None:
-        x = jnp.where(mask_pad, x, 0.0)
-    return x.transpose(0, 2, 1), new_cache
+        x = jnp.where(keep, x, 0.0)
+    return x, new_cache
 
 
 # ------------------------------ FFN ------------------------------

@@ -61,9 +61,13 @@ def linear(p, x):
 
 
 def layer_norm(p, x, eps: float = 1e-5):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    # one-pass f32 statistics (E[x²]−E[x]²): halves the HBM reads of the
+    # mean-then-var formulation and keeps bf16 activations accurate
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True)
+                      - mean * mean, 0.0)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     return y * p['weight'].astype(x.dtype) + p['bias'].astype(x.dtype)
 
 
@@ -78,6 +82,41 @@ def batch_norm_1d(p, x, eps: float = 1e-5):
     w = p['weight'][None, :, None].astype(x.dtype)
     b = p['bias'][None, :, None].astype(x.dtype)
     return (x - mean) * jax.lax.rsqrt(var + eps) * w + b
+
+
+def batch_norm_last(p, x, eps: float = 1e-5):
+    """Inference-mode BatchNorm over the LAST axis of (B, T, C)."""
+    scale = (p['weight'] * jax.lax.rsqrt(p['running_var'] + eps)
+             ).astype(x.dtype)
+    shift = (p['bias'] - p['weight'] * p['running_mean']
+             * jax.lax.rsqrt(p['running_var'] + eps)).astype(x.dtype)
+    return x * scale + shift
+
+
+def depthwise_conv1d_ntc(p, x, padding: int = 0):
+    """Depthwise conv over time for (B, T, C) activations — no layout
+    transposes (TPU-friendly NWC). torch-layout weight (C, 1, k)."""
+    w = p['weight'].astype(x.dtype).transpose(2, 1, 0)       # (k, 1, C)
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1,),
+        padding=[(padding, padding)],
+        dimension_numbers=('NHC', 'HIO', 'NHC'),
+        feature_group_count=x.shape[-1],
+        precision=jax.lax.Precision.HIGHEST)
+    if 'bias' in p and p['bias'] is not None:
+        y = y + p['bias'][None, None, :].astype(x.dtype)
+    return y
+
+
+def pointwise_conv_as_linear(p, x):
+    """1×1 conv1d == matmul over the channel axis; x (B, T, C_in).
+    torch-layout weight (C_out, C_in, 1)."""
+    y = jnp.matmul(x, p['weight'][:, :, 0].T.astype(x.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
+    if 'bias' in p and p['bias'] is not None:
+        y = y + p['bias'].astype(x.dtype)
+    return y
 
 
 def conv1d(p, x, stride: int = 1, padding: int = 0, groups: int = 1):
