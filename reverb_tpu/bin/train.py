@@ -110,7 +110,47 @@ def main(argv=None):
 
     cfg = ModelConfig.from_config(configs)
     tc = TrainConfig.from_config(configs)
-    params = init_params(jax.random.PRNGKey(args.seed), cfg)
+    loss_fn = None
+
+    model_kind = configs.get('model', 'asr_model')
+    alt_encoders = ('branchformer', 'e_branchformer', 'squeezeformer',
+                    'efficient_conformer')
+    if model_kind != 'asr_model' or configs.get('encoder') in alt_encoders:
+        # registry-constructed family (transducer/paraformer/ssl/alt
+        # encoders): uniform loss_fn bundle (init_model.py parity)
+        from reverb_tpu.models.registry import init_model
+        bundle = init_model(configs, jax.random.PRNGKey(args.seed))
+        params = bundle.params
+        loss_fn = bundle.loss_fn
+        logging.info('training registry model %r', bundle.kind)
+    else:
+        params = init_params(jax.random.PRNGKey(args.seed), cfg)
+
+    if configs.get('ts_conf'):
+        # teacher-student distillation (init_model.py:125-135,
+        # bin/train.teacher-student.py): frozen teacher from its own yaml+ckpt
+        from reverb_tpu.convert.torch_ckpt import (load_npz,
+                                                   load_reverb_checkpoint)
+        from reverb_tpu.train.teacher_student import TSConfig, ts_loss
+        import dataclasses as _dc
+        ts_c = configs['ts_conf']
+        with open(ts_c['teacher_yaml']) as f:
+            t_configs = yaml.safe_load(f)
+        teacher_cfg = ModelConfig.from_config(t_configs)
+        t_ckpt = ts_c['teacher_checkpoint']
+        teacher_params = (load_npz(t_ckpt)[0] if t_ckpt.endswith('.npz')
+                          else load_reverb_checkpoint(t_ckpt))
+        teacher_params = jax.tree.map(jnp.asarray, teacher_params)
+        ts_fields = {f.name for f in _dc.fields(TSConfig)}
+        tsc = TSConfig(**{k: v for k, v in ts_c.items() if k in ts_fields})
+
+        def loss_fn(p, batch, rng):          # noqa: F811
+            # distillation defines the full objective (student reg included)
+            return ts_loss(p, teacher_params, cfg, teacher_cfg, batch, tsc,
+                           rng=rng)
+        logging.info('teacher-student distillation enabled (teacher=%s)',
+                     t_ckpt)
+
     if args.enc_init:
         params = load_trained_modules(params, args.enc_init,
                                       args.enc_init_mods.split(','))
@@ -134,9 +174,10 @@ def main(argv=None):
     params = jax.device_put(params, p_shard)
     opt_state = jax.device_put(opt_state, o_shard)
 
-    train_step = jax.jit(make_train_step(cfg, tx, tc.accum_grad),
+    train_step = jax.jit(make_train_step(cfg, tx, tc.accum_grad,
+                                         loss_fn=loss_fn),
                          donate_argnums=(0, 1))
-    eval_step = jax.jit(make_eval_step(cfg))
+    eval_step = jax.jit(make_eval_step(cfg, loss_fn=loss_fn))
 
     writer = None
     if args.tensorboard_dir and rank == 0:

@@ -116,22 +116,30 @@ def build_optimizer(tc: TrainConfig, params=None):
     return tx, schedule
 
 
-def make_train_step(cfg: ModelConfig, tx, accum_grad: int = 1):
+def make_train_step(cfg: ModelConfig, tx, accum_grad: int = 1,
+                    loss_fn=None):
     """Returns train_step(params, opt_state, batch, step, rng) → (params,
     opt_state, metrics).
+
+    loss_fn(params, batch, rng) → metrics dict with 'loss' — defaults to the
+    hybrid CTC/attention compute_loss; teacher-student distillation and the
+    registry's other model families plug in here.
 
     With accum_grad>1 the batch's leading dim is (accum·micro_b) and a
     lax.scan accumulates micro-batch grads before ONE optimizer update —
     numerically the reference's loss/accum_grad + no_sync pattern
     (train_utils.py:629-656)."""
+    if loss_fn is None:
+        def loss_fn(params, batch, rng):     # noqa: F811
+            return compute_loss(params, cfg, batch, rng=rng)
 
-    def loss_fn(params, batch, rng):
-        out = compute_loss(params, cfg, batch, rng=rng)
+    def wrapped(params, batch, rng):
+        out = loss_fn(params, batch, rng)
         metrics = {k: (v if v is not None else jnp.zeros(()))
                    for k, v in out.items()}
         return out['loss'], metrics
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    grad_fn = jax.value_and_grad(wrapped, has_aux=True)
 
     def train_step(params, opt_state, batch, step, rng):
         if accum_grad == 1:
@@ -145,20 +153,15 @@ def make_train_step(cfg: ModelConfig, tx, accum_grad: int = 1):
             rngs = (jax.random.split(rng, accum_grad) if has_rng
                     else jnp.zeros((accum_grad, 2), jnp.uint32))
 
-            def body(acc, inp):
+            def body(acc_g, inp):
                 mb, r = inp
                 (l, m), g = grad_fn(params, mb, r if has_rng else None)
-                acc_g, acc_m = acc
-                return (jax.tree.map(jnp.add, acc_g, g),
-                        jax.tree.map(jnp.add, acc_m, m)), None
+                return jax.tree.map(jnp.add, acc_g, g), m
 
             zero_g = jax.tree.map(jnp.zeros_like, params)
-            zero_m = {'loss': jnp.zeros(()), 'loss_att': jnp.zeros(()),
-                      'loss_ctc': jnp.zeros(()), 'th_accuracy': jnp.zeros(())}
-            (grads, msum), _ = jax.lax.scan(body, (zero_g, zero_m),
-                                            (micro, rngs))
+            grads, mstack = jax.lax.scan(body, zero_g, (micro, rngs))
             grads = jax.tree.map(lambda g: g / accum_grad, grads)
-            metrics = jax.tree.map(lambda m: m / accum_grad, msum)
+            metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), mstack)
 
         grad_norm = optax.global_norm(grads)
         finite = jnp.isfinite(grad_norm)
@@ -179,9 +182,13 @@ def make_train_step(cfg: ModelConfig, tx, accum_grad: int = 1):
     return train_step
 
 
-def make_eval_step(cfg: ModelConfig):
+def make_eval_step(cfg: ModelConfig, loss_fn=None):
+    if loss_fn is None:
+        def loss_fn(params, batch, rng):     # noqa: F811
+            return compute_loss(params, cfg, batch, rng=rng)
+
     def eval_step(params, batch):
-        out = compute_loss(params, cfg, batch, rng=None)
+        out = loss_fn(params, batch, None)
         return {k: (v if v is not None else jnp.zeros(()))
                 for k, v in out.items()}
     return eval_step
