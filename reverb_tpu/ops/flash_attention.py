@@ -73,18 +73,30 @@ def _round_up(x: int, m: int) -> int:
 # kernel
 # --------------------------------------------------------------------------
 
-def _attn_kernel(lens_ref, qu_ref, qv_ref, k_ref, p_ref, v_ref, o_ref, *,
-                 scale: float, tk: int):
+def _attn_kernel(lens_ref, q_ref, u_ref, vb_ref, k_ref, p_ref, v_ref, o_ref,
+                 *, scale: float, tk: int):
     """One (batch*head, q-block) cell.
 
-    qu/qv: (1, BQ, dk)  q+pos_bias_u / q+pos_bias_v
-    k/p/v: (1, TK, dk)  full keys / rel-pos projection / values for this head
+    q:     (1, BQ, dk)  queries (bias adds happen in VMEM — q+u / q+v are
+                        never materialized in HBM)
+    u/vb:  (1, dk)      per-head rel-pos biases
+    k/v:   (1, TK, dk)  full keys / values for this head
+    p:     (1, TK, dk)  rel-pos projection, shared across batch (the index
+                        map points every batch row at the same head row — no
+                        (B,H,T,dk) broadcast in HBM)
     lens:  (BH,) int32  number of valid keys per row (valid keys are a prefix)
     o:     (1, BQ, dk)
     """
     kv_len = lens_ref[pl.program_id(0)]
-    qu = qu_ref[0]
-    qv = qv_ref[0]
+    h = pl.program_id(0) % u_ref.shape[0]
+    q = q_ref[0]
+    # dynamic single-row reads need sublane-alignment proofs Mosaic can't
+    # make for h; a masked reduction over the tiny (H, dk) table fuses fine
+    hsel = (jax.lax.broadcasted_iota(jnp.int32, u_ref.shape, 0) == h)
+    u = jnp.sum(jnp.where(hsel, u_ref[:], 0.0), axis=0)
+    vb = jnp.sum(jnp.where(hsel, vb_ref[:], 0.0), axis=0)
+    qu = q + u[None, :].astype(q.dtype)
+    qv = q + vb[None, :].astype(q.dtype)
     k = k_ref[0]
     p = p_ref[0]
     v = v_ref[0]
@@ -109,9 +121,10 @@ def _attn_kernel(lens_ref, qu_ref, qv_ref, k_ref, p_ref, v_ref, o_ref, *,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _flash_fwd(qu, qv, k, p, v, kv_lens, *, block_q: int, interpret: bool):
-    """qu/qv/k/p/v: (BH, T, dk) (p already broadcast per head). lens: (BH,)."""
-    BH, Tq, dk = qu.shape
+def _flash_fwd(q, u, vb, k, p, v, kv_lens, H, *, block_q: int,
+               interpret: bool):
+    """q/k/v: (BH, T, dk); u/vb: (H, dk); p: (H, Tk, dk). lens: (BH,)."""
+    BH, Tq, dk = q.shape
     Tk = k.shape[1]
     BQ = min(block_q, _round_up(Tq, 128))
     Tq_pad = _round_up(Tq, BQ)
@@ -120,8 +133,7 @@ def _flash_fwd(qu, qv, k, p, v, kv_lens, *, block_q: int, interpret: bool):
     def padt(x, T):  # pad time axis
         return jnp.pad(x, ((0, 0), (0, T - x.shape[1]), (0, 0)))
 
-    qu = padt(qu, Tq_pad)
-    qv = padt(qv, Tq_pad)
+    q = padt(q, Tq_pad)
     k = padt(k, Tk_pad)
     p = padt(p, Tk_pad)
     v = padt(v, Tk_pad)
@@ -132,6 +144,11 @@ def _flash_fwd(qu, qv, k, p, v, kv_lens, *, block_q: int, interpret: bool):
                          memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((1, Tk_pad, dk), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM)
+    # per-head inputs: biases live whole in VMEM (indexed by head in-kernel);
+    # every batch row's pos block maps to the same head slice
+    hspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((1, Tk_pad, dk), lambda i, j, *_: (i % H, 0, 0),
+                         memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=1.0 / math.sqrt(dk),
@@ -139,13 +156,13 @@ def _flash_fwd(qu, qv, k, p, v, kv_lens, *, block_q: int, interpret: bool):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[qspec, qspec, kspec, kspec, kspec],
+            in_specs=[qspec, hspec, hspec, kspec, pspec, kspec],
             out_specs=pl.BlockSpec((1, BQ, dk), lambda i, j, *_: (i, j, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((BH, Tq_pad, dk), v.dtype),
         interpret=interpret,
-    )(kv_lens, qu, qv, k, p, v)
+    )(kv_lens, q, u, vb, k, p, v)
     return out[:, :Tq]
 
 
@@ -166,47 +183,57 @@ def _xla_reference(qu, qv, k, p, v, kv_lens):
         v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _flash_core(qu, qv, k, p, v, kv_lens, block_q, interpret):
-    return _flash_fwd(qu, qv, k, p, v, kv_lens, block_q=block_q,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _flash_core(q, u, vb, k, p, v, kv_lens, H, block_q, interpret):
+    return _flash_fwd(q, u, vb, k, p, v, kv_lens, H, block_q=block_q,
                       interpret=interpret)
 
 
-def _flash_core_fwd(qu, qv, k, p, v, kv_lens, block_q, interpret):
-    out = _flash_fwd(qu, qv, k, p, v, kv_lens, block_q=block_q,
+def _flash_core_fwd(q, u, vb, k, p, v, kv_lens, H, block_q, interpret):
+    out = _flash_fwd(q, u, vb, k, p, v, kv_lens, H, block_q=block_q,
                      interpret=interpret)
-    return out, (qu, qv, k, p, v, kv_lens)
+    return out, (q, u, vb, k, p, v, kv_lens)
 
 
-def _flash_core_bwd(block_q, interpret, res, g):
-    qu, qv, k, p, v, kv_lens = res
-    _, vjp = jax.vjp(_xla_reference, qu, qv, k, p, v, kv_lens)
-    dqu, dqv, dk_, dp, dv, _ = vjp(g)
-    return dqu, dqv, dk_, dp, dv, None
+def _flash_core_bwd(H, block_q, interpret, res, g):
+    q, u, vb, k, p, v, kv_lens = res
+    BH = q.shape[0]
+
+    def ref(q, u, vb, k, p, v):
+        rep = BH // H
+        qu = q + jnp.tile(u, (rep, 1))[:, None, :].astype(q.dtype)
+        qv = q + jnp.tile(vb, (rep, 1))[:, None, :].astype(q.dtype)
+        pb = jnp.tile(p, (rep, 1, 1))
+        return _xla_reference(qu, qv, k, pb, v, kv_lens)
+
+    _, vjp = jax.vjp(ref, q, u, vb, k, p, v)
+    dq, du, dvb, dk_, dp, dv = vjp(g)
+    return dq, du, dvb, dk_, dp, dv, None
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 def rel_pos_flash_attention(q, k, v, pos, pos_bias_u, pos_bias_v, kv_lens,
-                            block_q: int = 256, interpret=None):
+                            block_q: int = 1024, interpret=None):
     """Fused rel-pos (no-shift) attention.
 
     q,k,v: (B,H,T,dk); pos: (1,H,Tk,dk); kv_lens: (B,) int32 valid key counts.
-    Returns (B,H,T,dk) in v.dtype. Softmax accumulates in f32.
+    Returns (B,H,T,dk) in v.dtype. Softmax accumulates in f32.  The q+u/q+v
+    bias adds and the per-head pos broadcast happen inside the kernel — no
+    (B,H,T,dk) temporaries in HBM.
     """
     B, H, Tq, dk = q.shape
     Tk = k.shape[2]
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
-    qu = q + pos_bias_u.astype(q.dtype)[None, :, None, :]
-    qv = q + pos_bias_v.astype(q.dtype)[None, :, None, :]
-    pos_b = jnp.broadcast_to(pos[:, :, :Tk], (B, H, Tk, dk))
 
     def fold(x):
         return x.reshape(B * H, x.shape[2], dk)
 
     lens = jnp.repeat(kv_lens.astype(jnp.int32), H)
-    out = _flash_core(fold(qu), fold(qv), fold(k), fold(pos_b), fold(v),
-                      lens, block_q, interpret)
+    out = _flash_core(fold(q), pos_bias_u.astype(q.dtype),
+                      pos_bias_v.astype(q.dtype), fold(k),
+                      pos[0, :, :Tk].astype(q.dtype), fold(v),
+                      lens, H, block_q, interpret)
     return out.reshape(B, H, Tq, dk)
