@@ -179,13 +179,11 @@ def main(argv=None):
                          donate_argnums=(0, 1))
     eval_step = jax.jit(make_eval_step(cfg, loss_fn=loss_fn))
 
-    writer = None
-    if args.tensorboard_dir and rank == 0:
-        try:
-            from torch.utils.tensorboard import SummaryWriter
-            writer = SummaryWriter(args.tensorboard_dir)
-        except Exception:                          # noqa: BLE001
-            logging.warning('tensorboard unavailable; skipping')
+    # experiment tracking (wandb/tensorboard/jsonl; train_utils.py:495-533)
+    from reverb_tpu.utils.tracking import init_tracking
+    tracker = init_tracking(args.model_dir, configs,
+                            train_data=args.train_data, cv_data=args.cv_data,
+                            tensorboard_dir=args.tensorboard_dir)
 
     snap_conf = configs.get('snapshot_saving_conf', {}) or {}
     ex = Executor(train_step=train_step, eval_step=eval_step,
@@ -194,7 +192,9 @@ def main(argv=None):
                   save_interval=snap_conf.get('save_interval', 0),
                   save_optimizer_every=snap_conf.get('save_optimizer_every',
                                                      4),
-                  schedule=schedule, writer=writer, step=start_step)
+                  schedule=schedule, writer=tracker,
+                  save_to_tracker=bool(snap_conf.get('save_to_wandb')),
+                  step=start_step)
     if args.profile_dir:
         from reverb_tpu.utils.profiling import ProfileWindow
         ex.profiler = ProfileWindow(args.profile_dir,
@@ -221,6 +221,7 @@ def main(argv=None):
                      'frames_seen': ex.frames_seen,
                      'lr': float(schedule(ex.step)),
                      'cv_loss': cv_metrics.get('loss')})
+    tracker.finish()
     from reverb_tpu.data.pipeline import mystats
     logging.info('dataset statistics: %s', dict(mystats))
 

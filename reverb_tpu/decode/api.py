@@ -84,8 +84,17 @@ def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
         if 'ctc_prefix_beam_search' in methods:
             results['ctc_prefix_beam_search'] = prefix_results
     if 'attention_rescoring' in methods:
+        resc_out, resc_lens = encoder_out, encoder_lens
+        if cfg.apply_non_blank_embedding:
+            # token-level embeddings for the rescorer (asr_model.py:415-417)
+            from reverb_tpu.models.asr_model import filter_blank_embedding
+            T = encoder_out.shape[1]
+            mask = (jnp.arange(T)[None, :] < encoder_lens[:, None])[:, None, :]
+            resc_out, resc_mask = filter_blank_embedding(
+                cfg, ctc_probs, encoder_out, mask)
+            resc_lens = jnp.sum(resc_mask[:, 0, :], axis=-1)
         results['attention_rescoring'] = attention_rescoring(
-            params, cfg, prefix_results, encoder_out, encoder_lens,
+            params, cfg, prefix_results, resc_out, resc_lens,
             ctc_weight, reverse_weight, cat_embs=cat)
     if 'onmt_attention_decoding' in methods:
         from reverb_tpu.decode.onmt_beam import onmt_attention_decoding

@@ -47,6 +47,10 @@ class ModelConfig:
     eos: int = -1
     lsl_enc: bool = False
     lsl_dec: bool = False
+    # filter encoder frames whose CTC argmax is blank before the decoder
+    # (asr_model.py:70, 180-184, 220-246); non_spike_loss_weight is accepted
+    # but, as in the reference (stored at asr_model.py:89, never read), inert.
+    apply_non_blank_embedding: bool = False
     focal_ctc: bool = False
     focal_alpha: float = 0.5
     focal_gamma: float = 2.0
@@ -111,6 +115,8 @@ class ModelConfig:
             lsm_weight=model_conf.get('lsm_weight', 0.0),
             length_normalized_loss=model_conf.get('length_normalized_loss',
                                                   False),
+            apply_non_blank_embedding=model_conf.get(
+                'apply_non_blank_embedding', False),
             blank_id=(configs.get('ctc_conf', {}) or {}).get('ctc_blank_id', 0),
             sos=sos, eos=eos,
             lsl_enc=num_langs > 0,
@@ -317,6 +323,29 @@ def forward_encoder(params, cfg: ModelConfig, feats, feats_lens,
     return out, masks
 
 
+def filter_blank_embedding(cfg: ModelConfig, ctc_probs, encoder_out,
+                           encoder_mask):
+    """Keep only encoder frames whose CTC argmax is non-blank
+    (asr_model.py:220-246).
+
+    The reference builds python index lists per utterance and re-pads; here we
+    compact with a static-shape stable argsort (valid non-blank frames sort to
+    the front, everything else to the back), so the op stays jittable and the
+    output keeps the (B, T, D) shape with a fresh mask.
+    """
+    B, T = encoder_out.shape[:2]
+    top1 = jnp.argmax(ctc_probs, axis=-1)                      # (B, T)
+    valid = encoder_mask[:, 0, :].astype(bool)
+    keep = (top1 != cfg.blank_id) & valid                      # (B, T)
+    pos = jnp.arange(T)[None, :]
+    order = jnp.argsort(jnp.where(keep, pos, pos + T), axis=1)  # stable compact
+    new_out = jnp.take_along_axis(encoder_out, order[:, :, None], axis=1)
+    new_lens = jnp.sum(keep, axis=1)
+    new_out = jnp.where((pos < new_lens[:, None])[:, :, None], new_out, 0.0)
+    new_mask = (pos < new_lens[:, None])[:, None, :]
+    return new_out, new_mask
+
+
 def compute_loss(params, cfg: ModelConfig, batch, rng=None):
     """Training loss (asr_model.py:131-208).
 
@@ -360,6 +389,12 @@ def compute_loss(params, cfg: ModelConfig, batch, rng=None):
             jnp.where(text == cfg.ignore_id, 0, text), text_lens,
             blank_id=cfg.blank_id, focal=cfg.focal_ctc,
             focal_alpha=cfg.focal_alpha, focal_gamma=cfg.focal_gamma)
+
+    if cfg.apply_non_blank_embedding:
+        # token-level embedding for the decoder (asr_model.py:180-184)
+        ctc_probs = ctc_mod.ctc_logprobs(params['ctc'], encoder_out)
+        encoder_out, encoder_mask = filter_blank_embedding(
+            cfg, ctc_probs, encoder_out, encoder_mask)
 
     loss_att, acc_att = None, None
     if cfg.ctc_weight != 1.0:

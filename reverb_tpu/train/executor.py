@@ -49,6 +49,7 @@ class Executor:
     save_optimizer_every: int = 4       # every Nth snapshot keeps optimizer
     schedule: Optional[Callable] = None
     writer: Optional[object] = None     # tensorboard-like .add_scalar
+    save_to_tracker: bool = False       # snapshot_saving_conf.save_to_wandb
     step: int = 0
     frames_seen: float = 0.0
     snapshots_taken: int = 0
@@ -109,8 +110,14 @@ class Executor:
             cv_metrics = self.cv(params, cv_dataset)
             info['cv_loss'] = cv_metrics.get('loss')
             logging.info('CV at step %d: %s', self.step, cv_metrics)
-        save_checkpoint(self.model_dir, f'step_{self.step}', params,
-                        opt_state if with_opt else None, info)
+        path = save_checkpoint(self.model_dir, f'step_{self.step}', params,
+                               opt_state if with_opt else None, info)
+        if self.save_to_tracker and hasattr(self.writer, 'log_artifact'):
+            # ckpt artifact upload (utils/checkpoint.py:180-190)
+            self.writer.log_artifact(f'ckpt-step_{self.step}', 'checkpoint',
+                                     {path.name: str(path),
+                                      f'step_{self.step}.yaml':
+                                      str(path.with_suffix('.yaml'))})
 
     def _log(self, tag, epoch, metrics, t0):
         lr = float(self.schedule(self.step)) if self.schedule else float('nan')

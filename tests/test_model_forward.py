@@ -180,3 +180,52 @@ def test_label_smoothing_matches_torch():
     kl = torch.nn.functional.kl_div(logp, true, reduction='none').sum(-1)
     expected = kl.masked_fill(~mask, 0).sum() / B
     np.testing.assert_allclose(ours, float(expected), rtol=1e-4)
+
+
+def test_filter_blank_embedding_matches_python_oracle():
+    """Static-shape compaction == reference index_select+pad
+    (asr_model.py:220-246)."""
+    from reverb_tpu.models.asr_model import filter_blank_embedding
+    rng = np.random.RandomState(3)
+    B, T, D, V = 3, 11, 4, 6
+    enc = rng.randn(B, T, D).astype(np.float32)
+    probs = rng.randn(B, T, V).astype(np.float32)
+    lens = np.array([11, 7, 0])
+    mask = (np.arange(T)[None, :] < lens[:, None])[:, None, :]
+    cfg = ModelConfig.from_config(TINY)
+    out, new_mask = filter_blank_embedding(
+        cfg, jnp.asarray(probs), jnp.asarray(enc), jnp.asarray(mask))
+    out, new_mask = np.asarray(out), np.asarray(new_mask)
+    top1 = probs.argmax(-1)
+    for b in range(B):
+        keep = [t for t in range(int(lens[b])) if top1[b, t] != cfg.blank_id]
+        np.testing.assert_allclose(out[b, :len(keep)], enc[b, keep],
+                                   rtol=1e-6)
+        assert new_mask[b, 0].sum() == len(keep)
+        np.testing.assert_allclose(out[b, len(keep):], 0.0)
+
+
+def test_apply_non_blank_embedding_loss_and_decode():
+    conf = dict(TINY)
+    conf['model_conf'] = dict(TINY['model_conf'],
+                              apply_non_blank_embedding=True)
+    cfg = ModelConfig.from_config(conf)
+    assert cfg.apply_non_blank_embedding
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T = 2, 37
+    batch = {
+        'feats': jnp.asarray(np.random.RandomState(0)
+                             .randn(B, T, 80).astype(np.float32)),
+        'feats_lengths': jnp.array([T, T - 9]),
+        'target': jnp.array([[1, 2, 3, -1], [4, 5, -1, -1]]),
+        'target_lengths': jnp.array([3, 2]),
+        'cat_embs': jnp.array([[1.0, 0.0], [0.0, 1.0]]),
+    }
+    out = compute_loss(params, cfg, batch)
+    assert np.isfinite(float(out['loss']))
+
+    from reverb_tpu.decode.api import decode
+    res = decode(params, cfg, ['attention_rescoring'], batch['feats'],
+                 batch['feats_lengths'], beam_size=3,
+                 cat_embs=np.array([1.0, 0.0]))
+    assert len(res['attention_rescoring']) == B
