@@ -186,11 +186,22 @@ def _transducer_bundle(configs, rng, cmvn) -> ModelBundle:
         predictor=configs.get('predictor', 'rnn'),
         **_dataclass_kwargs(TransducerConfig,
                             {**pred_conf, **joint_conf}))
-    k1, k2 = jax.random.split(rng)
+    # bidirectional transducer: second predictor+joint scores the
+    # time-reversed encoder stream against reversed labels, combined
+    # 0.7·L2R + 0.3·R2L (transducer_espnet/bitransducer.py:12-110)
+    bi = (configs.get('model') == 'bitransducer'
+          or bool(model_conf.get('use_bitransducer')))
+    w_r = model_conf.get('bitransducer_r_weight', 0.3)
+    k1, k2, k3 = jax.random.split(rng, 3)
     params = init_params(k1, acfg, cmvn=cmvn)
     params.update(init_transducer(k2, tcfg))
+    if bi:
+        rparams = init_transducer(k3, tcfg)
+        params['predictor_r'] = rparams['predictor']
+        params['joint_r'] = rparams['joint']
 
     def loss(params, batch, rng=None):
+        from reverb_tpu.utils.common import reverse_sequence
         rngs = Rngs(rng) if rng is not None else None
         enc, mask = forward_encoder(params, acfg, batch['feats'],
                                     batch['feats_lengths'],
@@ -201,13 +212,22 @@ def _transducer_bundle(configs, rng, cmvn) -> ModelBundle:
         labels = jnp.where(text == acfg.ignore_id, 0, text)
         l_rnnt = transducer_loss(params, enc, enc_lens, labels, text_lens,
                                  tcfg)
+        if bi:
+            enc_r = reverse_sequence(enc, enc_lens, 0.0)
+            labels_r = reverse_sequence(labels, text_lens, 0)
+            l_rnnt_r = transducer_loss(
+                {'predictor': params['predictor_r'],
+                 'joint': params['joint_r']},
+                enc_r, enc_lens, labels_r, text_lens, tcfg)
+            l_rnnt = (1.0 - w_r) * l_rnnt + w_r * l_rnnt_r
         l_ctc = ctc_mod.ctc_loss(params['ctc'], enc, enc_lens, labels,
                                  text_lens, blank_id=acfg.blank_id) \
             if w_ctc else 0.0
         return {'loss': w_t * l_rnnt + w_ctc * l_ctc, 'loss_rnnt': l_rnnt,
                 'loss_ctc': l_ctc}
 
-    return ModelBundle('transducer', (acfg, tcfg), params, loss)
+    return ModelBundle('bitransducer' if bi else 'transducer', (acfg, tcfg),
+                       params, loss)
 
 
 def _paraformer_bundle(configs, rng, cmvn) -> ModelBundle:
@@ -363,6 +383,7 @@ def _whisper_bundle(configs, rng, cmvn) -> ModelBundle:
 _MODEL_REGISTRY = {
     'asr_model': _asr_bundle,
     'transducer': _transducer_bundle,
+    'bitransducer': _transducer_bundle,
     'paraformer': _paraformer_bundle,
     'ctl_model': _ctl_bundle,
     'bestrq': _bestrq_bundle,

@@ -142,11 +142,14 @@ def reverse_sequence(ys_pad: jax.Array, ys_lens: jax.Array,
     Equivalent to reverse_pad_list + the ONNX-safe gather at
     asr/wenet/transformer/asr_model.py:921-948.
     """
-    B, L = ys_pad.shape
+    B, L = ys_pad.shape[:2]
     idx = jnp.arange(L)[None, :]
     seq_mask = idx < ys_lens[:, None]
     gather = (ys_lens[:, None] - 1) - idx
     gather = jnp.where(seq_mask, gather, 0)
+    if ys_pad.ndim == 3:   # (B, T, D) feature streams reverse along time
+        gather = gather[:, :, None]
+        seq_mask = seq_mask[:, :, None]
     rev = jnp.take_along_axis(ys_pad, gather, axis=1)
     return jnp.where(seq_mask, rev, pad_value)
 

@@ -106,3 +106,54 @@ def test_greedy_and_beam_search(model):
     res2 = transducer_beam_search(model, enc, enc_lens, CFG, beam_size=3)
     assert len(res2) == 2
     assert np.isfinite(res2[0].score)
+
+
+def test_reverse_sequence_3d():
+    from reverb_tpu.utils.common import reverse_sequence
+    x = np.arange(2 * 4 * 3, dtype=np.float32).reshape(2, 4, 3)
+    lens = np.array([4, 2])
+    out = np.asarray(reverse_sequence(jnp.asarray(x), jnp.asarray(lens), 0.0))
+    np.testing.assert_allclose(out[0], x[0, ::-1])
+    np.testing.assert_allclose(out[1, :2], x[1, 1::-1])
+    np.testing.assert_allclose(out[1, 2:], 0.0)
+
+
+def test_bitransducer_bundle_loss_and_grads():
+    """BiTransducer: 0.7 L2R + 0.3 R2L over reversed features/labels
+    (transducer_espnet/bitransducer.py:12-110)."""
+    from reverb_tpu.models.registry import init_model
+    conf = {
+        'input_dim': 80, 'output_dim': 30,
+        'model': 'bitransducer',
+        'encoder': 'conformer',
+        'encoder_conf': {'output_size': 16, 'attention_heads': 2,
+                         'linear_units': 32, 'num_blocks': 2,
+                         'input_layer': 'conv2d',
+                         'pos_enc_layer_type': 'rel_pos',
+                         'selfattention_layer_type': 'rel_selfattn',
+                         'macaron_style': True, 'use_cnn_module': True,
+                         'cnn_module_kernel': 7},
+        'decoder': 'transformer',
+        'decoder_conf': {'attention_heads': 2, 'linear_units': 32,
+                         'num_blocks': 1},
+        'model_conf': {'ctc_weight': 0.2, 'transducer_weight': 0.8},
+        'predictor': 'rnn',
+        'predictor_conf': {'predictor_embed_size': 16,
+                           'predictor_hidden_size': 16,
+                           'predictor_layers': 1, 'join_dim': 16},
+    }
+    bundle = init_model(conf, jax.random.PRNGKey(0))
+    assert bundle.kind == 'bitransducer'
+    assert 'predictor_r' in bundle.params and 'joint_r' in bundle.params
+    B, T = 2, 23
+    batch = {'feats': jnp.asarray(
+                 np.random.RandomState(0).randn(B, T, 80).astype(np.float32)),
+             'feats_lengths': jnp.array([T, T - 7]),
+             'target': jnp.array([[1, 2, 3], [4, 5, -1]]),
+             'target_lengths': jnp.array([3, 2])}
+    out = bundle.loss_fn(bundle.params, batch)
+    assert np.isfinite(float(out['loss']))
+    g = jax.grad(lambda p: bundle.loss_fn(p, batch)['loss'])(bundle.params)
+    gnorm_r = sum(float(jnp.sum(jnp.abs(x)))
+                  for x in jax.tree.leaves(g['predictor_r']))
+    assert gnorm_r > 0.0   # reverse branch participates in the loss
