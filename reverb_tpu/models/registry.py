@@ -365,6 +365,18 @@ def _whisper_bundle(configs, rng, cmvn) -> ModelBundle:
 
     def loss(params, batch, rng=None):
         feats = whisper_encode(params['encoder'], batch['feats'], wcfg)
+        if 'ys_in' in batch:
+            # multitask sot/lang/task prompt targets, prebuilt host-side by
+            # utils.common.add_whisper_tokens (utils/common.py:158-237)
+            ys_in, ys_out = batch['ys_in'], batch['ys_out']
+            logits = whisper_decode(params['decoder'], ys_in, feats, wcfg)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            valid = ys_out != -1
+            tgt = jnp.where(valid, ys_out, 0)
+            nll = -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0]
+            total = jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(
+                jnp.sum(valid), 1)
+            return {'loss': total}
         text, text_lens = batch['target'], batch['target_lengths']
         tokens = jnp.where(text == -1, 0, text)
         logits = whisper_decode(params['decoder'], tokens[:, :-1], feats,

@@ -182,3 +182,62 @@ def remove_duplicates_and_blank(hyp, blank_id: int = 0):
             out.append(int(t))
         prev = t
     return out
+
+
+# Canonical whisper language order (languages.py of openai/whisper);
+# language token id = sot + 1 + index (reference utils/common.py:207).
+WHISPER_LANGS = (
+    'en', 'zh', 'de', 'es', 'ru', 'ko', 'fr', 'ja', 'pt', 'tr', 'pl', 'ca',
+    'nl', 'ar', 'sv', 'it', 'id', 'hi', 'fi', 'vi', 'he', 'uk', 'el', 'ms',
+    'cs', 'ro', 'da', 'hu', 'ta', 'no', 'th', 'ur', 'hr', 'bg', 'lt', 'la',
+    'mi', 'ml', 'cy', 'sk', 'te', 'fa', 'lv', 'bn', 'sr', 'az', 'sl', 'kn',
+    'et', 'mk', 'br', 'eu', 'is', 'hy', 'ne', 'mn', 'bs', 'kk', 'sq', 'sw',
+    'gl', 'mr', 'pa', 'si', 'km', 'sn', 'yo', 'so', 'af', 'oc', 'ka', 'be',
+    'tg', 'sd', 'gu', 'am', 'yi', 'lo', 'uz', 'fo', 'ht', 'ps', 'tk', 'nn',
+    'mt', 'sa', 'lb', 'my', 'bo', 'tl', 'mg', 'as', 'tt', 'haw', 'ln', 'ha',
+    'ba', 'jw', 'su')
+
+
+def add_whisper_tokens(special_tokens, ys_pad, ignore_id: int, tasks, langs,
+                       no_timestamp: bool = True):
+    """Whisper-style multitask prompt construction (utils/common.py:158-237).
+
+    Host-side (numpy): per utterance prepend [sot, lang_id, task_id,
+    no_timestamps?] and append eot to the target.  Returns (ys_in, ys_out)
+    padded with eot / ignore_id respectively.  tasks in {transcribe,
+    translate, vad}; timestamped targets are NotImplemented exactly as in the
+    reference.
+    """
+    import numpy as np
+    ys_pad = np.asarray(ys_pad)
+    B = ys_pad.shape[0]
+    assert len(tasks) == B and len(langs) == B
+    ys_in_list, ys_out_list = [], []
+    for b in range(B):
+        task, lang = tasks[b], langs[b]
+        if task == 'transcribe':
+            task_id = special_tokens['transcribe']
+        elif task == 'translate':
+            task_id = special_tokens['translate']
+        elif task == 'vad':
+            task_id = special_tokens['no_speech']
+        else:
+            raise NotImplementedError(f'unsupported task {task}')
+        language_id = special_tokens['sot'] + 1 + WHISPER_LANGS.index(lang)
+        prefix = [special_tokens['sot'], language_id, task_id]
+        if task in ('transcribe', 'translate'):
+            if no_timestamp:
+                prefix.append(special_tokens['no_timestamps'])
+            else:
+                raise NotImplementedError('timestamped whisper targets')
+        y = ys_pad[b][ys_pad[b] != ignore_id]
+        ys_in_list.append(np.concatenate([prefix, y]))
+        ys_out_list.append(np.concatenate([prefix[1:], y,
+                                           [special_tokens['eot']]]))
+    L = max(len(y) for y in ys_in_list)
+    ys_in = np.full((B, L), special_tokens['eot'], np.int32)
+    ys_out = np.full((B, L), ignore_id, np.int32)
+    for b in range(B):
+        ys_in[b, :len(ys_in_list[b])] = ys_in_list[b]
+        ys_out[b, :len(ys_out_list[b])] = ys_out_list[b]
+    return ys_in, ys_out

@@ -68,3 +68,22 @@ def test_th_accuracy():
     gold = jnp.array([[1, 2, -1]])
     acc = float(th_accuracy(pred, gold, -1))
     assert abs(acc - 1.0) < 1e-6
+
+
+def test_add_whisper_tokens():
+    """Prompt construction parity (utils/common.py:158-237): ys_in gets
+    [sot, lang, task, no_timestamps] prefix, ys_out shifts it off and
+    appends eot; pads are eot / ignore_id."""
+    from reverb_tpu.utils.common import WHISPER_LANGS, add_whisper_tokens
+    sp = {'sot': 500, 'eot': 501, 'transcribe': 601, 'translate': 602,
+          'no_speech': 603, 'no_timestamps': 604}
+    ys = np.array([[7, 8, 9], [4, -1, -1]])
+    ys_in, ys_out = add_whisper_tokens(sp, ys, -1,
+                                       tasks=['transcribe', 'vad'],
+                                       langs=['en', 'zh'])
+    en_id = 500 + 1 + WHISPER_LANGS.index('en')
+    zh_id = 500 + 1 + WHISPER_LANGS.index('zh')
+    assert ys_in[0].tolist() == [500, en_id, 601, 604, 7, 8, 9]
+    assert ys_out[0].tolist() == [en_id, 601, 604, 7, 8, 9, 501]
+    assert ys_in[1].tolist() == [500, zh_id, 603, 4, 501, 501, 501]
+    assert ys_out[1].tolist() == [zh_id, 603, 4, 501, -1, -1, -1]
