@@ -191,25 +191,37 @@ def moe_feed_forward(p, x, cfg: EncoderConfig, rngs=None, activation=None):
 
     TPU design: instead of the reference's per-expert gather/scatter (dynamic
     shapes), every expert runs densely over all tokens and non-selected
-    experts get weight 0 — identical math, static shapes, and each expert is
-    one big MXU matmul.  Dense compute costs E/k extra FLOPs, the right trade
-    at reference scale (E=8); a capacity-bucketed dispatch over an 'expert'
-    mesh axis is the scale-out path.
+    experts get weight 0 — identical math, static shapes, one batched
+    (E,·,·) MXU einsum per projection.  Dense compute costs E/k extra FLOPs,
+    the right trade at reference scale (E=8).  The stacked expert tensors
+    are annotated over the mesh's Auto 'expert' axis (expert parallelism:
+    each device group computes its experts over all tokens; the weighted
+    combine contracts E, so XLA reduces partial sums over ICI).
     """
+    from reverb_tpu.parallel.mesh import constrain
     act = activation or ACTIVATIONS[cfg.activation_type]
     B, L, D = x.shape
     xs = x.reshape(-1, D)
     router = linear(p['gate'], xs)                       # (N, E)
-    k = min(cfg.n_expert_per_token, len(p['experts']))
+    E = len(p['experts'])
+    k = min(cfg.n_expert_per_token, E)
     logits, idx = jax.lax.top_k(router, k)               # (N, k)
     w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.zeros_like(xs)
-    for e, ep in enumerate(p['experts']):
-        we = jnp.sum(jnp.where(idx == e, w, 0.0), axis=-1)   # (N,)
-        h = linear(ep['w_2'], dropout(act(linear(ep['w_1'], xs)),
-                                      cfg.dropout_rate,
-                                      rngs.next() if rngs else None))
-        out = out + we[:, None] * h
+    # dense per-token expert weights: we[n,e] = w[n,j] if idx[n,j]==e else 0
+    we = jnp.sum(jnp.where(idx[:, :, None] == jnp.arange(E)[None, None, :],
+                           w[:, :, None], 0.0), axis=1)  # (N, E)
+    w1 = constrain(jnp.stack([ep['w_1']['weight'] for ep in p['experts']]),
+                   'expert')                              # (E, H, D)
+    b1 = constrain(jnp.stack([ep['w_1']['bias'] for ep in p['experts']]),
+                   'expert')                              # (E, H)
+    w2 = constrain(jnp.stack([ep['w_2']['weight'] for ep in p['experts']]),
+                   'expert')                              # (E, D, H)
+    b2 = constrain(jnp.stack([ep['w_2']['bias'] for ep in p['experts']]),
+                   'expert')                              # (E, D)
+    h = act(jnp.einsum('nd,ehd->enh', xs, w1) + b1[:, None, :])
+    h = dropout(h, cfg.dropout_rate, rngs.next() if rngs else None)
+    y = jnp.einsum('enh,edh->end', h, w2) + b2[:, None, :]   # (E, N, D)
+    out = jnp.einsum('ne,end->nd', we, y)
     return out.reshape(B, L, D)
 
 

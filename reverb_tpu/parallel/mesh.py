@@ -8,7 +8,19 @@ Reference capabilities covered:
     → optimizer state sharded along 'data' via sharding rules (ZeRO≙sharded
     adam moments; XLA inserts reduce-scatter/all-gather on ICI).
   - NEW (no reference counterpart): tensor parallelism over a 'model' axis —
-    attention heads and FFN hidden dims sharded, collectives ride ICI.
+    attention heads and FFN hidden dims sharded, collectives ride ICI;
+    sequence parallelism over a 'seq' axis (encoder time dim sharded for
+    long-form single-pass encoding, SURVEY.md §5 long-context); expert
+    parallelism over an 'expert' axis for the MoE FFN; pipeline parallelism
+    over a 'pipe' axis (parallel/pipeline.py).
+
+All axes are Auto-typed: params/batches are placed with device_put
+NamedShardings, activations/stacked expert weights get
+`with_sharding_constraint` hints, and XLA's SPMD partitioner propagates
+(halo exchange for convs, all-gather for attention scores) exactly as the
+scaling-book recipe prescribes.  (Explicit axis types would demand reshard
+calls at every replicated↔sharded concat inside the model code — strictly
+worse ergonomics for identical compiled programs.)
 
 The param pytree keys mirror torch paths, so sharding rules are regex→
 PartitionSpec tables over the flattened dotted path.
@@ -21,20 +33,44 @@ from typing import Optional, Sequence
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import AxisType, Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(data: int = -1, model: int = 1,
+def make_mesh(data: int = -1, model: int = 1, seq: int = 1, expert: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a ('data','model') mesh. data=-1 → all remaining devices."""
+    """Build a ('data','seq','expert','model') mesh; data=-1 → all remaining
+    devices.  Size-1 axes cost nothing; legacy ('data','model') callers are
+    unchanged."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % model == 0, (n, model)
-        data = n // model
-    assert data * model == n, (data, model, n)
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, ('data', 'model'))
+        assert n % (model * seq * expert) == 0, (n, model, seq, expert)
+        data = n // (model * seq * expert)
+    assert data * model * seq * expert == n, (data, seq, expert, model, n)
+    arr = np.asarray(devices).reshape(data, seq, expert, model)
+    return Mesh(arr, ('data', 'seq', 'expert', 'model'))
+
+
+def constrain(x, *axis_names):
+    """Hint the ambient-mesh sharding of `x`: one mesh-axis name (or None)
+    per array dim.  No-op outside a mesh; silently drops axes that are
+    missing, size-1, non-Auto, or don't divide the dim — so model code can
+    annotate unconditionally and still run on CPU unit-test meshes.
+    """
+    am = jax.sharding.get_abstract_mesh()
+    if not getattr(am, 'shape_tuple', ()):
+        return x
+    sizes = dict(am.shape_tuple)
+    types = dict(zip(am.axis_names, am.axis_types))
+    spec = []
+    for d, name in enumerate(axis_names):
+        ok = (name is not None and sizes.get(name, 1) > 1
+              and types.get(name) == AxisType.Auto   # Explicit needs reshard
+              and d < x.ndim and x.shape[d] % sizes[name] == 0)
+        spec.append(name if ok else None)
+    if not any(spec):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
 # (regex over dotted param path) → PartitionSpec. First match wins.

@@ -134,6 +134,14 @@ def make_train_step(cfg: ModelConfig, tx, accum_grad: int = 1,
             return compute_loss(params, cfg, batch, rng=rng)
 
     def wrapped(params, batch, rng):
+        # sequence parallelism: hint the feature time axis over the mesh's
+        # Auto 'seq' axis; XLA propagates through the encoder (halo exchange
+        # for the subsample convs, all-gathers for attention scores) — no-op
+        # on meshes without a >1 'seq' axis.
+        from reverb_tpu.parallel.mesh import constrain
+        if 'feats' in batch:
+            batch = dict(batch, feats=constrain(batch['feats'],
+                                                None, 'seq', None))
         out = loss_fn(params, batch, rng)
         metrics = {k: (v if v is not None else jnp.zeros(()))
                    for k, v in out.items()}
