@@ -93,14 +93,16 @@ def batch_norm_last(p, x, eps: float = 1e-5):
     return x * scale + shift
 
 
-def depthwise_conv1d_ntc(p, x, padding: int = 0):
+def depthwise_conv1d_ntc(p, x, padding=0):
     """Depthwise conv over time for (B, T, C) activations — no layout
-    transposes (TPU-friendly NWC). torch-layout weight (C, 1, k)."""
+    transposes (TPU-friendly NWC). torch-layout weight (C, 1, k).
+    padding: int (symmetric) or (left, right) tuple."""
     w = p['weight'].astype(x.dtype).transpose(2, 1, 0)       # (k, 1, C)
+    pad = padding if isinstance(padding, tuple) else (padding, padding)
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(1,),
-        padding=[(padding, padding)],
+        padding=[pad],
         dimension_numbers=('NHC', 'HIO', 'NHC'),
         feature_group_count=x.shape[-1],
         precision=jax.lax.Precision.HIGHEST)

@@ -22,6 +22,7 @@ from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from reverb_tpu.models import ctc as ctc_mod
 from reverb_tpu.models.asr_model import (ModelConfig, compute_loss,
@@ -230,11 +231,124 @@ def _transducer_bundle(configs, rng, cmvn) -> ModelBundle:
                        params, loss)
 
 
+def _sanm_paraformer_bundle(configs, rng, cmvn) -> ModelBundle:
+    """Ali-Paraformer (paraformer/paraformer.py:105-293): LFR → SanmEncoder →
+    CIF predictor → glancing sampler → SanmDecoder; loss = CE + quantity L1
+    (+ optional CTC).  The tp (timestamp-predictor) branch is descoped — its
+    quantity term duplicates the main one for non-timestamped training."""
+    from reverb_tpu.models.paraformer import (CifConfig, cif_alphas, cif_fire)
+    from reverb_tpu.models.sanm import (SanmConfig, init_sanm_decoder,
+                                        init_sanm_encoder,
+                                        sanm_decoder_forward,
+                                        sanm_encoder_forward)
+    from reverb_tpu.utils.common import make_pad_mask
+
+    enc_conf = dict(configs.get('encoder_conf', {}) or {})
+    dec_conf = dict(configs.get('decoder_conf', {}) or {})
+    vocab = configs.get('output_dim') or configs['vocab_size']
+    lfr_conf = configs.get('lfr_conf', {}) or {}
+    m = int(lfr_conf.get('lfr_m', 7))
+    scfg = SanmConfig(
+        input_size=configs.get('input_dim', 80) * m,
+        output_size=enc_conf.get('output_size', 512),
+        attention_heads=enc_conf.get('attention_heads', 4),
+        linear_units=enc_conf.get('linear_units', 2048),
+        num_blocks=enc_conf.get('num_blocks', 50),
+        decoder_blocks=dec_conf.get('num_blocks', 16),
+        vocab_size=vocab,
+        kernel_size=enc_conf.get('kernel_size', 11),
+        sanm_shift=enc_conf.get('sanm_shfit', enc_conf.get('sanm_shift', 0)),
+        dropout_rate=enc_conf.get('dropout_rate', 0.1),
+        lfr_m=m, lfr_n=int(lfr_conf.get('lfr_n', 6)))
+    model_conf = configs.get('model_conf', {}) or {}
+    w_ctc = model_conf.get('ctc_weight', 0.0)
+    sampling_ratio = model_conf.get('sampling_ratio', 0.75)
+    use_sampler = model_conf.get('sampler', True)
+    cif_kwargs = _dataclass_kwargs(CifConfig,
+                                   dict(configs.get('cif_conf', {}) or {}))
+    cif_kwargs['idim'] = scfg.output_size
+    cif = CifConfig(**cif_kwargs)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    from reverb_tpu.models.paraformer import init_cif
+    params = {'encoder': init_sanm_encoder(k1, scfg),
+              'decoder': init_sanm_decoder(k2, scfg),
+              'predictor': init_cif(k3, cif)}
+    if w_ctc:
+        params['ctc'] = {'ctc_lo': init_linear(k4, scfg.output_size, vocab)}
+    cmvn_t = None
+    if cmvn is not None:
+        # CMVN stats are over the post-LFR stacked dim for sanm models
+        mean, istd = cmvn
+        if np.asarray(mean).shape[-1] == scfg.input_size:
+            cmvn_t = (jnp.asarray(mean), jnp.asarray(istd))
+
+    def loss(params, batch, rng=None):
+        rngs = Rngs(rng) if rng is not None else None
+        enc, mask = sanm_encoder_forward(params['encoder'], batch['feats'],
+                                         batch['feats_lengths'], scfg,
+                                         cmvn=cmvn_t, rngs=rngs)
+        text, text_lens = batch['target'], batch['target_lengths']
+        labels = jnp.where(text == -1, 0, text)
+        B, U = labels.shape
+        tgt_mask = ~make_pad_mask(text_lens, U)                  # (B,U)
+
+        alphas = cif_alphas(params['predictor'], enc, mask, cif)
+        token_num = jnp.sum(alphas, axis=1)
+        scale = text_lens.astype(jnp.float32) / jnp.maximum(token_num, 1e-4)
+        acoustic, _ = cif_fire(enc, alphas * scale[:, None], U,
+                               cif.threshold)                    # (B,U,D)
+
+        if use_sampler:
+            # glancing sampler (paraformer.py:238-276): where the frozen
+            # decoder errs, mix in GT embeddings at sampling_ratio
+            emb_w = params['decoder']['embed']['0']['weight']
+            gt_emb = emb_w[labels]                               # (B,U,D)
+            dec0 = jax.lax.stop_gradient(sanm_decoder_forward(
+                params['decoder'], enc, mask, acoustic, text_lens, scfg))
+            pred = jnp.argmax(dec0, axis=-1)
+            same = jnp.sum((pred == labels) & tgt_mask, axis=1)
+            target_num = ((text_lens - same).astype(jnp.float32)
+                          * sampling_ratio).astype(jnp.int32)
+            r = jax.random.uniform(rng if rng is not None
+                                   else jax.random.PRNGKey(0), (B, U))
+            r = jnp.where(tgt_mask, r, jnp.inf)   # randperm over valid slots
+            ranks = jnp.argsort(jnp.argsort(r, axis=1), axis=1)
+            replace = (ranks < target_num[:, None]) & tgt_mask
+            sematic = jnp.where(replace[:, :, None], gt_emb, acoustic)
+            sematic = sematic * tgt_mask[:, :, None]
+        else:
+            sematic = acoustic * tgt_mask[:, :, None]
+
+        dec_out = sanm_decoder_forward(params['decoder'], enc, mask, sematic,
+                                       text_lens, scfg, rngs=rngs)
+        loss_att = ctc_mod.label_smoothing_loss(
+            dec_out, jnp.where(tgt_mask, labels, -1), text_lens,
+            model_conf.get('lsm_weight', 0.1), vocab, -1,
+            model_conf.get('length_normalized_loss', False))
+        loss_quantity = (jnp.sum(jnp.abs(token_num
+                                         - text_lens.astype(jnp.float32)))
+                         / jnp.maximum(jnp.sum(text_lens), 1))
+        total = loss_att + loss_quantity
+        out = {'loss_decoder': loss_att, 'loss_quantity': loss_quantity}
+        if w_ctc:
+            enc_lens = jnp.sum(mask[:, 0, :], axis=-1)
+            l_ctc = ctc_mod.ctc_loss(params['ctc'], enc, enc_lens, labels,
+                                     text_lens)
+            total = total + w_ctc * l_ctc
+            out['loss_ctc'] = l_ctc
+        out['loss'] = total
+        return out
+
+    return ModelBundle('paraformer', scfg, params, loss)
+
+
 def _paraformer_bundle(configs, rng, cmvn) -> ModelBundle:
     from reverb_tpu.models.asr_model import forward_encoder
     from reverb_tpu.models.paraformer import (CifConfig, ParaformerConfig,
                                               init_paraformer_head,
                                               paraformer_loss)
+    if configs.get('encoder') == 'sanm_encoder':
+        return _sanm_paraformer_bundle(configs, rng, cmvn)
     acfg = ModelConfig.from_config(configs)
     pconf = dict(configs.get('paraformer_conf', {}) or {})
     cif_kwargs = _dataclass_kwargs(CifConfig, pconf.pop('cif_conf', {}) or {})
