@@ -384,7 +384,10 @@ def ctc_prefix_beam_search_device(ctc_probs, ctc_lens, beam_size: int,
     ctc_probs = ctc_probs.astype(jnp.float32)
     B, T, V = ctc_probs.shape
     L = max_tokens or T
-    topk_logp, topk_idx = jax.lax.top_k(ctc_probs, beam_size)   # (B,T,K2)
+    from reverb_tpu.ops.topk import topk_lastdim
+    # blocked exact top-k: lax.top_k's whole-row sort was 45% of the
+    # long-form pipeline at V=10k (ops/topk.py)
+    topk_logp, topk_idx = topk_lastdim(ctc_probs, beam_size)   # (B,T,K2)
     topk_idx = topk_idx.astype(jnp.int32)
     if blank_skip_threshold > 0.0:
         cap = keep_cap or T

@@ -105,7 +105,8 @@ def ctc_activation_more(params, encoder_out,
     """
     ctc_probs = ctc_log_softmax(params, encoder_out)[0]        # (T, V)
     T = ctc_probs.shape[0]
-    top2_vals, top2_idx = jax.lax.top_k(ctc_probs, 2)
+    from reverb_tpu.ops.topk import topk_lastdim
+    top2_vals, top2_idx = topk_lastdim(ctc_probs, 2)
     only_nonblank = jnp.all(top2_idx != blank_id, axis=1)
     n_only_nonblank = jnp.sum(only_nonblank)
     ratio = n_only_nonblank / T

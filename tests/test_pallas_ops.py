@@ -108,3 +108,25 @@ def test_ineligible_cases_fall_back():
                                            None, None)
     finally:
         fa.set_use_pallas(None)
+
+
+def test_topk_lastdim_matches_lax_topk():
+    """Blocked exact top-k == lax.top_k bit-for-bit, including ties
+    (ops/topk.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from reverb_tpu.ops.topk import topk_lastdim
+    rng = np.random.RandomState(0)
+    for shape, k, block in (((3, 7, 2000), 10, 128), ((2, 555), 4, 64),
+                            ((5, 1030), 7, 128), ((4, 100), 3, 128)):
+        x = rng.randn(*shape).astype(np.float32)
+        # force ties to exercise lexicographic masking
+        x[..., ::7] = x[..., 1::7][..., :x[..., ::7].shape[-1]] \
+            if x[..., 1::7].shape[-1] >= x[..., ::7].shape[-1] else x[..., ::7]
+        flat = x.reshape(-1, x.shape[-1])
+        flat[:, 3] = flat[:, 11]   # exact duplicates
+        v1, i1 = jax.lax.top_k(jnp.asarray(x), k)
+        v2, i2 = topk_lastdim(jnp.asarray(x), k, block=block)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
