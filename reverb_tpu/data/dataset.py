@@ -13,7 +13,7 @@ from functools import partial
 from typing import Optional
 
 from reverb_tpu.data import processor, rev_processor
-from reverb_tpu.data.pipeline import Pipeline
+from reverb_tpu.data.pipeline import Pipeline, mystats
 from reverb_tpu.data.source import (line_source, parse_json, tar_shard_source)
 
 
@@ -35,7 +35,20 @@ def Dataset(data_type: str, data_list_file, tokenizer=None, conf=None,
         ds = tar_shard_source(data_list_file, partition, list_shuffle,
                               list_shuffle_size, cycle, rank, world_size,
                               seed)
-    ds = ds.map_ignore_error(processor.decode_wav)
+    # num_workers ≙ DataLoader workers (train_utils.py:301-349): thread-pool
+    # audio decode — the native C++ decoder releases the GIL
+    num_workers = int(conf.get('num_workers', 0) or 0)
+    if num_workers > 1:
+        def _decode_or_none(sample):
+            try:
+                return processor.decode_wav(sample)
+            except Exception:                              # noqa: BLE001
+                mystats['map_error'] += 1
+                return None
+        ds = ds.map_parallel(_decode_or_none, workers=num_workers)
+        ds = ds.filter(lambda s: s is not None)
+    else:
+        ds = ds.map_ignore_error(processor.decode_wav)
 
     speaker_conf = conf.get('speaker_conf')
     if speaker_conf is not None:

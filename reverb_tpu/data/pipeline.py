@@ -195,6 +195,38 @@ class Pipeline:
                 yield wrapper_class(buf) if wrapper_class else buf
         return Pipeline(gen)
 
+    def map_parallel(self, fn, workers: int = 4,
+                     buffer_size: int = 32) -> 'Pipeline':
+        """Order-preserving thread-pool map — the DataLoader-num_workers
+        equivalent (utils/train_utils.py:301-349).
+
+        Threads (not processes) suffice on this stack: the heavy per-sample
+        ops (WAV decode, sinc resample, kaldi fbank) run in the native C++
+        runtime via ctypes, which releases the GIL, so `workers` samples
+        decode concurrently.  Exceptions propagate at the failing sample's
+        position.  buffer_size bounds in-flight futures (backpressure).
+        """
+        if workers <= 1:
+            return self.map(fn)
+
+        def gen():
+            from concurrent.futures import ThreadPoolExecutor
+            import collections
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                pending = collections.deque()
+                it = iter(self)
+                try:
+                    for x in it:
+                        pending.append(ex.submit(fn, x))
+                        if len(pending) >= buffer_size:
+                            yield pending.popleft().result()
+                    while pending:
+                        yield pending.popleft().result()
+                finally:
+                    for f in pending:
+                        f.cancel()
+        return Pipeline(gen)
+
     def prefetch(self, buffer_size: int = 4) -> 'Pipeline':
         """Background-thread prefetch so host IO overlaps device compute."""
         def gen():

@@ -166,3 +166,57 @@ def test_pad_len_multiple():
              'wav': np.ones((1, 80), np.float32)}]
     b = processor.padding(data, pad_len_multiple=32)
     assert b['feats'].shape[1] == 64   # 37 → 64
+
+
+def test_map_parallel_preserves_order_and_propagates_errors():
+    from reverb_tpu.data.pipeline import from_list
+    import time as _time
+
+    def slow_sq(x):
+        _time.sleep(0.001 * (x % 3))
+        return x * x
+
+    got = list(from_list(range(50)).map_parallel(slow_sq, workers=4,
+                                                 buffer_size=8))
+    assert got == [x * x for x in range(50)]
+
+    def boom(x):
+        if x == 5:
+            raise ValueError('boom')
+        return x
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        list(from_list(range(10)).map_parallel(boom, workers=3))
+
+
+def test_dataset_num_workers_parallel_decode(tmp_path):
+    import json
+    import numpy as np
+    import wave as wave_mod
+    from reverb_tpu.data.dataset import Dataset
+    from reverb_tpu.text.tokenizer import CharTokenizer
+
+    lines = []
+    for i in range(6):
+        p = tmp_path / f'a{i}.wav'
+        with wave_mod.open(str(p), 'wb') as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((np.random.RandomState(i).randn(8000) * 3000)
+                          .astype('<i2').tobytes())
+        lines.append(json.dumps({'key': f'u{i}', 'wav': str(p),
+                                 'txt': 'ab'}))
+    lst = tmp_path / 'data.list'
+    lst.write_text('\n'.join(lines) + '\n')
+    sym = tmp_path / 'units.txt'
+    sym.write_text('<blank> 0\na 1\nb 2\n')
+    tok = CharTokenizer(str(sym))
+    conf = {'num_workers': 4, 'fbank_conf': {'num_mel_bins': 23},
+            'batch_conf': {'batch_type': 'static', 'batch_size': 3},
+            'shuffle': False, 'sort': False}
+    batches = list(Dataset('raw', str(lst), tok, conf, partition=False))
+    assert sum(b['feats'].shape[0] for b in batches) == 6
+    keys = {k for b in batches for k in b['keys']}
+    assert keys == {f'u{i}' for i in range(6)}   # nothing lost or duplicated
