@@ -50,6 +50,9 @@ def get_args(argv=None):
                         help='0.0 = nonverbatim, 1.0 = verbatim (LSL input)')
     parser.add_argument('--timings_adjustment', type=float, default=230,
                         help='ms adjustment of word timings')
+    parser.add_argument('--quantize', default='none',
+                        choices=['none', 'int8'],
+                        help='int8: post-training-quantized serving path')
     parser.add_argument('--compute_dtype', default='float32',
                         choices=['float32', 'bfloat16'])
     parser.add_argument('--log_level', default='INFO')
@@ -69,13 +72,15 @@ def main(argv=None):
         raise RuntimeError(
             'One of either --model or (--checkpoint and --config) must be set.')
     if model_set:
-        model = load_model(args.model, compute_dtype=args.compute_dtype)
+        model = load_model(args.model, compute_dtype=args.compute_dtype,
+                           quantize=args.quantize)
     else:
         model = ReverbASR(args.config, args.checkpoint,
                           cmvn_path=args.cmvn_path,
                           tokenizer_symbols=args.tokenizer_symbols,
                           bpe_path=args.bpe_path,
-                          compute_dtype=args.compute_dtype)
+                          compute_dtype=args.compute_dtype,
+                          quantize=args.quantize)
 
     files = {}
     for mode in args.modes:

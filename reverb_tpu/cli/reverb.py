@@ -65,6 +65,7 @@ class ReverbASR:
                  tokenizer_symbols: Optional[str] = None,
                  bpe_path: Optional[str] = None,
                  compute_dtype: str = 'float32',
+                 quantize: str = 'none',
                  gpu: int = -1):
         del gpu  # accepted for API parity; device selection is JAX's
         self.checkpoint = checkpoint
@@ -92,6 +93,11 @@ class ReverbASR:
                 self.model_config, compute_dtype=jnp.bfloat16)
 
         self.params = self._load_params()
+        if quantize == 'int8':
+            # serving PTQ: per-channel int8 weights, dynamic per-token
+            # activations on the MXU int8 pipe (ops/quant.py)
+            from reverb_tpu.ops.quant import quantize_params_int8
+            self.params = quantize_params_int8(self.params)
         self.test_conf = self.configs.get('dataset_conf', {}) or {}
         fbank_conf = self.test_conf.get('fbank_conf', {}) or {}
         self.fbank = FbankConfig(

@@ -47,6 +47,14 @@ def dropout(x, rate: float, rng):
 
 
 def linear(p, x):
+    if 'weight_q8' in p:
+        # int8 serving path (ops/quant.py): per-out-channel int8 weights ×
+        # dynamic per-token int8 activations on the MXU int8 pipe
+        from reverb_tpu.ops.quant import int8_matmul
+        y = int8_matmul(x, p['weight_q8'], p['w_scale'])
+        if 'bias' in p and p['bias'] is not None:
+            y = y + p['bias'].astype(y.dtype)
+        return y
     y = jnp.matmul(x, p['weight'].T.astype(x.dtype),
                    precision=jax.lax.Precision.HIGHEST)
     if 'lora_A' in p:   # LoRA adapter (train/lora.py): y += s·(x Aᵀ) Bᵀ

@@ -1,0 +1,80 @@
+"""Post-training int8 quantization for serving.
+
+No reference counterpart (the reference serves fp32/fp16 via ONNX/TensorRT,
+`bin/recognize_onnx_gpu.py`); this is the TPU-native analogue of its INT8
+TensorRT option: v5e's MXU runs int8×int8→int32 at ~2× the bf16 rate, so
+the MXU-bound encoder gets real speedup where HBM and quant overhead allow
+(~1.25× measured per matmul including dynamic activation quant).
+
+Scheme (standard serving PTQ):
+  - weights: symmetric per-output-channel int8, scale = absmax/127, stored
+    as `weight_q8` (int8) + `w_scale` (f32, per out channel); `linear()` in
+    models/modules.py dispatches on the key, so every call site — attention
+    q/k/v/out/pos, FFN, decoders — picks it up without code changes.
+  - activations: dynamic symmetric per-token int8 (absmax/127 along the
+    feature axis), computed inline; accumulate int32, rescale to bf16.
+
+Quantize with `quantize_params_int8(params)`; keys whose path matches
+`skip` regexes keep full precision (defaults keep norms/bias/cmvn/embedding
+and the CTC projection, whose log-softmax feeds beam scores directly).
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+import jax.numpy as jnp
+
+
+def int8_matmul(x, w_q8, w_scale):
+    """x (..., K) f32/bf16 × w_q8 (N, K) int8 → (..., N) in x.dtype.
+
+    Dynamic per-token activation scales; int32 accumulation on the MXU.
+    """
+    s = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32) / 127.0
+    s = jnp.maximum(s, 1e-8)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127,
+                  127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_q8, (((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * s * w_scale.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+DEFAULT_SKIP = (
+    r'.*norm.*', r'.*cmvn.*', r'.*embed.*', r'.*pos_bias.*',
+    r'.*ctc_lo.*',          # CTC head: log-probs feed beam scores directly
+    r'.*depthwise_conv.*', r'.*pointwise_conv.*', r'.*conv.*',
+)
+
+
+def quantize_params_int8(params, skip=DEFAULT_SKIP):
+    """Return a copy of the param tree with every eligible linear `weight`
+    (2-D, inside a dict that looks like a Linear) replaced by
+    weight_q8 + w_scale.  Non-destructive; training params are unchanged.
+    """
+    skip_res = [re.compile(p) for p in skip]
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if 'weight' in node and getattr(node['weight'], 'ndim', 0) == 2 \
+                    and not any(r.match(path) for r in skip_res) \
+                    and 'running_mean' not in node:
+                w = jnp.asarray(node['weight'], jnp.float32)
+                scale = jnp.max(jnp.abs(w), axis=1) / 127.0   # (N,)
+                scale = jnp.maximum(scale, 1e-12)
+                q = jnp.clip(jnp.round(w / scale[:, None]), -127,
+                             127).astype(jnp.int8)
+                out = {k: v for k, v in node.items() if k != 'weight'}
+                out['weight_q8'] = q
+                out['w_scale'] = scale
+                return out
+            return {k: walk(v, f'{path}.{k}' if path else str(k))
+                    for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, f'{path}.{i}') for i, v in enumerate(node)]
+        return node
+
+    return walk(params, '')
