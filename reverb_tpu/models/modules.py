@@ -146,6 +146,12 @@ def conv1d(p, x, stride: int = 1, padding: int = 0, groups: int = 1):
 
 def conv2d(p, x, stride=(1, 1), padding=(0, 0)):
     """x: (B, C_in, H, W) → (B, C_out, H', W'). weight (C_out, C_in, kh, kw)."""
+    if 'weight_q8' in p:
+        from reverb_tpu.ops.quant import int8_conv2d
+        y = int8_conv2d(x, p['weight_q8'], p['w_scale'], stride, padding)
+        if 'bias' in p and p['bias'] is not None:
+            y = y + p['bias'][None, :, None, None].astype(y.dtype)
+        return y
     w = p['weight'].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, w,
