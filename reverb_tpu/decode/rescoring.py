@@ -24,10 +24,18 @@ from reverb_tpu.decode.results import DecodeResult
 from reverb_tpu.models.asr_model import ModelConfig, forward_attention_decoder
 
 
+def _bucket(n: int, step: int = 16) -> int:
+    """Round up to the next multiple of `step` — bounds the number of
+    distinct compiled shapes over a long-form run (each chunk's nbest has a
+    different Lmax; without bucketing every new length recompiles)."""
+    return max(step, -(-n // step) * step)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 5))
 def _rescore_device(params, cfg: ModelConfig, hyps_pad, hyps_lens, encoder_out,
-                    reverse_weight: float, cat_embs=None):
-    """hyps_pad (N,Lmax) WITHOUT sos; hyps_lens true lengths; encoder_out (1,T,D).
+                    reverse_weight: float, cat_embs=None, enc_len=None):
+    """hyps_pad (N,Lmax) WITHOUT sos; hyps_lens true lengths; encoder_out
+    (1,T,D) with `enc_len` valid frames (full-T static shape).
 
     Returns (att_score (N,), r_att_score (N,), token_logp (N,Lmax)).
     """
@@ -38,7 +46,8 @@ def _rescore_device(params, cfg: ModelConfig, hyps_pad, hyps_lens, encoder_out,
     hyps_in = jnp.concatenate([sos_col, body], axis=1)        # (N, L+1)
     lens_in = hyps_lens + 1
     l_x, r_x = forward_attention_decoder(params, cfg, hyps_in, lens_in,
-                                         encoder_out, reverse_weight, cat_embs)
+                                         encoder_out, reverse_weight, cat_embs,
+                                         encoder_lens=enc_len)
     idx = jnp.arange(Lmax)
     valid = idx[None, :] < hyps_lens[:, None]                 # (N,Lmax)
     tok = jnp.where(valid, hyps_pad, 0)
@@ -92,11 +101,15 @@ def score_hyps_with_decoder(params, cfg: ModelConfig, token_paths,
     for i, h in enumerate(token_paths):
         hyps_pad[i, :len(h)] = h
         lens[i] = len(h)
-    enc = jnp.asarray(np.asarray(encoder_out)[0:1, :int(encoder_lens[0])])
+    Lb = _bucket(Lmax)
+    if Lb != Lmax:
+        hyps_pad = np.pad(hyps_pad, ((0, 0), (0, Lb - Lmax)))
+    enc = jnp.asarray(np.asarray(encoder_out)[0:1])        # full T, static
     rw = 1.0 if cfg.decoder.r_num_blocks > 0 else 0.0
     att, r_att, _ = _rescore_device(
         params, cfg, jnp.asarray(hyps_pad), jnp.asarray(lens), enc, rw,
-        jnp.asarray(cat_embs) if cat_embs is not None else None)
+        jnp.asarray(cat_embs) if cat_embs is not None else None,
+        jnp.asarray(int(encoder_lens[0]), jnp.int32))
     return np.asarray(att), np.asarray(r_att)
 
 
@@ -119,16 +132,18 @@ def attention_rescoring(params, cfg: ModelConfig,
             results.append(DecodeResult(tokens=[], times=[],
                                         tokens_confidence=[]))
             continue
-        hyps_pad = np.zeros((N, Lmax), dtype=np.int32)
+        Lb = _bucket(Lmax)   # static-shape bucket: bounded compile count
+        hyps_pad = np.zeros((N, Lb), dtype=np.int32)
         lens = np.zeros((N,), dtype=np.int32)
         for i, h in enumerate(hyps):
             hyps_pad[i, :len(h)] = h
             lens[i] = len(h)
-        enc = jnp.asarray(encoder_outs[b:b + 1, :int(encoder_lens[b])])
+        enc = jnp.asarray(encoder_outs[b:b + 1])            # full T, static
         att, r_att, tok_logp = _rescore_device(
             params, cfg, jnp.asarray(hyps_pad), jnp.asarray(lens), enc,
             reverse_weight,
-            jnp.asarray(cat_embs) if cat_embs is not None else None)
+            jnp.asarray(cat_embs) if cat_embs is not None else None,
+            jnp.asarray(int(encoder_lens[b]), jnp.int32))
         att = np.asarray(att)
         r_att = np.asarray(r_att)
         tok_logp = np.asarray(tok_logp)

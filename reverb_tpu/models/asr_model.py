@@ -431,17 +431,24 @@ def compute_loss(params, cfg: ModelConfig, batch, rng=None):
 
 def forward_attention_decoder(params, cfg: ModelConfig, hyps_pad, hyps_lens,
                               encoder_out, reverse_weight: float = 0.0,
-                              cat_embs=None):
+                              cat_embs=None, encoder_lens=None):
     """Batched rescoring decoder pass (asr_model.py:867-978).
 
     hyps_pad: (N, L) already sos-prefixed, eos/ignore padded; hyps_lens incl
-    sos. encoder_out: (1, T, D) → broadcast to N.
+    sos. encoder_out: (1, T, D) → broadcast to N.  encoder_lens (scalar or
+    (1,)) masks padded frames so callers can keep a static full-T shape.
     Returns (log-softmax decoder_out (N,L,V), r_decoder_out (N,L,V) or zeros).
     """
     num_hyps = hyps_pad.shape[0]
     enc = jnp.broadcast_to(encoder_out,
                            (num_hyps,) + encoder_out.shape[1:])
-    enc_mask = jnp.ones((num_hyps, 1, enc.shape[1]), dtype=bool)
+    if encoder_lens is None:
+        enc_mask = jnp.ones((num_hyps, 1, enc.shape[1]), dtype=bool)
+    else:
+        enc_mask = jnp.broadcast_to(
+            (jnp.arange(enc.shape[1]) < jnp.reshape(encoder_lens, ()))[None,
+                                                                       None],
+            (num_hyps, 1, enc.shape[1]))
     # build reversed hyps (asr_model.py:902-953): drop sos, reverse valid
     # region, pad eos, re-prefix sos
     r_body = reverse_sequence(hyps_pad[:, 1:], hyps_lens - 1, cfg.eos)
