@@ -58,14 +58,22 @@ def read_ctm(path) -> List[Tuple[str, str, float, float, str, str]]:
 
 
 def assign_words_to_speakers(rttm_path, ctm_path, out_stm_path):
+    import os
     from reverb_tpu.diar.pipeline import load_rttm
     rttm = load_rttm(rttm_path)
-    assert len(rttm) == 1, list(rttm)
-    uri, segments = next(iter(rttm.items()))
+    assert len(rttm) <= 1, list(rttm)
+    if rttm:
+        uri, segments = next(iter(rttm.items()))
+    else:
+        # empty diarization (silence / no speech found): every word gets a
+        # single unknown speaker rather than crashing the pipeline
+        uri = os.path.splitext(os.path.basename(str(ctm_path)))[0]
+        segments = []
     index = IntervalIndex(segments)
     with open(out_stm_path, 'w') as f:
         for _, _chan, start, dur, token, _conf in read_ctm(ctm_path):
-            spk = speaker_for_segment(start, dur, index)
+            spk = (speaker_for_segment(start, dur, index) if segments
+                   else 'SPEAKER_UNK')
             f.write(f'{uri} 1 {spk} {start:.3f} {start + dur:.3f} {token}\n')
 
 

@@ -76,3 +76,63 @@ def test_force_align_repeat_token():
     logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
     ali = force_align(jnp.asarray(logp), [1, 1])
     assert ali == path
+
+
+def test_wder_basic_and_permutation():
+    """WDER (Shafey et al. 2019): wrong-speaker fraction over sub+correct
+    words under the best global speaker mapping."""
+    from reverb_tpu.eval.wder import wder
+    ref = [('hello', 'A'), ('world', 'A'), ('how', 'B'), ('are', 'B'),
+           ('you', 'B')]
+    # hyp uses different label names (spk1<->B, spk0<->A), one word wrong spk
+    hyp = [('hello', 'spk0'), ('world', 'spk1'), ('how', 'spk1'),
+           ('are', 'spk1'), ('you', 'spk1')]
+    m = wder(ref, hyp)
+    assert m['total'] == 5
+    assert m['wder'] == 1 / 5        # only 'world' attributed to wrong spk
+
+    # perfect diarization under permuted labels → 0
+    hyp2 = [(w, {'A': 'x', 'B': 'y'}[s]) for w, s in ref]
+    assert wder(ref, hyp2)['wder'] == 0.0
+
+    # ASR errors don't count as speaker errors when speaker is right
+    hyp3 = [('hello', 'A'), ('wrld', 'A'), ('how', 'B'), ('are', 'B'),
+            ('you', 'B')]
+    m3 = wder(ref, hyp3)
+    assert m3['sub'] == 1 and m3['wder'] == 0.0
+
+
+def test_wder_stm_roundtrip(tmp_path):
+    from reverb_tpu.eval.wder import read_stm_words, wder
+    ref = tmp_path / 'ref.stm'
+    hyp = tmp_path / 'hyp.stm'
+    ref.write_text('f 1 A 0.0 1.0 hello world\nf 1 B 1.0 2.0 bye\n')
+    hyp.write_text('f 1 s0 0.0 1.0 hello world\nf 1 s0 1.0 2.0 bye\n')
+    m = wder(read_stm_words(ref), read_stm_words(hyp))
+    assert m['total'] == 3
+    assert m['wder'] == 1 / 3        # 'bye' collapses into s0
+
+
+def test_asr_diarization_example_smoke(tmp_path):
+    """End-to-end §3.4 workload on a tiny model + synthetic wav."""
+    import sys
+    import wave as wave_mod
+    import numpy as np
+    sys.path.insert(0, 'tests')
+    sys.path.insert(0, 'examples')
+    from helpers import build_tiny_model_dir
+    mdir = build_tiny_model_dir(tmp_path / 'model')
+    wav = tmp_path / 'a.wav'
+    sr = 16000
+    pcm = (np.random.RandomState(0).randn(2 * sr) * 3000).astype('<i2')
+    with wave_mod.open(str(wav), 'wb') as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    import asr_diarization
+    asr_diarization.main([str(wav), '--asr_model', str(mdir),
+                          '--out_dir', str(tmp_path / 'out')])
+    assert (tmp_path / 'out' / 'a.rttm').exists()
+    assert (tmp_path / 'out' / 'a.ctm').exists()
+    assert (tmp_path / 'out' / 'a.stm').exists()
