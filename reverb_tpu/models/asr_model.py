@@ -106,7 +106,14 @@ class ModelConfig:
             sos = special.get('<sos>', sos)
             eos = special.get('<eos>', eos)
         focal = configs.get('focal_ctc', {}) or {}
+        # AMP parity (train_utils.py:598-626): dtype bf16/fp16 → bf16 compute
+        # on TPU (f32 master params; per-op weight casts inside linear/conv)
+        dtype = str(configs.get('dtype', 'fp32')).lower()
+        compute_dtype = jnp.bfloat16 if dtype in ('bf16', 'bfloat16',
+                                                  'fp16', 'float16') \
+            else jnp.float32
         return ModelConfig(
+            compute_dtype=compute_dtype,
             vocab_size=vocab_size,
             encoder=encoder,
             decoder=decoder,

@@ -143,13 +143,18 @@ def _single_decoder_forward(p, memory, memory_mask, ys_in_pad, ys_in_lens,
     x, _ = emb.abs_position_encoding(x, 0, cfg.positional_dropout_rate,
                                      rngs.next() if rngs else None)
     for i, lp in enumerate(p['decoders']):
-        step = lambda v: decoder_layer(lp, v, tgt_mask, memory, memory_mask,
-                                       cfg, cat_embs, rngs,
-                                       is_lsl=_layer_is_lsl(cfg, i, n_blocks))
         if cfg.gradient_checkpointing and rngs is not None:
-            x = jax.checkpoint(step)(x)
+            # per-layer dropout key passed explicitly so remat replay
+            # re-derives identical keys (see encoder.py remat note)
+            def step(v, key, lp=lp, i=i):
+                return decoder_layer(lp, v, tgt_mask, memory, memory_mask,
+                                     cfg, cat_embs, Rngs(key),
+                                     is_lsl=_layer_is_lsl(cfg, i, n_blocks))
+            x = jax.checkpoint(step)(x, rngs.next())
         else:
-            x = step(x)
+            x = decoder_layer(lp, x, tgt_mask, memory, memory_mask, cfg,
+                              cat_embs, rngs,
+                              is_lsl=_layer_is_lsl(cfg, i, n_blocks))
     if cfg.normalize_before:
         x = layer_norm(p['after_norm'], x)
     if cfg.use_output_layer:

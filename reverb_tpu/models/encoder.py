@@ -354,12 +354,19 @@ def encoder_forward(params, xs, xs_lens, cfg: EncoderConfig,
                 else transformer_layer)
     layer_outs = []
     for i, lp in enumerate(params['encoders']):
-        step = lambda x: layer_fn(lp, x, chunk_masks, pos_emb, mask_pad, cfg,
-                                  cat_embs, rngs, is_lsl=_layer_is_lsl(cfg, i))
         if cfg.gradient_checkpointing and rngs is not None:
-            xs, _, _ = jax.checkpoint(step)(xs)
+            # the per-layer dropout key is an explicit argument so the remat
+            # replay re-derives the SAME keys (a closed-over stateful Rngs
+            # would advance again on replay and leak tracers)
+            def step(x, key, lp=lp, i=i):
+                return layer_fn(lp, x, chunk_masks, pos_emb, mask_pad, cfg,
+                                cat_embs, Rngs(key),
+                                is_lsl=_layer_is_lsl(cfg, i))
+            xs, _, _ = jax.checkpoint(step)(xs, rngs.next())
         else:
-            xs, _, _ = step(xs)
+            xs, _, _ = layer_fn(lp, xs, chunk_masks, pos_emb, mask_pad, cfg,
+                                cat_embs, rngs,
+                                is_lsl=_layer_is_lsl(cfg, i))
         if return_layers:
             layer_outs.append(xs)
     if cfg.normalize_before:

@@ -140,3 +140,39 @@ def test_entry_compiles():
     fn, args = __graft_entry__.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gradient_checkpointing_with_dropout_trains():
+    """remat + dropout: per-layer keys passed into jax.checkpoint (a stateful
+    Rngs closure leaks tracers on the backward replay)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from reverb_tpu.models.asr_model import (ModelConfig, compute_loss,
+                                             init_params)
+    from tests.test_model_forward import TINY
+    conf = {k: (dict(v) if isinstance(v, dict) else v) for k, v in TINY.items()}
+    conf['encoder_conf'] = dict(conf['encoder_conf'],
+                                gradient_checkpointing=True)
+    conf['decoder_conf'] = dict(conf['decoder_conf'],
+                                gradient_checkpointing=True)
+    conf['dtype'] = 'bf16'
+    cfg = ModelConfig.from_config(conf)
+    assert cfg.compute_dtype == jnp.bfloat16
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T = 2, 37
+    batch = {'feats': jnp.asarray(
+                 np.random.RandomState(0).randn(B, T, 80), jnp.float32),
+             'feats_lengths': jnp.array([T, T - 5]),
+             'target': jnp.array([[1, 2, 3, -1], [4, 5, -1, -1]]),
+             'target_lengths': jnp.array([3, 2]),
+             'cat_embs': jnp.array([[1.0, 0.0], [0.0, 1.0]])}
+
+    @jax.jit
+    def loss_and_grad(p, rng):
+        return jax.value_and_grad(
+            lambda p: compute_loss(p, cfg, batch, rng=rng)['loss'])(p)
+
+    l, g = loss_and_grad(params, jax.random.PRNGKey(3))
+    assert np.isfinite(float(l))
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
