@@ -32,6 +32,12 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
         ckpt = ckpt['model0']
     if isinstance(ckpt, dict) and 'state_dict' in ckpt:
         ckpt = ckpt['state_dict']
+    return convert_torch_state_dict(ckpt)
+
+
+def convert_torch_state_dict(ckpt) -> Dict[str, np.ndarray]:
+    """In-memory torch state_dict → flat remapped numpy dict."""
+    import torch
     out = {}
     for k, v in ckpt.items():
         if not hasattr(v, 'numpy'):
@@ -40,6 +46,10 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
         # ESPnet-style cmvn remap (checkpoint.py:43-55)
         k = k.replace('normalize.mean', 'global_cmvn.mean')
         k = k.replace('normalize.std', 'global_cmvn.istd')
+        # our conformer layer keeps the conv-module params flat in the layer
+        # dict (models/asr_model.py _init_conformer_layer); reference paths
+        # nest them under .conv_module. (SURVEY App. B)
+        k = k.replace('.conv_module.', '.')
         if k.endswith(_SKIP_SUFFIXES):
             continue
         out[k] = v.detach().to(torch.float32).numpy() \

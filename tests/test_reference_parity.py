@@ -1,0 +1,204 @@
+"""Golden parity vs the ACTUAL reference implementation (SURVEY §7 step 1).
+
+These tests import the reference's torch modules from /root/reference/asr,
+copy their weights into our param trees via the checkpoint converter, and
+compare forward activations / losses / nbest lists.  They are the strongest
+possible parity instrument — skipped automatically when the reference tree
+isn't mounted (CI outside this environment).
+
+No reference code is copied; it is executed as an oracle only.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = '/root/reference/asr'
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason='reference tree not mounted')
+
+_TINY_ENC = dict(input_size=80, output_size=32, attention_heads=2,
+                 linear_units=64, num_blocks=4, dropout_rate=0.0,
+                 positional_dropout_rate=0.0, attention_dropout_rate=0.0,
+                 input_layer='conv2d', pos_enc_layer_type='rel_pos',
+                 selfattention_layer_type='rel_selfattn',
+                 activation_type='swish', macaron_style=True,
+                 use_cnn_module=True, cnn_module_kernel=15)
+
+
+@pytest.fixture(scope='module')
+def wenet():
+    """Import the reference `wenet` package with compat shims, bypassing its
+    CLI-heavy __init__ (torchaudio/whisper stubs; torch>=2.6 conv symbol
+    re-exports)."""
+    import importlib.machinery
+    import importlib.util
+    import types
+    import typing
+    import torch
+    import torch.nn.modules.conv as _conv
+    from torch.nn.common_types import _size_2_t
+    from torch.nn.modules.utils import _pair
+    _conv.Union = typing.Union
+    _conv.Optional = typing.Optional
+    _conv.Tensor = torch.Tensor
+    _conv._size_2_t = _size_2_t
+    _conv._pair = _pair
+    for name in ('torchaudio', 'torchaudio.compliance',
+                 'torchaudio.compliance.kaldi'):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    wt = types.ModuleType('whisper.tokenizer')
+    wt.LANGUAGES = {'en': 'english'}
+    w = types.ModuleType('whisper')
+    w.tokenizer = wt
+    sys.modules.setdefault('whisper', w)
+    sys.modules.setdefault('whisper.tokenizer', wt)
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    if 'wenet' not in sys.modules:
+        spec = importlib.machinery.ModuleSpec('wenet', None, is_package=True)
+        m = importlib.util.module_from_spec(spec)
+        m.__path__ = [os.path.join(REF, 'wenet')]
+        sys.modules['wenet'] = m
+    return sys.modules['wenet']
+
+
+def _to_ours(module):
+    from reverb_tpu.convert.torch_ckpt import (convert_torch_state_dict,
+                                               nest_state_dict)
+    return nest_state_dict(convert_torch_state_dict(module.state_dict()))
+
+
+def test_encoder_activation_parity(wenet):
+    """Conformer+LSL encoder: same weights → same activations (<1e-4)."""
+    import torch
+    import jax.numpy as jnp
+    from wenet.transformer.encoder import ConformerEncoder
+    from reverb_tpu.models.asr_model import forward_encoder, ModelConfig
+    from tests.test_model_forward import TINY
+
+    torch.manual_seed(0)
+    ref = ConformerEncoder(num_langs=2, **_TINY_ENC)
+    ref.eval()
+    x = torch.randn(2, 67, 80)
+    lens = torch.tensor([67, 50])
+    for v in (1.0, 0.3):
+        cat = torch.tensor([v, 1.0 - v])
+        with torch.no_grad():
+            want, want_mask = ref(x, lens, cat_embs=cat)
+
+        cfg = ModelConfig.from_config(TINY)
+        params = {'encoder': _to_ours(ref), 'decoder': {}, 'ctc': {}}
+        got, got_mask = forward_encoder(
+            params, cfg, jnp.asarray(x.numpy()), jnp.asarray(lens.numpy()),
+            jnp.asarray(cat.numpy()))
+        got = np.asarray(got)
+        want = want.numpy()
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(np.asarray(got_mask)[:, 0, :],
+                                      want_mask.numpy()[:, 0, :])
+        T1 = int(want_mask[1].sum())
+        np.testing.assert_allclose(got[0], want[0], atol=1e-4, rtol=1e-3)
+        np.testing.assert_allclose(got[1, :T1], want[1, :T1], atol=1e-4,
+                                   rtol=1e-3)
+
+
+def test_full_model_loss_parity(wenet):
+    """ASRModel training loss (CTC + bi-decoder attention, LSL decoder):
+    same weights + batch → same loss values."""
+    import torch
+    import jax.numpy as jnp
+    from wenet.transformer.asr_model import ASRModel
+    from wenet.transformer.encoder import ConformerEncoder
+    from wenet.transformer.decoder import (
+        LanguageSpecificBiTransformerDecoder)
+    from wenet.transformer.ctc import CTC
+    from reverb_tpu.models.asr_model import ModelConfig, compute_loss
+    from tests.test_model_forward import TINY
+
+    torch.manual_seed(1)
+    V = 50
+    enc = ConformerEncoder(num_langs=2, **_TINY_ENC)
+    dec = LanguageSpecificBiTransformerDecoder(
+        vocab_size=V, encoder_output_size=32, attention_heads=2,
+        linear_units=64, num_blocks=3, r_num_blocks=1, dropout_rate=0.0,
+        positional_dropout_rate=0.0, self_attention_dropout_rate=0.0,
+        src_attention_dropout_rate=0.0, num_langs=2)
+    ctc = CTC(V, 32)
+    ref = ASRModel(vocab_size=V, encoder=enc, decoder=dec, ctc=ctc,
+                   ctc_weight=0.3, lsm_weight=0.1, reverse_weight=0.3,
+                   ignore_id=-1)
+    # init_model.py:254-257 sets these post-construction
+    ref.lsl_enc = True
+    ref.lsl_dec = True
+    ref.add_cat_embs = False
+    ref.eval()
+    feats = torch.randn(2, 67, 80)
+    feats_lens = torch.tensor([67, 50])
+    target = torch.tensor([[1, 2, 3, -1], [4, 5, -1, -1]])
+    target_lens = torch.tensor([3, 2])
+    cat = torch.tensor([1.0, 0.0])
+    batch = {'feats': feats, 'feats_lengths': feats_lens, 'target': target,
+             'target_lengths': target_lens, 'cat_embs': cat,
+             'langs': None, 'tasks': None}
+    with torch.no_grad():
+        want = ref(batch, torch.device('cpu'))
+
+    conf = {k: (dict(v) if isinstance(v, dict) else v) for k, v in
+            TINY.items()}
+    conf['model_conf'] = dict(conf['model_conf'], ctc_weight=0.3,
+                              reverse_weight=0.3, lsm_weight=0.1)
+    conf['decoder'] = 'lsl_bitransformer'
+    cfg = ModelConfig.from_config(conf)
+    params = {'encoder': _to_ours(ref.encoder),
+              'decoder': _to_ours(ref.decoder),
+              'ctc': _to_ours(ref.ctc)}
+    got = compute_loss(params, cfg, {
+        'feats': jnp.asarray(feats.numpy()),
+        'feats_lengths': jnp.asarray(feats_lens.numpy()),
+        'target': jnp.asarray(target.numpy()),
+        'target_lengths': jnp.asarray(target_lens.numpy()),
+        'cat_embs': jnp.asarray(np.tile(cat.numpy()[None], (2, 1)))})
+    np.testing.assert_allclose(float(got['loss_ctc']),
+                               float(want['loss_ctc']), rtol=2e-3)
+    np.testing.assert_allclose(float(got['loss_att']),
+                               float(want['loss_att']), rtol=2e-3)
+    np.testing.assert_allclose(float(got['loss']), float(want['loss']),
+                               rtol=2e-3)
+
+
+def test_prefix_beam_search_parity(wenet):
+    """Device lax.scan prefix beam == reference python-dict beam on the same
+    log-prob tensor: same top-1 tokens, same nbest scores."""
+    import torch
+    import jax.numpy as jnp
+    from wenet.transformer.search import ctc_prefix_beam_search as ref_search
+    from reverb_tpu.decode.prefix_beam import ctc_prefix_beam_search
+
+    rng = np.random.RandomState(0)
+    B, T, V, K = 3, 25, 12, 5
+    logits = rng.randn(B, T, V).astype(np.float32) * 2.0
+    logp = torch.from_numpy(logits).log_softmax(-1)
+    lens = torch.tensor([25, 17, 9])
+    want = ref_search(logp, lens, K)
+
+    got = ctc_prefix_beam_search(jnp.asarray(logp.numpy()),
+                                 jnp.asarray(lens.numpy()), K)
+    for b in range(B):
+        assert list(got[b].tokens) == list(want[b].tokens), (
+            b, got[b].tokens, want[b].tokens)
+        np.testing.assert_allclose(got[b].score, want[b].score, rtol=1e-4)
+        # nbest prefixes must agree as ordered lists
+        assert [list(h) for h in got[b].nbest] == \
+            [list(h) for h in want[b].nbest]
+        # timestamps: the reference has a typo at search.py:178
+        # (`next_score1.vs_ns = ...` never updates v_ns), so on paths through
+        # the repeated-token branch its viterbi times collapse (often to []).
+        # We implement the intended semantics; compare only when the
+        # reference's own output is well-formed.
+        assert len(got[b].times) == len(got[b].tokens)
+        if len(want[b].times) == len(want[b].tokens):
+            assert list(got[b].times) == list(want[b].times), (
+                b, got[b].times, want[b].times)
