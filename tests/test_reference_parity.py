@@ -202,3 +202,65 @@ def test_prefix_beam_search_parity(wenet):
         if len(want[b].times) == len(want[b].tokens):
             assert list(got[b].times) == list(want[b].times), (
                 b, got[b].times, want[b].times)
+
+
+def test_decode_modes_parity(wenet):
+    """End-to-end decode parity on the same weights + audio features:
+    greedy / prefix-beam / attention-rescoring / attention tokens match the
+    reference's `ASRModel.decode` exactly; scores match numerically."""
+    import torch
+    import jax.numpy as jnp
+    from wenet.transformer.asr_model import ASRModel
+    from wenet.transformer.encoder import ConformerEncoder
+    from wenet.transformer.decoder import (
+        LanguageSpecificBiTransformerDecoder)
+    from wenet.transformer.ctc import CTC
+    from reverb_tpu.models.asr_model import ModelConfig
+    from reverb_tpu.decode.api import decode
+    from tests.test_model_forward import TINY
+
+    torch.manual_seed(7)
+    V = 50
+    enc = ConformerEncoder(num_langs=2, **_TINY_ENC)
+    dec = LanguageSpecificBiTransformerDecoder(
+        vocab_size=V, encoder_output_size=32, attention_heads=2,
+        linear_units=64, num_blocks=3, r_num_blocks=1, dropout_rate=0.0,
+        positional_dropout_rate=0.0, self_attention_dropout_rate=0.0,
+        src_attention_dropout_rate=0.0, num_langs=2)
+    ctc = CTC(V, 32)
+    ref = ASRModel(vocab_size=V, encoder=enc, decoder=dec, ctc=ctc,
+                   ctc_weight=0.3, reverse_weight=0.3, ignore_id=-1)
+    ref.lsl_enc = True
+    ref.lsl_dec = True
+    ref.add_cat_embs = False
+    ref.eval()
+
+    feats = torch.randn(2, 131, 80)
+    lens = torch.tensor([131, 90])
+    cat = torch.tensor([1.0, 0.0])
+    methods = ['ctc_greedy_search', 'ctc_prefix_beam_search',
+               'attention_rescoring', 'attention']
+    with torch.no_grad():
+        want = ref.decode(methods, feats, lens, beam_size=5, ctc_weight=0.1,
+                          reverse_weight=0.3, cat_embs=cat)
+
+    conf = {k: (dict(v) if isinstance(v, dict) else v)
+            for k, v in TINY.items()}
+    conf['decoder'] = 'lsl_bitransformer'
+    cfg = ModelConfig.from_config(conf)
+    params = {'encoder': _to_ours(ref.encoder),
+              'decoder': _to_ours(ref.decoder),
+              'ctc': _to_ours(ref.ctc)}
+    got = decode(params, cfg, methods, jnp.asarray(feats.numpy()),
+                 jnp.asarray(lens.numpy()), beam_size=5, ctc_weight=0.1,
+                 reverse_weight=0.3, cat_embs=cat.numpy())
+
+    for m in methods:
+        for b in range(2):
+            assert list(got[m][b].tokens) == list(want[m][b].tokens), (
+                m, b, got[m][b].tokens, want[m][b].tokens)
+        if m in ('ctc_prefix_beam_search', 'attention_rescoring'):
+            for b in range(2):
+                np.testing.assert_allclose(got[m][b].score,
+                                           want[m][b].score, rtol=1e-3,
+                                           atol=1e-3)
