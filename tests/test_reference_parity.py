@@ -264,3 +264,41 @@ def test_decode_modes_parity(wenet):
                 np.testing.assert_allclose(got[m][b].score,
                                            want[m][b].score, rtol=1e-3,
                                            atol=1e-3)
+
+
+def test_ctc_align_word_merge_parity(wenet):
+    """Token→word merge + timestamp semantics == reference bin/ctc_align.py
+    (gap heuristic, midpoint interpolation, 230 ms offset clamp)."""
+    import importlib
+    ref_mod = importlib.import_module('wenet.bin.ctc_align')
+    from reverb_tpu.decode.align import adjust_model_time_offset, ctc_align
+
+    class Tok:
+        """minimal detokenizer: id → piece string."""
+        pieces = ['<blank>', '▁the', '▁cat', 's', '▁sat',
+                  '<unk>', '▁on', 'ne', '▁mat', '.']
+
+        def detokenize(self, ids):
+            toks = [self.pieces[i] for i in ids]
+            return ''.join(toks).replace('▁', ' ').strip(), toks
+
+    tok = Tok()
+    hyp = [1, 2, 3, 4, 6, 1, 8, 9]
+    times = [2, 10, 11, 30, 45, 60, 75, 76]
+    conf = [0.9, 0.8, 0.7, 0.95, 0.5, 0.9, 0.85, 0.6]
+    want = ref_mod.ctc_align(hyp, times, conf, tok, 40, 0)
+    got = ctc_align(hyp, times, conf,
+                    lambda i: tok.pieces[i],   # ours takes id→token callable
+                    40, 0)
+    assert [w['word'] for w in got] == [w['word'] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g['start_time_ms'] - w['start_time_ms']) < 1e-6, (g, w)
+        assert abs(g['end_time_ms'] - w['end_time_ms']) < 1e-6, (g, w)
+        assert abs(g['confidence'] - w['confidence']) < 1e-9
+
+    want_adj = ref_mod.adjust_model_time_offset(
+        [dict(w) for w in want], 230)
+    got_adj = adjust_model_time_offset([dict(g) for g in got], 230)
+    for g, w in zip(got_adj, want_adj):
+        assert abs(g['start_time_ms'] - w['start_time_ms']) < 1e-6
+        assert abs(g['end_time_ms'] - w['end_time_ms']) < 1e-6
