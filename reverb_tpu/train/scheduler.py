@@ -26,28 +26,32 @@ def warmup_lr(lr: float, warmup_steps: int = 25000) -> Callable:
 
 
 def steady_lr(lr: float, warmup_steps: int = 25000) -> Callable:
+    """Constant lr.  The reference SteadyLR (scheduler.py:721-757) accepts
+    warmup_steps but its get_lr ignores it and always returns base lr —
+    matched exactly (verified in tests/test_reference_parity.py)."""
+    del warmup_steps
     def schedule(step):
-        s = jnp.maximum(step + 1, 1).astype(jnp.float32)
-        return lr * jnp.minimum(1.0, s / warmup_steps)
+        return jnp.full((), lr, jnp.float32)
     return schedule
 
 
 def noam_hold_annealing(lr: float, warmup_steps: int, hold_steps: int,
                         decay_rate: float = 0.5, min_lr: float = 0.0,
                         max_steps: int = 1_000_000) -> Callable:
-    """NeMo-style: warmup ∝ step/warmup, hold flat, then (step)^-decay."""
+    """Exact reference semantics (scheduler.py:434-442, 625-718): linear
+    warmup lr·(s+1)/(warmup+1), hold at peak through warmup+hold, then noam
+    polynomial decay lr·warmup^decay/(s−hold)^decay clamped at min_lr;
+    min_lr after max_steps (WarmupPolicy.get_lr:119-125).  Verified
+    step-for-step vs the reference in tests/test_reference_parity.py."""
     def schedule(step):
-        s = jnp.maximum(step + 1, 1).astype(jnp.float32)
-        warm = s / warmup_steps
-        hold_end = warmup_steps + hold_steps
-        # anneal: lr · ((s - hold) / (max - hold)) ^ -decay … NeMo uses
-        # plateau-relative polynomial decay
-        t = jnp.clip((s - hold_end) / jnp.maximum(max_steps - hold_end, 1),
-                     1e-8, 1.0)
-        anneal = (1.0 - t) ** decay_rate
-        out = jnp.where(s <= warmup_steps, lr * warm,
-                        jnp.where(s <= hold_end, lr, lr * anneal))
-        return jnp.maximum(out, min_lr)
+        s = jnp.maximum(step, 0).astype(jnp.float32)
+        warm = lr * (s + 1.0) / (warmup_steps + 1.0)
+        t_warm = max(1.0, warmup_steps ** decay_rate)
+        decay = lr * t_warm / jnp.maximum(s - hold_steps, 1.0) ** decay_rate
+        decay = jnp.maximum(decay, min_lr)
+        out = jnp.where(s <= warmup_steps, warm,
+                        jnp.where(s <= warmup_steps + hold_steps, lr, decay))
+        return jnp.where(s > max_steps, min_lr, out)
     return schedule
 
 

@@ -302,3 +302,52 @@ def test_ctc_align_word_merge_parity(wenet):
     for g, w in zip(got_adj, want_adj):
         assert abs(g['start_time_ms'] - w['start_time_ms']) < 1e-6
         assert abs(g['end_time_ms'] - w['end_time_ms']) < 1e-6
+
+
+def test_lr_schedule_parity(wenet):
+    """WarmupLR / NoamHoldAnnealing / SteadyLR curves match the reference's
+    torch schedulers step-for-step."""
+    import torch
+    from wenet.utils.scheduler import (NoamHoldAnnealing, SteadyLR, WarmupLR)
+    from reverb_tpu.train.scheduler import build_scheduler
+
+    lr0 = 1e-3
+    steps = [0, 1, 10, 99, 100, 500, 2500, 9999, 20000]
+
+    def ref_curve(sched_cls, opt_kwargs, **kw):
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.Adam([p], lr=lr0, **opt_kwargs)
+        sch = sched_cls(opt, **kw)
+        out = {}
+        for s in range(max(steps) + 1):
+            if s in steps:
+                out[s] = opt.param_groups[0]['lr']
+            opt.step()
+            sch.step()
+        return out
+
+    # WarmupLR (scheduler.py:28-73)
+    want = ref_curve(WarmupLR, {}, warmup_steps=100)
+    ours = build_scheduler('warmuplr', lr0, {'warmup_steps': 100})
+    for s in steps:
+        np.testing.assert_allclose(float(ours(s)), want[s], rtol=1e-6,
+                                   err_msg=f'warmuplr step {s}')
+
+    # NoamHoldAnnealing (scheduler.py:625-676)
+    kw = dict(max_steps=10000, warmup_steps=100, hold_steps=400,
+              decay_rate=0.5, min_lr=1e-5)
+    want = ref_curve(NoamHoldAnnealing, {}, **kw)
+    ours = build_scheduler('NoamHoldAnnealing', lr0, kw)
+    # beyond max_steps the reference's torch scheduler returns
+    # min_lr·warmup/(warmup+1) due to _LRScheduler warmup-chain bookkeeping;
+    # we clamp to min_lr exactly — compare the in-schedule region
+    for s in [x for x in steps if x <= kw['max_steps']]:
+        np.testing.assert_allclose(float(ours(s)), want[s], rtol=1e-5,
+                                   err_msg=f'noamhold step {s}')
+
+    # SteadyLR (scheduler.py:721-756)
+    want = ref_curve(SteadyLR, {}, warmup_steps=100)
+    ours = build_scheduler('steadylr', lr0, {'warmup_steps': 100})
+    for s in steps:
+        np.testing.assert_allclose(float(ours(s)), want[s], rtol=1e-6,
+                                   err_msg=f'steadylr step {s}')
