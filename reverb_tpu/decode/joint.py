@@ -166,14 +166,15 @@ class TimeSyncBeamSearch:
                 if c == hyp[-1]:
                     p_nb_prev, p_b_prev = ctc_dp.get(hk, (NEG, NEG))
                     p_nb = _log_add([p_nb, pc + p_b_prev])
-                    # keep hyp alive via the repeated-token path
+                    # the repeated-token path updates hyp's dp/times/confs but
+                    # — exactly like the reference (beam_search_timesync.py:
+                    # 358-373) — does NOT re-add hyp to the beam; only the
+                    # blank branch keeps a hypothesis alive
                     p_nb_l, p_b_l = dp_next.get(hk, (NEG, NEG))
                     dp_next[hk] = (_log_add([p_nb_l, pc + p_nb_prev]), p_b_l)
                     times[hk][1][-1] = t + 1
                     confs[hk][-1] = (max(confs[hk][-1][0], pc),
                                      confs[hk][-1][1])
-                    if hyp not in new_hyps:
-                        new_hyps.append(hyp)
                 else:
                     p_nb = _log_add([p_nb, pc + p_prev])
                 if l_plus not in hyps and lk in ctc_dp:
@@ -237,7 +238,7 @@ class TimeSyncBeamSearch:
 
 def joint_decoding(params, cfg: ModelConfig, encoder_outs, encoder_lens,
                    ctc_probs, ctc_weight: float = 0.5, beam_size: int = 4,
-                   pre_beam_ratio: float = 2.0, length_bonus: float = 0.5,
+                   pre_beam_ratio: float = 1.5, length_bonus: float = 0.5,
                    cat_embs=None, words=None, word_prefixes=None,
                    tok_to_str=None) -> List[DecodeResult]:
     """search.py:450-496 entry: per-utterance time-sync search."""

@@ -351,3 +351,102 @@ def test_lr_schedule_parity(wenet):
     for s in steps:
         np.testing.assert_allclose(float(ours(s)), want[s], rtol=1e-6,
                                    err_msg=f'steadylr step {s}')
+
+
+def test_cmvn_loader_parity(wenet, tmp_path):
+    """JSON and Kaldi-text CMVN stats → identical (mean, istd)."""
+    import json
+    from wenet.utils.cmvn import load_cmvn as ref_load
+    from reverb_tpu.frontend.cmvn import load_cmvn
+
+    rng = np.random.RandomState(0)
+    D, n = 5, 1000.0
+    sums = (rng.randn(D) * 100).tolist()
+    sqs = (np.abs(rng.randn(D)) * 5000 + 3000).tolist()
+    jf = tmp_path / 'cmvn.json'
+    jf.write_text(json.dumps({
+        'mean_stat': sums, 'var_stat': sqs, 'frame_num': n}))
+    want_m, want_i = ref_load(str(jf), True)
+    got_m, got_i = load_cmvn(str(jf), True)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                               rtol=1e-6)
+
+    kf = tmp_path / 'cmvn.ark.txt'
+    row1 = ' '.join(f'{v:.6f}' for v in sums) + f' {n} '
+    row2 = ' '.join(f'{v:.6f}' for v in sqs) + ' 0 ]'
+    kf.write_text(f' [\n {row1}\n {row2}\n')
+    want_m, want_i = ref_load(str(kf), False)
+    got_m, got_i = load_cmvn(str(kf), False)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                               rtol=1e-6)
+
+
+def test_joint_decoding_parity(wenet):
+    """Time-synchronous joint CTC+attention search: our implementation's
+    tokens match the reference espnet BeamSearchTimeSync via
+    ASRModel.decode(['joint_decoding'])."""
+    import torch
+    import jax.numpy as jnp
+    from wenet.transformer.asr_model import ASRModel
+    from wenet.transformer.encoder import ConformerEncoder
+    from wenet.transformer.decoder import (
+        LanguageSpecificBiTransformerDecoder)
+    from wenet.transformer.ctc import CTC
+    from reverb_tpu.models.asr_model import ModelConfig
+    from reverb_tpu.decode.api import decode
+    from tests.test_model_forward import TINY
+
+    torch.manual_seed(11)
+    # the reference hardcodes sos=10000 inside joint_decoding
+    # (search.py:478-480) — it only works for the flagship 10001-token
+    # vocab, so the oracle comparison uses that size
+    V = 10001
+    enc = ConformerEncoder(num_langs=2, **_TINY_ENC)
+    dec = LanguageSpecificBiTransformerDecoder(
+        vocab_size=V, encoder_output_size=32, attention_heads=2,
+        linear_units=64, num_blocks=3, r_num_blocks=1, dropout_rate=0.0,
+        positional_dropout_rate=0.0, self_attention_dropout_rate=0.0,
+        src_attention_dropout_rate=0.0, num_langs=2)
+    ctc = CTC(V, 32)
+    ref = ASRModel(vocab_size=V, encoder=enc, decoder=dec, ctc=ctc,
+                   ctc_weight=0.3, reverse_weight=0.0, ignore_id=-1)
+    ref.lsl_enc = True
+    ref.lsl_dec = True
+    ref.add_cat_embs = False
+    ref.eval()
+
+    feats = torch.randn(1, 131, 80)
+    lens = torch.tensor([131])
+    cat = torch.tensor([1.0, 0.0])
+    with torch.no_grad():
+        want = ref.decode(['joint_decoding'], feats, lens, beam_size=5,
+                          ctc_weight=0.5, cat_embs=cat)
+
+    conf = {k: (dict(v) if isinstance(v, dict) else v)
+            for k, v in TINY.items()}
+    conf['decoder'] = 'lsl_bitransformer'
+    conf['output_dim'] = V
+    cfg = ModelConfig.from_config(conf)
+    params = {'encoder': _to_ours(ref.encoder),
+              'decoder': _to_ours(ref.decoder),
+              'ctc': _to_ours(ref.ctc)}
+    # isolate the SEARCH: feed our joint decoder the reference's encoder
+    # output and CTC log-probs (encoder parity is asserted separately;
+    # 1e-5-level encoder deltas flip near-tie hypotheses in a beam search)
+    from reverb_tpu.decode.joint import joint_decoding
+    with torch.no_grad():
+        eo, emask = ref.encoder(feats, lens, cat_embs=cat)
+        probs = ref.ctc.log_softmax(eo)
+    got = joint_decoding(params, cfg, jnp.asarray(eo.numpy()),
+                         jnp.asarray([eo.shape[1]]),
+                         jnp.asarray(probs.numpy()), ctc_weight=0.5,
+                         beam_size=5, length_bonus=0.0,
+                         cat_embs=cat.numpy())
+    assert list(got[0].tokens) == list(want['joint_decoding'][0].tokens), (
+        got[0].tokens, want['joint_decoding'][0].tokens)
+    np.testing.assert_allclose(got[0].score,
+                               want['joint_decoding'][0].score, rtol=1e-4)
