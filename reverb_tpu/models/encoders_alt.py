@@ -40,31 +40,47 @@ from reverb_tpu.utils.common import make_pad_mask
 
 def init_cgmlp(rng, size: int, linear_units: int, kernel: int,
                use_linear_after_conv: bool = False):
+    """Param tree keyed exactly like the reference ConvolutionalGatingMLP
+    (branchformer/cgmlp.py): channel_proj1 is a Sequential (Linear at '0'),
+    the gating unit nests under 'csgu'."""
     ks = jax.random.split(rng, 4)
-    p = {'channel_proj1': init_linear(ks[0], size, linear_units),
-         'csgu_norm': init_layer_norm(linear_units // 2),
-         'csgu_conv': init_conv1d(ks[1], linear_units // 2,
-                                  linear_units // 2, kernel,
-                                  groups=linear_units // 2),
+    p = {'channel_proj1': {'0': init_linear(ks[0], size, linear_units)},
+         'csgu': {'norm': init_layer_norm(linear_units // 2),
+                  'conv': init_conv1d(ks[1], linear_units // 2,
+                                      linear_units // 2, kernel,
+                                      groups=linear_units // 2)},
          'channel_proj2': init_linear(ks[2], linear_units // 2, size)}
     if use_linear_after_conv:
-        p['csgu_linear'] = init_linear(ks[3], linear_units // 2,
-                                       linear_units // 2)
+        p['csgu']['linear'] = init_linear(ks[3], linear_units // 2,
+                                          linear_units // 2)
     return p
 
 
 def cgmlp_forward(p, x, kernel: int, gate_activation: str = 'identity',
-                  rate: float = 0.0, rng=None):
-    """(B,T,D) → (B,T,D): proj-GELU → spatial gating → proj."""
-    x = jax.nn.gelu(linear(p['channel_proj1'], x))
+                  causal: bool = False, rate: float = 0.0, rng=None):
+    """(B,T,D) → (B,T,D): proj-GELU → spatial gating → proj.
+
+    Exact CSGU order (cgmlp.py:86-131): when causal, x_g is zero-padded
+    lorder frames on the left BEFORE the LayerNorm (the padded frames enter
+    the conv as β, not 0 — matched bit-for-bit); non-causal uses a
+    symmetric conv.
+    """
+    x = jax.nn.gelu(linear(p['channel_proj1']['0'], x),
+                    approximate=False)   # torch.nn.GELU default is exact erf
     xr, xg = jnp.split(x, 2, axis=-1)
-    xg = layer_norm(p['csgu_norm'], xg)
-    xg_c = xg.transpose(0, 2, 1)
-    xg_c = jnp.pad(xg_c, ((0, 0), (0, 0), (kernel - 1, 0)))  # causal
-    xg_c = conv1d(p['csgu_conv'], xg_c, groups=xg_c.shape[1])
+    csgu = p['csgu']
+    if causal:
+        xg = jnp.pad(xg, ((0, 0), (kernel - 1, 0), (0, 0)))
+        xg = layer_norm(csgu['norm'], xg)
+        xg_c = conv1d(csgu['conv'], xg.transpose(0, 2, 1),
+                      groups=xg.shape[-1])
+    else:
+        xg = layer_norm(csgu['norm'], xg)
+        xg_c = conv1d(csgu['conv'], xg.transpose(0, 2, 1),
+                      padding=(kernel - 1) // 2, groups=xg.shape[-1])
     xg = xg_c.transpose(0, 2, 1)
-    if 'csgu_linear' in p:
-        xg = linear(p['csgu_linear'], xg)
+    if 'linear' in csgu:
+        xg = linear(csgu['linear'], xg)
     if gate_activation != 'identity':
         xg = ACTIVATIONS[gate_activation](xg)
     x = xr * xg
@@ -83,7 +99,9 @@ class BranchformerConfig:
     cgmlp_linear_units: int = 2048
     cgmlp_conv_kernel: int = 31
     dropout_rate: float = 0.1
-    merge_method: str = 'concat'          # concat | learned_ave
+    merge_method: str = 'concat'          # concat | learned_ave | fixed_ave
+    cgmlp_weight: float = 0.5             # fixed_ave branch weight
+    causal: bool = False                  # csgu / fusion conv causality
     e_branchformer: bool = False          # adds macaron FFNs + conv merge
     ffn_units: int = 2048
     merge_conv_kernel: int = 3
@@ -91,13 +109,18 @@ class BranchformerConfig:
 
 
 def init_branchformer_layer(rng, cfg: BranchformerConfig):
-    ks = jax.random.split(rng, 8)
+    """Keys mirror the reference exactly: 'attn' (not self_attn),
+    'depthwise_conv_fusion' for the e-branchformer merge conv, norm_final on
+    EVERY layer (branchformer/encoder_layer.py:67,124), pooling/weight
+    projections for the learned_ave merge (:73-78)."""
+    ks = jax.random.split(rng, 10)
     d = cfg.output_size
     p = {'norm_mha': init_layer_norm(d),
          'norm_mlp': init_layer_norm(d),
-         'self_attn': _init_mha(ks[0], d, True,
-                                cfg.pos_enc_layer_type == 'rel_pos',
-                                cfg.attention_heads),
+         'norm_final': init_layer_norm(d),
+         'attn': _init_mha(ks[0], d, True,
+                           cfg.pos_enc_layer_type == 'rel_pos',
+                           cfg.attention_heads),
          'cgmlp': init_cgmlp(ks[1], d, cfg.cgmlp_linear_units,
                              cfg.cgmlp_conv_kernel)}
     if cfg.e_branchformer:
@@ -105,17 +128,23 @@ def init_branchformer_layer(rng, cfg: BranchformerConfig):
         p['feed_forward_macaron'] = _init_ffn(ks[3], d, cfg.ffn_units)
         p['norm_ff'] = init_layer_norm(d)
         p['norm_ff_macaron'] = init_layer_norm(d)
-        p['merge_conv'] = init_conv1d(ks[4], 2 * d, 2 * d,
-                                      cfg.merge_conv_kernel, groups=2 * d)
+        p['depthwise_conv_fusion'] = init_conv1d(
+            ks[4], 2 * d, 2 * d, cfg.merge_conv_kernel, groups=2 * d)
         p['merge_proj'] = init_linear(ks[5], 2 * d, d)
-        p['norm_final'] = init_layer_norm(d)
     else:
-        p['merge_proj'] = init_linear(ks[4], 2 * d, d)
+        # merge_proj input dim depends on the merge method
+        # (branchformer/encoder_layer.py:81-105)
+        p['merge_proj'] = init_linear(
+            ks[5], 2 * d if cfg.merge_method == 'concat' else d, d)
+        p['pooling_proj1'] = init_linear(ks[6], d, 1)
+        p['pooling_proj2'] = init_linear(ks[7], d, 1)
+        p['weight_proj1'] = init_linear(ks[8], d, 1)
+        p['weight_proj2'] = init_linear(ks[9], d, 1)
     return p
 
 
 def branchformer_layer_forward(p, x, mask, pos_emb, cfg: BranchformerConfig,
-                               rngs=None):
+                               rngs=None, mask_pad=None):
     rate = cfg.dropout_rate
 
     def drop(v):
@@ -125,41 +154,83 @@ def branchformer_layer_forward(p, x, mask, pos_emb, cfg: BranchformerConfig,
         residual = x
         xn = layer_norm(p['norm_ff_macaron'], x)
         h = jax.nn.silu(linear(p['feed_forward_macaron']['w_1'], xn))
+        h = drop(h)
         h = linear(p['feed_forward_macaron']['w_2'], h)
         x = residual + 0.5 * drop(h)
 
     # branch 1: attention
     x1 = layer_norm(p['norm_mha'], x)
     if cfg.pos_enc_layer_type == 'rel_pos':
-        x1, _ = att.rel_pos_mha(p['self_attn'], x1, x1, x1, mask, pos_emb,
+        x1, _ = att.rel_pos_mha(p['attn'], x1, x1, x1, mask, pos_emb,
                                 cfg.attention_heads)
     else:
-        x1, _ = att.mha(p['self_attn'], x1, x1, x1, mask,
-                        cfg.attention_heads)
+        x1, _ = att.mha(p['attn'], x1, x1, x1, mask, cfg.attention_heads)
     x1 = drop(x1)
-    # branch 2: cgMLP
+    # branch 2: cgMLP.  The plain Branchformer never forwards its `causal`
+    # flag to the cgmlp (branchformer/encoder.py:83-90), so CSGU defaults to
+    # causal=True there; only the E-Branchformer threads it through
+    # (e_branchformer/encoder.py:120).
+    cg_causal = True if not cfg.e_branchformer else cfg.causal
     x2 = layer_norm(p['norm_mlp'], x)
     x2 = cgmlp_forward(p['cgmlp'], x2, cfg.cgmlp_conv_kernel,
-                       rate=rate, rng=rngs.next() if rngs else None)
+                       causal=cg_causal, rate=rate,
+                       rng=rngs.next() if rngs else None)
     x2 = drop(x2)
 
-    cat = jnp.concatenate([x1, x2], axis=-1)
     if cfg.e_branchformer:
+        cat = jnp.concatenate([x1, x2], axis=-1)
         conv = cat.transpose(0, 2, 1)
-        conv = conv1d(p['merge_conv'], conv,
-                      padding=(cfg.merge_conv_kernel - 1) // 2,
-                      groups=conv.shape[1])
-        cat = cat + conv.transpose(0, 2, 1)
-    x = x + drop(linear(p['merge_proj'], cat))
-
-    if cfg.e_branchformer:
+        if cfg.causal:
+            conv = jnp.pad(conv, ((0, 0), (0, 0),
+                                  (cfg.merge_conv_kernel - 1, 0)))
+            conv = conv1d(p['depthwise_conv_fusion'], conv,
+                          groups=conv.shape[1])
+        else:
+            conv = conv1d(p['depthwise_conv_fusion'], conv,
+                          padding=(cfg.merge_conv_kernel - 1) // 2,
+                          groups=conv.shape[1])
+        merged = cat + conv.transpose(0, 2, 1)
+        x = x + drop(linear(p['merge_proj'], merged))
         residual = x
         xn = layer_norm(p['norm_ff'], x)
         h = jax.nn.silu(linear(p['feed_forward']['w_1'], xn))
+        h = drop(h)
         h = linear(p['feed_forward']['w_2'], h)
         x = residual + 0.5 * drop(h)
-        x = layer_norm(p['norm_final'], x)
-    return x
+        return layer_norm(p['norm_final'], x)
+
+    # plain branchformer merges (branchformer/encoder_layer.py:160-226)
+    if cfg.merge_method == 'concat':
+        merged = linear(p['merge_proj'],
+                        jnp.concatenate([x1, x2], axis=-1))
+    elif cfg.merge_method == 'learned_ave':
+        # attention-pooled per-branch weights (:175-205)
+        D = x.shape[-1]
+        valid = (mask_pad[:, 0, :, None].astype(x.dtype)
+                 if mask_pad is not None
+                 else jnp.ones(x.shape[:2] + (1,), x.dtype))
+
+        def pooled_weight(branch, pool_p, w_p):
+            score = linear(pool_p, branch) / D ** 0.5      # (B,T,1)
+            score = jnp.where(valid > 0, score, -jnp.inf)
+            a = jax.nn.softmax(score, axis=1)
+            pooled = jnp.sum(a * branch, axis=1)           # (B,D)
+            return linear(w_p, pooled)                     # (B,1)
+
+        w1 = pooled_weight(x1, p['pooling_proj1'], p['weight_proj1'])
+        w2 = pooled_weight(x2, p['pooling_proj2'], p['weight_proj2'])
+        w = jax.nn.softmax(jnp.concatenate([w1, w2], axis=-1), axis=-1)
+        merged = linear(p['merge_proj'],
+                        w[:, 0:1, None] * x1 + w[:, 1:2, None] * x2)
+    elif cfg.merge_method == 'fixed_ave':
+        merged = linear(p['merge_proj'],
+                        (1.0 - cfg.cgmlp_weight) * x1
+                        + cfg.cgmlp_weight * x2)
+    else:
+        raise ValueError(cfg.merge_method)
+    x = x + drop(merged)
+    # applied to EVERY plain-branchformer layer (encoder_layer.py:124)
+    return layer_norm(p['norm_final'], x)
 
 
 def init_branchformer(rng, cfg: BranchformerConfig):
@@ -189,7 +260,8 @@ def branchformer_forward(params, xs, xs_lens, cfg: BranchformerConfig,
     xs, pos_emb, masks = SUBSAMPLE_FNS['conv2d'](params['embed'], xs, masks,
                                                  base_cfg, 0, rngs)
     for lp in params['encoders']:
-        xs = branchformer_layer_forward(lp, xs, masks, pos_emb, cfg, rngs)
+        xs = branchformer_layer_forward(lp, xs, masks, pos_emb, cfg, rngs,
+                                        mask_pad=masks)
     xs = layer_norm(params['after_norm'], xs)
     return xs, masks
 

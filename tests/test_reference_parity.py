@@ -450,3 +450,75 @@ def test_joint_decoding_parity(wenet):
         got[0].tokens, want['joint_decoding'][0].tokens)
     np.testing.assert_allclose(got[0].score,
                                want['joint_decoding'][0].score, rtol=1e-4)
+
+
+def test_branchformer_activation_parity(wenet):
+    """Branchformer encoder (parallel attn + cgMLP, concat merge,
+    per-layer norm_final): same weights → same activations."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from wenet.branchformer.encoder import BranchformerEncoder
+    from reverb_tpu.models.encoders_alt import (BranchformerConfig,
+                                                branchformer_forward)
+
+    torch.manual_seed(3)
+    ref = BranchformerEncoder(input_size=80, output_size=32,
+                              attention_heads=2, cgmlp_linear_units=64,
+                              cgmlp_conv_kernel=7, num_blocks=2,
+                              dropout_rate=0.0, positional_dropout_rate=0.0,
+                              attention_dropout_rate=0.0)
+    ref.eval()
+    x = torch.randn(2, 67, 80)
+    lens = torch.tensor([67, 50])
+    with torch.no_grad():
+        want, want_mask = ref(x, lens)
+
+    cfg = BranchformerConfig(input_size=80, output_size=32,
+                             attention_heads=2, cgmlp_linear_units=64,
+                             cgmlp_conv_kernel=7, num_blocks=2,
+                             dropout_rate=0.0)
+    params = _to_ours(ref)
+    got, got_mask = branchformer_forward(params, jnp.asarray(x.numpy()),
+                                         jnp.asarray(lens.numpy()), cfg)
+    got = np.asarray(got)
+    T1 = int(want_mask[1].sum())
+    np.testing.assert_allclose(got[0], want.numpy()[0], atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(got[1, :T1], want.numpy()[1, :T1],
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_e_branchformer_activation_parity(wenet):
+    """E-Branchformer (macaron FFNs + depthwise conv fusion merge)."""
+    import torch
+    import jax.numpy as jnp
+    from wenet.e_branchformer.encoder import EBranchformerEncoder
+    from reverb_tpu.models.encoders_alt import (BranchformerConfig,
+                                                branchformer_forward)
+
+    torch.manual_seed(4)
+    ref = EBranchformerEncoder(input_size=80, output_size=32,
+                               attention_heads=2, linear_units=64,
+                               cgmlp_linear_units=64, cgmlp_conv_kernel=7,
+                               num_blocks=2, dropout_rate=0.0,
+                               positional_dropout_rate=0.0,
+                               attention_dropout_rate=0.0)
+    ref.eval()
+    x = torch.randn(2, 67, 80)
+    lens = torch.tensor([67, 50])
+    with torch.no_grad():
+        want, want_mask = ref(x, lens)
+
+    cfg = BranchformerConfig(input_size=80, output_size=32,
+                             attention_heads=2, cgmlp_linear_units=64,
+                             cgmlp_conv_kernel=7, num_blocks=2,
+                             dropout_rate=0.0, e_branchformer=True,
+                             ffn_units=64)
+    params = _to_ours(ref)
+    got, got_mask = branchformer_forward(params, jnp.asarray(x.numpy()),
+                                         jnp.asarray(lens.numpy()), cfg)
+    got = np.asarray(got)
+    T1 = int(want_mask[1].sum())
+    np.testing.assert_allclose(got[0], want.numpy()[0], atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(got[1, :T1], want.numpy()[1, :T1],
+                               atol=1e-4, rtol=1e-3)
