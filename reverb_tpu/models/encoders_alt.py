@@ -270,74 +270,226 @@ def branchformer_forward(params, xs, xs_lens, cfg: BranchformerConfig,
 
 @dataclasses.dataclass(frozen=True)
 class SqueezeformerConfig:
+    """Reference-exact Squeezeformer (squeezeformer/encoder.py:35-200):
+    depthwise Conv2d subsampling → preln → post-norm blocks
+    [MHSA→LN, FFN1→LN, conv→LN, FFN2→LN] with adaptive per-module input
+    scales, a 2× TimeReductionLayer1D at reduce_idx and repeat-2×+linear
+    recovery at recover_idx; rel-pos attention WITH rel_shift (unlike the
+    conformer, do_rel_shift defaults True — attention.py:224-227)."""
     input_size: int = 80
-    output_size: int = 256
+    output_size: int = 256             # == encoder_dim
     attention_heads: int = 4
-    linear_units: int = 2048
+    linear_units: int = 1024           # encoder_dim · expansion_factor
     num_blocks: int = 12
-    reduce_idx: int = 5            # temporal 2× reduction after this block
-    recover_idx: int = 11          # upsample + residual recovery before this
+    reduce_idx: int = 5
+    recover_idx: int = 11
     dropout_rate: float = 0.1
     cnn_module_kernel: int = 31
+    time_reduction_kernel: int = 5
+    adaptive_scale: bool = True
+    do_rel_shift: bool = True
+    activation: str = 'swish'
+
+
+def _init_ada(d):
+    return {'ada_scale': jnp.ones((1, 1, d), jnp.float32),
+            'ada_bias': jnp.zeros((1, 1, d), jnp.float32)}
+
+
+def _ada(p, x, cfg):
+    if not cfg.adaptive_scale:
+        return x
+    return p['ada_scale'].astype(x.dtype) * x + p['ada_bias'].astype(x.dtype)
+
+
+def _rel_shift(x):
+    """Transformer-XL relative shift (squeezeformer/attention.py:73-97):
+    zero-pad one column, fold, drop the first row."""
+    B, H, T1, T2 = x.shape
+    zero = jnp.zeros((B, H, T1, 1), x.dtype)
+    xp = jnp.concatenate([zero, x], axis=-1).reshape(B, H, T2 + 1, T1)
+    return xp[:, :, 1:].reshape(B, H, T1, T2)
+
+
+def _sq_attention(p, x, mask, pos_emb, cfg: SqueezeformerConfig, rngs=None):
+    """RelPositionMultiHeadedAttention with adaptive scale + rel_shift
+    (squeezeformer/attention.py:146-232)."""
+    import math as _math
+    B, T, D = x.shape
+    H = cfg.attention_heads
+    dk = D // H
+    xa = _ada(p, x, cfg)
+    q = linear(p['linear_q'], xa).reshape(B, T, H, dk)
+    k = linear(p['linear_k'], xa).reshape(B, T, H, dk).transpose(0, 2, 1, 3)
+    v = linear(p['linear_v'], xa).reshape(B, T, H, dk).transpose(0, 2, 1, 3)
+    pe = linear(p['linear_pos'], pos_emb).reshape(
+        pos_emb.shape[0], -1, H, dk).transpose(0, 2, 1, 3)
+    q_u = (q + p['pos_bias_u'].astype(x.dtype)).transpose(0, 2, 1, 3)
+    q_v = (q + p['pos_bias_v'].astype(x.dtype)).transpose(0, 2, 1, 3)
+    ac = jnp.einsum('bhtd,bhsd->bhts', q_u, k)
+    bd = jnp.einsum('bhtd,bhsd->bhts', q_v, pe)
+    if cfg.do_rel_shift:
+        bd = _rel_shift(bd)
+    scores = (ac + bd) / _math.sqrt(dk)
+    scores = jnp.where(mask[:, None, :, :], scores.astype(jnp.float32), -1e9)
+    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    attn = jnp.where(mask[:, None, :, :], attn, 0.0)
+    attn = dropout(attn, cfg.dropout_rate, rngs.next() if rngs else None)
+    ctx = jnp.einsum('bhts,bhsd->bhtd', attn, v)
+    return linear(p['linear_out'], ctx.transpose(0, 2, 1, 3).reshape(B, T, D))
+
+
+def _sq_ffn(p, x, cfg: SqueezeformerConfig, rngs=None):
+    x = _ada(p, x, cfg)
+    h = ACTIVATIONS[cfg.activation](linear(p['w_1'], x))
+    h = dropout(h, cfg.dropout_rate, rngs.next() if rngs else None)
+    return linear(p['w_2'], h)
+
+
+def _sq_conv(p, x, mask_pad, cfg: SqueezeformerConfig, rngs=None):
+    """Conv module (squeezeformer/convolution.py:121-180): ada → mask →
+    pointwise(2c)+GLU → symmetric depthwise → batch-norm → swish →
+    pointwise; NWC layout throughout."""
+    from reverb_tpu.models.modules import (batch_norm_last,
+                                           depthwise_conv1d_ntc,
+                                           pointwise_conv_as_linear)
+    x = _ada(p, x, cfg)
+    m = mask_pad[:, 0, :, None].astype(x.dtype)
+    x = x * m
+    x = pointwise_conv_as_linear(p['pointwise_conv1'], x)
+    a, b = jnp.split(x, 2, axis=-1)
+    x = a * jax.nn.sigmoid(b)                                # GLU
+    x = depthwise_conv1d_ntc(p['depthwise_conv'], x,
+                             padding=(cfg.cnn_module_kernel - 1) // 2)
+    x = batch_norm_last(p['norm'], x)   # NWC layout
+    x = ACTIVATIONS[cfg.activation](x)
+    x = pointwise_conv_as_linear(p['pointwise_conv2'], x)
+    return x * m
+
+
+def init_squeezeformer_layer(rng, cfg: SqueezeformerConfig):
+    d = cfg.output_size
+    ks = jax.random.split(rng, 4)
+    attn = _init_mha(ks[0], d, True, True, cfg.attention_heads)
+    attn.update(_init_ada(d))
+    ffn1 = _init_ffn(ks[1], d, cfg.linear_units)
+    ffn1.update(_init_ada(d))
+    ffn2 = _init_ffn(ks[2], d, cfg.linear_units)
+    ffn2.update(_init_ada(d))
+    kc = jax.random.split(ks[3], 3)
+    from reverb_tpu.models.modules import init_batch_norm
+    # conv-module params live FLAT in the layer dict (the checkpoint
+    # converter hoists `.conv_module.` — convert/torch_ckpt.py)
+    p = {'self_attn': attn, 'ffn1': ffn1, 'ffn2': ffn2,
+         'pointwise_conv1': init_conv1d(kc[0], d, 2 * d, 1),
+         'depthwise_conv': init_conv1d(kc[1], d, d,
+                                       cfg.cnn_module_kernel, groups=d),
+         'pointwise_conv2': init_conv1d(kc[2], d, d, 1),
+         'norm': init_batch_norm(d),
+         'layer_norm1': init_layer_norm(d),
+         'layer_norm2': init_layer_norm(d),
+         'layer_norm3': init_layer_norm(d),
+         'layer_norm4': init_layer_norm(d)}
+    p.update(_init_ada(d))   # the conv module's adaptive scale
+    return p
+
+
+def squeezeformer_layer_forward(p, x, mask, pos_emb, mask_pad,
+                                cfg: SqueezeformerConfig, rngs=None):
+    """Post-norm block (squeezeformer/encoder_layer.py:49-150)."""
+    def drop(v):
+        return dropout(v, cfg.dropout_rate, rngs.next() if rngs else None)
+
+    x = layer_norm(p['layer_norm1'],
+                   x + drop(_sq_attention(p['self_attn'], x, mask, pos_emb,
+                                          cfg, rngs)))
+    x = layer_norm(p['layer_norm2'], x + drop(_sq_ffn(p['ffn1'], x, cfg,
+                                                      rngs)))
+    x = layer_norm(p['layer_norm3'],
+                   x + drop(_sq_conv(p, x, mask_pad, cfg, rngs)))
+    x = layer_norm(p['layer_norm4'], x + drop(_sq_ffn(p['ffn2'], x, cfg,
+                                                      rngs)))
+    return x
 
 
 def init_squeezeformer(rng, cfg: SqueezeformerConfig):
-    from reverb_tpu.models.asr_model import (_init_conformer_layer,
-                                             init_encoder_params)
-    base_cfg = EncoderConfig(
-        input_size=cfg.input_size, output_size=cfg.output_size,
-        attention_heads=cfg.attention_heads, linear_units=cfg.linear_units,
-        cnn_module_kernel=cfg.cnn_module_kernel,
-        dropout_rate=cfg.dropout_rate)
-    ks = jax.random.split(rng, cfg.num_blocks + 3)
-    base = init_encoder_params(ks[0], dataclasses.replace(base_cfg,
-                                                          num_blocks=0))
-    base['encoders'] = [_init_conformer_layer(ks[i + 1], base_cfg, False)
-                       for i in range(cfg.num_blocks)]
+    from reverb_tpu.models.modules import init_conv2d
     d = cfg.output_size
-    base['time_reduce'] = init_conv1d(ks[-2], d, d, 5, groups=d)
-    base['time_recover'] = init_linear(ks[-1], d, d)
-    return base
+    f = cfg.input_size
+    ks = jax.random.split(rng, cfg.num_blocks + 5)
+    embed = {'pw_conv': init_conv2d(ks[0], 1, d, 3, 3),
+             'dw_conv': init_conv2d(ks[1], d, d, 3, 3),
+             'input_proj': {'0': init_linear(
+                 ks[2], d * (((f - 1) // 2 - 1) // 2), d)}}
+    tr = {'dw_conv': init_conv1d(ks[3], d, d, cfg.time_reduction_kernel,
+                                 groups=d),
+          'pw_conv': init_conv1d(ks[4], d, d, 1)}
+    return {'embed': embed,
+            'preln': init_layer_norm(d),
+            'time_reduction_layer': tr,
+            'time_recover_layer': init_linear(ks[-1], d, d),
+            'encoders': [init_squeezeformer_layer(ks[5 + i], cfg)
+                         for i in range(cfg.num_blocks)]}
 
 
 def squeezeformer_forward(params, xs, xs_lens, cfg: SqueezeformerConfig,
                           cmvn=None, rngs=None):
-    """Conformer stack with a 2× temporal squeeze between reduce_idx and
-    recover_idx and residual recovery (squeezeformer/encoder.py:35)."""
-    base_cfg = EncoderConfig(
-        input_size=cfg.input_size, output_size=cfg.output_size,
-        attention_heads=cfg.attention_heads, linear_units=cfg.linear_units,
-        cnn_module_kernel=cfg.cnn_module_kernel,
-        dropout_rate=cfg.dropout_rate)
+    """SqueezeformerEncoder.forward (encoder.py:200-260)."""
+    from reverb_tpu.models.modules import conv2d
     B, T, _ = xs.shape
     masks = (~make_pad_mask(xs_lens, T))[:, None, :]
     if cmvn is not None:
         xs = (xs - cmvn[0]) * cmvn[1]
-    xs, pos_emb, masks = SUBSAMPLE_FNS['conv2d'](params['embed'], xs, masks,
-                                                 base_cfg, 0, rngs)
+    # DepthwiseConv2dSubsampling4 (subsampling.py:27-93): pw → relu → dw →
+    # relu → flatten → rel-pos → input_proj
+    x4 = xs[:, None, :, :]
+    x4 = jax.nn.relu(conv2d(params['embed']['pw_conv'], x4, stride=(2, 2)))
+    x4 = jax.nn.relu(conv2d(params['embed']['dw_conv'], x4, stride=(2, 2)))
+    b, c, t, fdim = x4.shape
+    xs = x4.transpose(0, 2, 1, 3).reshape(b, t, c * fdim)
+    # the pos_enc sits BEFORE input_proj and is built with encoder_dim
+    # (encoder.py:147): x·sqrt(encoder_dim), pos table width encoder_dim
+    import math as _math
+    from reverb_tpu.models.embedding import pe_table
+    d = cfg.output_size
+    xs = xs * _math.sqrt(d)
+    pos_emb = jnp.asarray(pe_table(d))[None, :t].astype(xs.dtype)
+    xs = linear(params['embed']['input_proj']['0'], xs)
+    masks = masks[:, :, :-2:2][:, :, :-2:2]
     mask_pad = masks
-    pre_reduce = None
-    cur_masks = masks
-    cur_pos = pos_emb
+    att_mask = masks & masks.transpose(0, 2, 1)
+    xs = layer_norm(params['preln'], xs)
+
+    recover = None
+    cur_att, cur_pad, cur_pos = att_mask, mask_pad, pos_emb[:, :xs.shape[1]]
     for i, lp in enumerate(params['encoders']):
         if i == cfg.reduce_idx:
-            pre_reduce = xs
-            # strided depthwise conv 2× reduction (TimeReductionLayer1D)
-            xc = xs.transpose(0, 2, 1)
-            xc = conv1d(params['time_reduce'], xc, stride=2, padding=2,
+            recover = (xs, cur_att, cur_pos, cur_pad)
+            # TimeReductionLayer1D (subsampling.py:95-170): mask → dw(s2,
+            # pad k-2) → pw(k1) → trim/pad to ceil(T/2)
+            xm = xs * cur_pad[:, 0, :, None].astype(xs.dtype)
+            xc = xm.transpose(0, 2, 1)
+            # dw conv: stride 2, padding k-stride (subsampling.py:119-130)
+            xc = conv1d(params['time_reduction_layer']['dw_conv'], xc,
+                        stride=2, padding=max(0, cfg.time_reduction_kernel - 2),
                         groups=xc.shape[1])
-            xs = xc.transpose(0, 2, 1)
-            cur_masks = cur_masks[:, :, ::2][:, :, :xs.shape[1]]
-            cur_pos = cur_pos[:, :xs.shape[1]]
-        if i == cfg.recover_idx and pre_reduce is not None:
-            # nearest-neighbor upsample + linear + residual recovery
-            up = jnp.repeat(xs, 2, axis=1)[:, :pre_reduce.shape[1]]
-            xs = linear(params['time_recover'], up) + pre_reduce
-            cur_masks = masks
-            cur_pos = pos_emb
-        xs, _, _ = conformer_layer(lp, xs, cur_masks, cur_pos,
-                                   cur_masks, base_cfg, rngs=rngs)
-    xs = layer_norm(params['after_norm'], xs)
+            xc = conv1d(params['time_reduction_layer']['pw_conv'], xc)
+            xr = xc.transpose(0, 2, 1)
+            cur_att = cur_att[:, ::2, ::2]
+            cur_pad = cur_pad[:, :, ::2]
+            L = cur_pad.shape[-1]
+            xr = xr[:, :L] if xr.shape[1] >= L else jnp.pad(
+                xr, ((0, 0), (0, L - xr.shape[1]), (0, 0)))
+            xs = xr
+            cur_pos = cur_pos[:, ::2]
+        if i == cfg.recover_idx and recover is not None:
+            r_x, cur_att, cur_pos, cur_pad = recover
+            up = jnp.repeat(xs, 2, axis=1)
+            up = linear(params['time_recover_layer'], up)
+            xs = r_x + up[:, :r_x.shape[1]]
+            xs = xs * cur_pad[:, 0, :, None].astype(xs.dtype)
+        xs = squeezeformer_layer_forward(lp, xs, cur_att, cur_pos, cur_pad,
+                                         cfg, rngs)
     return xs, masks
 
 

@@ -522,3 +522,42 @@ def test_e_branchformer_activation_parity(wenet):
     np.testing.assert_allclose(got[0], want.numpy()[0], atol=1e-4, rtol=1e-3)
     np.testing.assert_allclose(got[1, :T1], want.numpy()[1, :T1],
                                atol=1e-4, rtol=1e-3)
+
+
+def test_squeezeformer_activation_parity(wenet):
+    """Squeezeformer (post-norm blocks, adaptive scales, rel_shift attention,
+    depthwise subsampling, 2× time reduce/recover U): same weights → same
+    activations."""
+    import torch
+    import jax.numpy as jnp
+    from wenet.squeezeformer.encoder import SqueezeformerEncoder
+    from reverb_tpu.models.encoders_alt import (SqueezeformerConfig,
+                                                squeezeformer_forward)
+
+    torch.manual_seed(5)
+    ref = SqueezeformerEncoder(input_size=80, encoder_dim=32, output_size=32,
+                               attention_heads=2,
+                               feed_forward_expansion_factor=2,
+                               num_blocks=4, reduce_idx=1, recover_idx=3,
+                               cnn_module_kernel=7, dropout=0.0,
+                               input_dropout_rate=0.0,
+                               feed_forward_dropout_rate=0.0,
+                               attention_dropout_rate=0.0)
+    ref.eval()
+    x = torch.randn(2, 67, 80)
+    lens = torch.tensor([67, 50])
+    with torch.no_grad():
+        want, want_mask = ref(x, lens)
+
+    cfg = SqueezeformerConfig(input_size=80, output_size=32,
+                              attention_heads=2, linear_units=64,
+                              num_blocks=4, reduce_idx=1, recover_idx=3,
+                              cnn_module_kernel=7, dropout_rate=0.0)
+    params = _to_ours(ref)
+    got, got_mask = squeezeformer_forward(params, jnp.asarray(x.numpy()),
+                                          jnp.asarray(lens.numpy()), cfg)
+    got = np.asarray(got)
+    T1 = int(want_mask[1].sum())
+    np.testing.assert_allclose(got[0], want.numpy()[0], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(got[1, :T1], want.numpy()[1, :T1],
+                               atol=2e-4, rtol=1e-3)
