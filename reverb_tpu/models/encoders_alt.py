@@ -495,16 +495,61 @@ def squeezeformer_forward(params, xs, xs_lens, cfg: SqueezeformerConfig,
 
 # -------------------- grouped attention (efficient conformer) -----------
 
-def grouped_rel_pos_mha(p, x, mask, pos_emb, h: int, group_size: int = 3):
-    """Grouped/strided rel-pos attention in the efficient-conformer spirit
-    (efficient_conformer/attention.py:28): full-resolution queries attend to
-    group-strided keys/values, cutting the score-matrix FLOPs and HBM
-    traffic by group_size."""
-    kv = x[:, ::group_size]
-    mask_kv = mask[:, :, ::group_size] if mask is not None else None
-    pos_kv = pos_emb[:, ::group_size]
-    out, _ = att.rel_pos_mha(p, x, kv, kv, mask_kv, pos_kv, h)
-    return out
+def grouped_rel_pos_mha(p, x, mask, pos_emb, h: int, group_size: int = 3,
+                        rate: float = 0.0, rng=None):
+    """GroupedRelPositionMultiHeadedAttention
+    (efficient_conformer/attention.py:28-260): q/k/v/pos are grouped by
+    concatenating `group_size` consecutive frames along the head dim
+    (d_k → d_k·g), the mask is strided ::g, scores scale by sqrt(d_k·g),
+    and the context is un-grouped back to full resolution (padding trimmed).
+    pos_bias_u/v are (h, d_k·g).  No rel_shift (matches the conformer)."""
+    import math as _math
+    B, T, D = x.shape
+    dk = D // h
+    g = group_size
+    q = linear(p['linear_q'], x)
+    k = linear(p['linear_k'], x)
+    v = linear(p['linear_v'], x)
+    pe = linear(p['linear_pos'], pos_emb)
+
+    pad_q = (-T) % g
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad_q), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_q), (0, 0)))
+    Tp = pe.shape[1]
+    pad_p = (-Tp) % g
+    if pad_p:
+        pe = jnp.pad(pe, ((0, 0), (0, pad_p), (0, 0)))
+    Tg = q.shape[1] // g
+
+    def grp(t):
+        return t.reshape(t.shape[0], -1, h, dk * g).transpose(0, 2, 1, 3)
+
+    qg, kg, vg = grp(q), grp(k), grp(v)
+    pg = grp(pe)
+    mg = mask[:, ::g, ::g] if mask is not None else None
+    q_u = (qg.transpose(0, 2, 1, 3)
+           + p['pos_bias_u'].astype(x.dtype)).transpose(0, 2, 1, 3)
+    q_v = (qg.transpose(0, 2, 1, 3)
+           + p['pos_bias_v'].astype(x.dtype)).transpose(0, 2, 1, 3)
+    ac = jnp.einsum('bhtd,bhsd->bhts', q_u, kg)
+    bd = jnp.einsum('bhtd,bhsd->bhts', q_v, pg[:, :, :kg.shape[2]])
+    scores = (ac + bd) / _math.sqrt(dk * g)
+    if mg is not None:
+        mm = mg[:, None, :, :scores.shape[-1]]
+        scores = jnp.where(mm, scores.astype(jnp.float32), -1e9)
+        attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        attn = jnp.where(mm, attn, 0.0)
+    else:
+        attn = jax.nn.softmax(scores.astype(jnp.float32),
+                              axis=-1).astype(x.dtype)
+    attn = dropout(attn, rate, rng)
+    ctx = jnp.einsum('bhts,bhsd->bhtd', attn, vg)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, Tg * g, D)
+    if pad_q:
+        ctx = ctx[:, :T]
+    return linear(p['linear_out'], ctx)
 
 
 # -------------------- efficient conformer (full encoder) -----------------
@@ -512,9 +557,10 @@ def grouped_rel_pos_mha(p, x, mask, pos_emb, h: int, group_size: int = 3):
 @dataclasses.dataclass(frozen=True)
 class EfficientConformerConfig:
     """EfficientConformerEncoder (efficient_conformer/encoder.py:41):
-    conformer blocks with grouped rel-pos attention and progressive
-    time-stride downsampling at `stride_layer_idx` (no recovery — later
-    layers run at the reduced rate)."""
+    conformer blocks with grouped rel-pos attention; at `stride_layer_idx`
+    the conv module's depthwise conv is strided (kernel recomputed k//s when
+    stride_kernel) and the residual goes through an AvgPool1d with
+    ceil_mode (no recovery — later layers run at the reduced rate)."""
     input_size: int = 80
     output_size: int = 256
     attention_heads: int = 4
@@ -523,39 +569,86 @@ class EfficientConformerConfig:
     cnn_module_kernel: int = 15
     dropout_rate: float = 0.1
     group_size: int = 3
+    group_layer_idx: tuple = (0, 1, 2, 3)
     stride_layer_idx: tuple = (3,)
     stride: tuple = (2,)
+    stride_kernel: bool = True
 
 
-def _eff_base_cfg(cfg: EfficientConformerConfig) -> EncoderConfig:
+def _eff_kernels(cfg: EfficientConformerConfig):
+    """cnn_module_kernels per stride stage (encoder.py:128-136)."""
+    ks = [cfg.cnn_module_kernel]
+    for s in cfg.stride:
+        ks.append(ks[-1] // s if cfg.stride_kernel else ks[-1])
+    return ks
+
+
+def _eff_base_cfg(cfg: EfficientConformerConfig, kernel: int
+                  ) -> EncoderConfig:
     return EncoderConfig(
         input_size=cfg.input_size, output_size=cfg.output_size,
         attention_heads=cfg.attention_heads, linear_units=cfg.linear_units,
-        cnn_module_kernel=cfg.cnn_module_kernel,
+        cnn_module_kernel=kernel, cnn_module_norm='batch_norm',
         dropout_rate=cfg.dropout_rate)
+
+
+def _eff_layer_kernel(cfg: EfficientConformerConfig, i: int) -> int:
+    """Kernel for layer i (encoder.py:155-198): the index advances AFTER a
+    stride layer is appended, so the stride layer itself still uses the
+    pre-stride kernel; only layers after it get the recomputed k//s."""
+    kernels = _eff_kernels(cfg)
+    return kernels[sum(1 for j in cfg.stride_layer_idx if j < i)]
 
 
 def init_efficient_conformer(rng, cfg: EfficientConformerConfig):
     from reverb_tpu.models.asr_model import (_init_conformer_layer,
                                              init_encoder_params)
-    base_cfg = _eff_base_cfg(cfg)
-    ks = jax.random.split(rng, cfg.num_blocks + 2)
-    base = init_encoder_params(ks[0], dataclasses.replace(base_cfg,
-                                                          num_blocks=0))
-    base['encoders'] = [_init_conformer_layer(ks[i + 1], base_cfg, False)
-                       for i in range(cfg.num_blocks)]
-    d = cfg.output_size
-    base['stride_convs'] = [init_conv1d(k, d, d, 5, groups=d)
-                            for k in jax.random.split(
-                                ks[-1], max(len(cfg.stride_layer_idx), 1))]
+    ks = jax.random.split(rng, cfg.num_blocks + 1)
+    base = init_encoder_params(
+        ks[0], dataclasses.replace(_eff_base_cfg(cfg, cfg.cnn_module_kernel),
+                                   num_blocks=0))
+    layers = []
+    for i in range(cfg.num_blocks):
+        lcfg = _eff_base_cfg(cfg, _eff_layer_kernel(cfg, i))
+        lp = _init_conformer_layer(ks[i + 1], lcfg, False)
+        if i in cfg.group_layer_idx:
+            # grouped attention: pos biases are (h, d_k·g)
+            d = cfg.output_size
+            dk = d // cfg.attention_heads
+            k1, k2 = jax.random.split(jax.random.fold_in(ks[i + 1], 99))
+            from reverb_tpu.models.modules import xavier_uniform
+            lp['self_attn']['pos_bias_u'] = xavier_uniform(
+                k1, (cfg.attention_heads, dk * cfg.group_size))
+            lp['self_attn']['pos_bias_v'] = xavier_uniform(
+                k2, (cfg.attention_heads, dk * cfg.group_size))
+        layers.append(lp)
+    base['encoders'] = layers
     return base
 
 
-def _efficient_layer(p, x, mask, pos_emb, cfg: EfficientConformerConfig,
-                     base_cfg: EncoderConfig, rngs=None):
-    """One conformer block with grouped attention
-    (efficient_conformer/encoder_layer.py semantics)."""
+def _avg_pool_ceil(x, s: int):
+    """torch.nn.AvgPool1d(kernel=s, stride=s, ceil_mode=True,
+    count_include_pad=False) over (B, T, D)."""
+    B, T, D = x.shape
+    Tp = -(-T // s) * s
+    pad = Tp - T
+    xs = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    cnt = jnp.pad(jnp.ones((T,), x.dtype), (0, pad))
+    xs = xs.reshape(B, Tp // s, s, D).sum(axis=2)
+    cnt = cnt.reshape(Tp // s, s).sum(axis=1)
+    return xs / cnt[None, :, None]
+
+
+def _efficient_layer(p, x, mask, pos_emb, mask_pad,
+                     cfg: EfficientConformerConfig, i: int, rngs=None):
+    """Conformer block; stride layers follow StrideConformerEncoderLayer
+    (efficient_conformer/encoder_layer.py:44-150): the conv module
+    downsamples and the pre-conv residual is AvgPool'd to match."""
     from reverb_tpu.models.encoder import conv_module
+    base_cfg = _eff_base_cfg(cfg, _eff_layer_kernel(cfg, i))
+    is_stride = i in cfg.stride_layer_idx
+    stride = cfg.stride[list(cfg.stride_layer_idx).index(i)] if is_stride \
+        else 1
 
     def drop(v):
         return dropout(v, cfg.dropout_rate, rngs.next() if rngs else None)
@@ -566,13 +659,49 @@ def _efficient_layer(p, x, mask, pos_emb, cfg: EfficientConformerConfig,
                                            base_cfg, rngs))
     residual = x
     xn = layer_norm(p['norm_mha'], x)
-    x = residual + drop(grouped_rel_pos_mha(p['self_attn'], xn, mask,
-                                            pos_emb, cfg.attention_heads,
-                                            cfg.group_size))
+    if i in cfg.group_layer_idx:
+        x_att = grouped_rel_pos_mha(p['self_attn'], xn, mask, pos_emb,
+                                    cfg.attention_heads, cfg.group_size,
+                                    cfg.dropout_rate,
+                                    rngs.next() if rngs else None)
+    else:
+        x_att, _ = att.rel_pos_mha(p['self_attn'], xn, xn, xn, mask,
+                                   pos_emb, cfg.attention_heads,
+                                   cfg.dropout_rate,
+                                   rngs.next() if rngs else None)
+    x = residual + drop(x_att)
+
     residual = x
     xn = layer_norm(p['norm_conv'], x)
-    xc, _ = conv_module(p, xn, mask, base_cfg, rngs)
-    x = residual + drop(xc)
+    if is_stride:
+        # strided conv module: masked input, strided depthwise, symmetric
+        # padding (efficient_conformer/convolution.py:95-160)
+        from reverb_tpu.models.modules import (batch_norm_last,
+                                               pointwise_conv_as_linear)
+        k = base_cfg.cnn_module_kernel
+        xc = xn * mask_pad[:, 0, :, None].astype(xn.dtype)
+        xc = pointwise_conv_as_linear(p['pointwise_conv1'], xc)
+        a, b = jnp.split(xc, 2, axis=-1)
+        xc = a * jax.nn.sigmoid(b)
+        w = p['depthwise_conv']['weight'].astype(xc.dtype).transpose(2, 1, 0)
+        xc = jax.lax.conv_general_dilated(
+            xc, w, window_strides=(stride,),
+            padding=[((k - 1) // 2, (k - 1) // 2)],
+            dimension_numbers=('NHC', 'HIO', 'NHC'),
+            feature_group_count=xc.shape[-1],
+            precision=jax.lax.Precision.HIGHEST)
+        xc = xc + p['depthwise_conv']['bias'][None, None, :].astype(xc.dtype)
+        xc = batch_norm_last(p['norm'], xc)
+        xc = jax.nn.silu(xc)
+        xc = pointwise_conv_as_linear(p['pointwise_conv2'], xc)
+        new_pad = mask_pad[:, :, ::stride][:, :, :xc.shape[1]]
+        xc = xc * new_pad[:, 0, :, None].astype(xc.dtype)
+        residual = _avg_pool_ceil(residual, stride)[:, :xc.shape[1]]
+        x = residual + drop(xc)
+    else:
+        xc, _ = conv_module(p, xn, mask_pad, base_cfg, rngs)
+        x = residual + drop(xc)
+
     residual = x
     xn = layer_norm(p['norm_ff'], x)
     x = residual + 0.5 * drop(feed_forward(p['feed_forward'], xn, base_cfg,
@@ -583,25 +712,26 @@ def _efficient_layer(p, x, mask, pos_emb, cfg: EfficientConformerConfig,
 def efficient_conformer_forward(params, xs, xs_lens,
                                 cfg: EfficientConformerConfig,
                                 cmvn=None, rngs=None):
-    """(B,T,F) → (B,T',D), masks — progressive-downsampling conformer."""
-    base_cfg = _eff_base_cfg(cfg)
+    """(B,T,F) → (B,T',D), masks — EfficientConformerEncoder.forward
+    (encoder.py:232-287): masks/pos stride AFTER each stride layer."""
+    base_cfg = _eff_base_cfg(cfg, cfg.cnn_module_kernel)
     B, T, _ = xs.shape
     masks = (~make_pad_mask(xs_lens, T))[:, None, :]
     if cmvn is not None:
         xs = (xs - cmvn[0]) * cmvn[1]
     xs, pos_emb, masks = SUBSAMPLE_FNS['conv2d'](params['embed'], xs, masks,
                                                  base_cfg, 0, rngs)
+    mask_pad = masks
+    att_mask = masks & masks.transpose(0, 2, 1)
     stride_at = dict(zip(cfg.stride_layer_idx, range(len(cfg.stride))))
     for i, lp in enumerate(params['encoders']):
+        xs = _efficient_layer(lp, xs, att_mask, pos_emb, mask_pad, cfg, i,
+                              rngs)
         if i in stride_at:
-            j = stride_at[i]
-            s = cfg.stride[j]
-            xc = xs.transpose(0, 2, 1)
-            xc = conv1d(params['stride_convs'][j], xc, stride=s, padding=2,
-                        groups=xc.shape[1])
-            xs = xc.transpose(0, 2, 1)
-            masks = masks[:, :, ::s][:, :, :xs.shape[1]]
-            pos_emb = pos_emb[:, :xs.shape[1]]
-        xs = _efficient_layer(lp, xs, masks, pos_emb, cfg, base_cfg, rngs)
+            s = cfg.stride[stride_at[i]]
+            masks = masks[:, :, ::s]
+            att_mask = att_mask[:, ::s, ::s]
+            mask_pad = masks
+            pos_emb = pos_emb[:, ::s]
     xs = layer_norm(params['after_norm'], xs)
     return xs, masks

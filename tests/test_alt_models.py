@@ -60,12 +60,21 @@ def test_squeezeformer_forward():
 
 def test_grouped_attention():
     from reverb_tpu.models.asr_model import _init_mha
+    from reverb_tpu.models.modules import xavier_uniform
     p = _init_mha(jax.random.PRNGKey(0), 32, True, True, 2)
+    # grouped attention uses (h, d_k*g) pos biases (attention.py:38-46)
+    p['pos_bias_u'] = xavier_uniform(jax.random.PRNGKey(1), (2, 16 * 3))
+    p['pos_bias_v'] = xavier_uniform(jax.random.PRNGKey(2), (2, 16 * 3))
     x = jnp.asarray(RNG.randn(1, 12, 32), jnp.float32)
     pos = jnp.asarray(RNG.randn(1, 12, 32), jnp.float32)
-    mask = jnp.ones((1, 1, 12), bool)
+    mask = jnp.ones((1, 12, 12), bool)
     out = grouped_rel_pos_mha(p, x, mask, pos, 2, group_size=3)
     assert out.shape == (1, 12, 32)
+    # T not divisible by the group: pad + trim path
+    x2 = jnp.asarray(RNG.randn(1, 11, 32), jnp.float32)
+    out2 = grouped_rel_pos_mha(p, x2, jnp.ones((1, 11, 11), bool),
+                               pos[:, :11], 2, group_size=3)
+    assert out2.shape == (1, 11, 32)
 
 
 def test_cif_fire_counts():

@@ -561,3 +561,42 @@ def test_squeezeformer_activation_parity(wenet):
     np.testing.assert_allclose(got[0], want.numpy()[0], atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(got[1, :T1], want.numpy()[1, :T1],
                                atol=2e-4, rtol=1e-3)
+
+
+def test_efficient_conformer_activation_parity(wenet):
+    """Efficient-Conformer (grouped rel-pos attention with d_k·g head dims,
+    strided conv module with AvgPool residual, kernel recompute k//s):
+    same weights → same activations."""
+    import torch
+    import jax.numpy as jnp
+    from wenet.efficient_conformer.encoder import EfficientConformerEncoder
+    from reverb_tpu.models.encoders_alt import (EfficientConformerConfig,
+                                                efficient_conformer_forward)
+
+    torch.manual_seed(6)
+    ref = EfficientConformerEncoder(
+        input_size=80, output_size=32, attention_heads=2, linear_units=64,
+        num_blocks=4, dropout_rate=0.0, positional_dropout_rate=0.0,
+        attention_dropout_rate=0.0, stride_layer_idx=[1], stride=[2],
+        group_layer_idx=[0, 1, 2, 3], group_size=2, cnn_module_kernel=7)
+    ref.eval()
+    x = torch.randn(2, 67, 80)
+    lens = torch.tensor([67, 50])
+    with torch.no_grad():
+        want, want_mask = ref(x, lens)
+
+    cfg = EfficientConformerConfig(
+        input_size=80, output_size=32, attention_heads=2, linear_units=64,
+        num_blocks=4, dropout_rate=0.0, stride_layer_idx=(1,), stride=(2,),
+        group_layer_idx=(0, 1, 2, 3), group_size=2, cnn_module_kernel=7)
+    params = _to_ours(ref)
+    got, got_mask = efficient_conformer_forward(
+        params, jnp.asarray(x.numpy()), jnp.asarray(lens.numpy()), cfg)
+    got = np.asarray(got)
+    assert got.shape == tuple(want.shape), (got.shape, want.shape)
+    np.testing.assert_array_equal(np.asarray(got_mask)[:, 0, :],
+                                  want_mask.numpy()[:, 0, :])
+    T1 = int(want_mask[1].sum())
+    np.testing.assert_allclose(got[0], want.numpy()[0], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(got[1, :T1], want.numpy()[1, :T1],
+                               atol=2e-4, rtol=1e-3)
