@@ -19,7 +19,8 @@ from typing import Dict
 import numpy as np
 
 # dict keys whose children are integer-indexed module lists in our tree
-_LIST_KEYS = {'encoders', 'decoders', 'language_layers'}
+_LIST_KEYS = {'encoders', 'decoders', 'language_layers',
+              'encoders0', 'decoders3', 'experts'}
 # torch buffer/bookkeeping keys to drop
 _SKIP_SUFFIXES = ('num_batches_tracked',)
 

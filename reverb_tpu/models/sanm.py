@@ -213,7 +213,11 @@ def sanm_encoder_forward(params, feats, feats_lens, cfg: SanmConfig,
         x = (x - mean.astype(x.dtype)) * istd.astype(x.dtype)
     T = x.shape[1]
     masks = (~make_pad_mask(lens, T))[:, None, :]           # (B,1,T)
-    pe = jnp.asarray(whisper_sinusoids(cfg.input_size))[None, :T]
+    # ParaformerPositinoalEncoding: whisper sinusoid table of width
+    # input_size added to x, xscale = sqrt(output_size); "Paraformer starts
+    # from 1" — the table is read at offset+1
+    # (paraformer/embedding.py:4-14, paraformer/subsampling.py:38-43)
+    pe = jnp.asarray(whisper_sinusoids(cfg.input_size))[None, 1:T + 1]
     x = x * math.sqrt(cfg.output_size) + pe.astype(x.dtype)
     x = dropout(x, cfg.dropout_rate, rngs.next() if rngs else None)
     att_mask = masks & masks.transpose(0, 2, 1)             # (B,T,T)

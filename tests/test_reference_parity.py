@@ -600,3 +600,80 @@ def test_efficient_conformer_activation_parity(wenet):
     np.testing.assert_allclose(got[0], want.numpy()[0], atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(got[1, :T1], want.numpy()[1, :T1],
                                atol=2e-4, rtol=1e-3)
+
+
+def test_sanm_encoder_decoder_parity(wenet):
+    """Ali-Paraformer SANM encoder/decoder + LFR frontend: same weights →
+    same activations (layers.py:23-495, attention.py:8-217)."""
+    import torch
+    import jax.numpy as jnp
+    from wenet.paraformer.layers import LFR, SanmDecoder, SanmEncoder
+    from reverb_tpu.models.sanm import (SanmConfig, lfr,
+                                        sanm_decoder_forward,
+                                        sanm_encoder_forward)
+
+    torch.manual_seed(8)
+    m, n = 3, 2
+    ref_lfr = LFR(m=m, n=n)
+    x = torch.randn(2, 25, 8)
+    lens = torch.tensor([25, 13])
+    with torch.no_grad():
+        want_l, want_lens = ref_lfr(x, lens)
+    got_l, got_lens = lfr(jnp.asarray(x.numpy()), jnp.asarray(lens.numpy()),
+                          m, n)
+    np.testing.assert_array_equal(np.asarray(got_lens),
+                                  want_lens.numpy())
+    for b in range(2):
+        L = int(want_lens[b])
+        np.testing.assert_allclose(np.asarray(got_l)[b, :L],
+                                   want_l.numpy()[b, :L], rtol=1e-6)
+
+    enc = SanmEncoder(input_size=8 * m, output_size=16, attention_heads=2,
+                      linear_units=32, num_blocks=2, dropout_rate=0.0,
+                      positional_dropout_rate=0.0,
+                      attention_dropout_rate=0.0, kernel_size=5)
+    dec = SanmDecoder(vocab_size=30, encoder_output_size=16,
+                      attention_heads=2, linear_units=32, num_blocks=2,
+                      dropout_rate=0.0, positional_dropout_rate=0.0,
+                      self_attention_dropout_rate=0.0,
+                      src_attention_dropout_rate=0.0, att_layer_num=2,
+                      kernel_size=5)
+    enc.eval()
+    dec.eval()
+    from wenet.utils.mask import make_pad_mask as ref_make_pad_mask
+    with torch.no_grad():
+        feats, feats_lens = ref_lfr(x, lens)
+        # BaseEncoder.forward in this fork passes cat_embs the Ali layer
+        # rejects — drive embed + forward_layers + after_norm directly
+        want_mask = ~ref_make_pad_mask(feats_lens,
+                                       feats.size(1)).unsqueeze(1)
+        xs_t, pos_t, want_mask = enc.embed(feats, want_mask)
+        xs_t = enc.forward_layers(xs_t, want_mask, pos_t, want_mask)
+        want_enc = enc.after_norm(xs_t)
+        sem = torch.randn(2, 5, 16)
+        ys_lens = torch.tensor([5, 3])
+        want_dec, _, _ = dec(want_enc, want_mask, sem, ys_lens)
+
+    cfg = SanmConfig(input_size=8 * m, output_size=16, attention_heads=2,
+                     linear_units=32, num_blocks=2, decoder_blocks=2,
+                     vocab_size=30, kernel_size=5, dropout_rate=0.0,
+                     lfr_m=m, lfr_n=n)
+    enc_p = _to_ours(enc)
+    got_enc, got_mask = sanm_encoder_forward(enc_p, jnp.asarray(x.numpy()),
+                                             jnp.asarray(lens.numpy()), cfg)
+    T1 = int(want_mask[1].sum())
+    np.testing.assert_allclose(np.asarray(got_enc)[0],
+                               want_enc.numpy()[0], atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_enc)[1, :T1],
+                               want_enc.numpy()[1, :T1], atol=2e-4,
+                               rtol=1e-3)
+
+    dec_p = _to_ours(dec)
+    got_dec = sanm_decoder_forward(dec_p, jnp.asarray(got_enc), got_mask,
+                                   jnp.asarray(sem.numpy()),
+                                   jnp.asarray(ys_lens.numpy()), cfg)
+    np.testing.assert_allclose(np.asarray(got_dec)[0],
+                               want_dec.numpy()[0], atol=5e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_dec)[1, :3],
+                               want_dec.numpy()[1, :3], atol=5e-4,
+                               rtol=2e-3)
