@@ -64,18 +64,26 @@ def encode_cv(params, cv, cv_lengths, cfg: ContextAdaptorConfig):
     cv = jnp.concatenate([blank, cv], axis=0)
     lengths = jnp.concatenate(
         [jnp.ones((1,), cv_lengths.dtype), cv_lengths])
+    from reverb_tpu.utils.common import reverse_sequence
     x = embedding(params['embed'], cv)                  # (N+1, L, E)
-    for lp in params['lstm']:
-        fwd = lstm_forward(lp['fwd'], x)
-        bwd = lstm_forward(lp['bwd'], x[:, ::-1])[:, ::-1]
-        x = jnp.concatenate([fwd, bwd], axis=-1)
-    # final hidden state of each direction at each term's true length
     idx = jnp.maximum(lengths - 1, 0)
+    valid = (jnp.arange(x.shape[1])[None, :]
+             < lengths[:, None])[:, :, None]
+    for lp in params['lstm']:
+        xm = jnp.where(valid, x, 0.0)
+        fwd = lstm_forward(lp['fwd'], xm)
+        # packed-sequence backward semantics (context_adaptor.py:126-130):
+        # the reverse direction starts at each term's TRUE last token, so
+        # reverse only the valid region, run forward, un-reverse
+        rx = reverse_sequence(xm, lengths, 0.0)
+        bwd = reverse_sequence(lstm_forward(lp['bwd'], rx), lengths, 0.0)
+        x = jnp.concatenate([fwd, bwd], axis=-1)
+    # final hidden state of each direction (h_n of the packed LSTM)
     h = x.shape[-1] // 2
     last_fwd = jnp.take_along_axis(
         x[..., :h], idx[:, None, None], axis=1)[:, 0]   # (N+1, h)
-    first_bwd = x[:, 0, h:]                             # backward covers whole
-    return jnp.concatenate([last_fwd, first_bwd], axis=-1)[None]  # (1,N+1,D)
+    last_bwd = x[:, 0, h:]           # un-reversed pos 0 = backward final
+    return jnp.concatenate([last_fwd, last_bwd], axis=-1)[None]  # (1,N+1,D)
 
 
 def combine_layers(layer_outs: List[jax.Array]) -> jax.Array:

@@ -677,3 +677,90 @@ def test_sanm_encoder_decoder_parity(wenet):
     np.testing.assert_allclose(np.asarray(got_dec)[1, :3],
                                want_dec.numpy()[1, :3], atol=5e-4,
                                rtol=2e-3)
+
+
+def test_moe_ffn_parity(wenet):
+    """MoEFFNLayer (positionwise_feed_forward.py:58-121): stacked-einsum
+    dense MoE == reference gather/scatter token dispatch."""
+    import torch
+    import jax.numpy as jnp
+    from wenet.transformer.positionwise_feed_forward import MoEFFNLayer
+    from reverb_tpu.models.encoder import EncoderConfig, moe_feed_forward
+
+    torch.manual_seed(9)
+    ref = MoEFFNLayer(n_expert=4, n_expert_per_token=2, idim=16,
+                      hidden_units=32, dropout_rate=0.0,
+                      activation=torch.nn.SiLU())
+    ref.eval()
+    x = torch.randn(2, 7, 16)
+    with torch.no_grad():
+        want = ref(x)
+    cfg = EncoderConfig(output_size=16, linear_units=32, n_expert=4,
+                        n_expert_per_token=2, dropout_rate=0.0,
+                        positionwise_layer_type='moe',
+                        activation_type='swish')
+    p = _to_ours(ref)
+    got = moe_feed_forward(p, jnp.asarray(x.numpy()), cfg)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-5,
+                               rtol=1e-4)
+
+
+def _torch_lstm_to_ours(sd, prefix, layer, reverse):
+    suf = f'l{layer}' + ('_reverse' if reverse else '')
+    return {'w_ih': sd[f'{prefix}weight_ih_{suf}'].numpy(),
+            'w_hh': sd[f'{prefix}weight_hh_{suf}'].numpy(),
+            'b': (sd[f'{prefix}bias_ih_{suf}']
+                  + sd[f'{prefix}bias_hh_{suf}']).numpy()}
+
+
+def test_context_adaptor_parity(wenet):
+    """Deep-biasing context adaptor (transformer/context_adaptor.py): BiLSTM
+    phrase encoder + 1-head cross attention + blank-term zeroing — same
+    weights → same outputs."""
+    import torch
+    import jax.numpy as jnp
+    from wenet.transformer.context_adaptor import ContextAdaptor
+    from reverb_tpu.models.context_adaptor import (ContextAdaptorConfig,
+                                                   context_adaptor_forward,
+                                                   encode_cv)
+
+    torch.manual_seed(10)
+    V, D = 30, 16
+    ref = ContextAdaptor(vocab_size=V, embedding_dim=8, output_size=D,
+                         attention_heads=1, num_layers=1)
+    ref.eval()
+    cv = torch.randint(1, V, (3, 5))
+    cv_lens = torch.tensor([5, 3, 2])
+    layers = [torch.randn(2, 9, D) for _ in range(15)]
+    with torch.no_grad():
+        cv_emb = ref.encode_cv(cv, cv_lens)
+        want = ref(layers, cv_emb)
+
+    cfg = ContextAdaptorConfig(vocab_size=V, embedding_dim=8, output_size=D,
+                               num_layers=1)
+    sd = ref.state_dict()
+    p = {'embed': {'weight': sd['embed.weight'].numpy()},
+         'lstm': [{'fwd': _torch_lstm_to_ours(sd, 'encoder.', 0, False),
+                   'bwd': _torch_lstm_to_ours(sd, 'encoder.', 0, True)}],
+         'attention': {
+             'linear_q': {'weight': sd['attention.in_proj_weight'][:D].numpy(),
+                          'bias': sd['attention.in_proj_bias'][:D].numpy()},
+             'linear_k': {'weight':
+                          sd['attention.in_proj_weight'][D:2 * D].numpy(),
+                          'bias':
+                          sd['attention.in_proj_bias'][D:2 * D].numpy()},
+             'linear_v': {'weight':
+                          sd['attention.in_proj_weight'][2 * D:].numpy(),
+                          'bias': sd['attention.in_proj_bias'][2 * D:].numpy()},
+             'linear_out': {'weight': sd['attention.out_proj.weight'].numpy(),
+                            'bias': sd['attention.out_proj.bias'].numpy()}}}
+    got_cv = encode_cv(p, jnp.asarray(cv.numpy()),
+                       jnp.asarray(cv_lens.numpy()), cfg)
+    np.testing.assert_allclose(np.asarray(got_cv), cv_emb.numpy()[None]
+                               if cv_emb.ndim == 2 else cv_emb.numpy(),
+                               atol=2e-5, rtol=1e-4)
+    got = context_adaptor_forward(p, [jnp.asarray(l.numpy())
+                                      for l in layers],
+                                  jnp.asarray(np.asarray(got_cv)), cfg)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=5e-5,
+                               rtol=1e-3)
