@@ -764,3 +764,56 @@ def test_context_adaptor_parity(wenet):
                                   jnp.asarray(np.asarray(got_cv)), cfg)
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=5e-5,
                                rtol=1e-3)
+
+
+def test_transducer_predictor_joint_parity(wenet):
+    """RNNPredictor (embed→LSTM→projection) and TransducerJoint
+    (prejoin FFNs → tanh → vocab FFN): same weights → same outputs
+    (transducer/predictor.py:60-207, joint.py:8-100)."""
+    import torch
+    import jax.numpy as jnp
+    from wenet.transducer.predictor import RNNPredictor
+    from wenet.transducer.joint import TransducerJoint
+    from reverb_tpu.models.transducer import (TransducerConfig,
+                                              joint_forward,
+                                              predictor_forward)
+
+    torch.manual_seed(12)
+    V, E, H = 30, 12, 16
+    pred = RNNPredictor(voca_size=V, embed_size=E, output_size=E,
+                        embed_dropout=0.0, hidden_size=H, num_layers=2,
+                        dropout=0.0)
+    joint = TransducerJoint(vocab_size=V, enc_output_size=20,
+                            pred_output_size=E, join_dim=24)
+    pred.eval()
+    joint.eval()
+    ys = torch.randint(0, V, (2, 6))
+    enc = torch.randn(2, 9, 20)
+    with torch.no_grad():
+        want_pred = pred(ys)
+        want_joint = joint(enc, want_pred)
+
+    sd = pred.state_dict()
+    cfg = TransducerConfig(vocab_size=V, encoder_output_size=20,
+                           predictor='rnn', predictor_embed_size=E,
+                           predictor_hidden_size=H, predictor_layers=2,
+                           join_dim=24)
+    p_pred = {'embed': {'weight': sd['embed.weight'].numpy()},
+              'rnn': [_torch_lstm_to_ours(sd, 'rnn.', i, False)
+                      for i in range(2)],
+              'projection': {'weight': sd['projection.weight'].numpy(),
+                             'bias': sd['projection.bias'].numpy()}}
+    got_pred = predictor_forward(p_pred, jnp.asarray(ys.numpy()), cfg)
+    np.testing.assert_allclose(np.asarray(got_pred), want_pred.numpy(),
+                               atol=2e-5, rtol=1e-4)
+
+    jd = joint.state_dict()
+    p_joint = {k.split('.')[0]: {} for k in jd}
+    for k, v in jd.items():
+        mod, leaf = k.split('.')
+        p_joint.setdefault(mod, {})[leaf] = v.numpy()
+    got_joint = joint_forward(p_joint, jnp.asarray(enc.numpy())[:, :, None],
+                              jnp.asarray(np.asarray(got_pred))[:, None],
+                              cfg)
+    np.testing.assert_allclose(np.asarray(got_joint), want_joint.numpy(),
+                               atol=5e-5, rtol=1e-4)
