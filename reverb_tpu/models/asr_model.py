@@ -353,12 +353,17 @@ def filter_blank_embedding(cfg: ModelConfig, ctc_probs, encoder_out,
     return new_out, new_mask
 
 
-def compute_loss(params, cfg: ModelConfig, batch, rng=None):
+def compute_loss(params, cfg: ModelConfig, batch, rng=None,
+                 ctc_loss_fn=None):
     """Training loss (asr_model.py:131-208).
 
     batch: dict with feats (B,T,F), feats_lengths (B,), target (B,L) padded
     with ignore_id, target_lengths (B,), optional cat_embs (B,num_langs).
     Returns dict(loss, loss_att, loss_ctc, th_accuracy).
+
+    ctc_loss_fn(params, encoder_out, encoder_out_lens, text, text_lens)
+    optionally replaces the CTC term — the `_forward_ctc` override hook the
+    k2 LF-MMI model uses (k2/model.py:58-65).
     """
     rngs = Rngs(rng) if rng is not None else None
     chunk_rng = rngs.next() if rngs else None
@@ -390,7 +395,11 @@ def compute_loss(params, cfg: ModelConfig, batch, rng=None):
     text, text_lens = batch['target'], batch['target_lengths']
 
     loss_ctc = None
-    if cfg.ctc_weight != 0.0:
+    if ctc_loss_fn is not None and cfg.ctc_weight != 0.0:
+        loss_ctc = ctc_loss_fn(params['ctc'], encoder_out, encoder_out_lens,
+                               jnp.where(text == cfg.ignore_id, 0, text),
+                               text_lens)
+    elif cfg.ctc_weight != 0.0:
         loss_ctc = ctc_mod.ctc_loss(
             params['ctc'], encoder_out, encoder_out_lens,
             jnp.where(text == cfg.ignore_id, 0, text), text_lens,

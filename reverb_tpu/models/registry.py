@@ -167,6 +167,26 @@ def _asr_bundle(configs, rng, cmvn) -> ModelBundle:
     return ModelBundle('asr_model', cfg, params, loss)
 
 
+def _k2_bundle(configs, rng, cmvn) -> ModelBundle:
+    """K2Model (k2/model.py:27, init_model.py:93): ASRModel with the CTC
+    term replaced by a TPU-native LF-MMI loss (models/k2_model.py)."""
+    from reverb_tpu.models.k2_model import LfmmiResources, lfmmi_ctc_loss_fn
+    cfg = ModelConfig.from_config(configs)
+    model_conf = configs.get('model_conf', {}) or {}
+    lfmmi_dir = model_conf.get('lfmmi_dir', '')
+    params = init_params(rng, cfg, cmvn=cmvn)
+    ctc_override = None
+    if lfmmi_dir:                                  # k2/model.py:53-55
+        res = LfmmiResources(lfmmi_dir, cfg.vocab_size, cfg.blank_id)
+        ctc_override = lfmmi_ctc_loss_fn(res)
+
+    def loss(params, batch, rng=None):
+        return compute_loss(params, cfg, batch, rng=rng,
+                            ctc_loss_fn=ctc_override)
+
+    return ModelBundle('k2_model', cfg, params, loss)
+
+
 def _transducer_bundle(configs, rng, cmvn) -> ModelBundle:
     """Transducer (transducer/transducer.py:19): conformer encoder +
     predictor + joint; loss = transducer_weight·rnnt + ctc_weight·ctc."""
@@ -508,6 +528,7 @@ def _whisper_bundle(configs, rng, cmvn) -> ModelBundle:
 
 _MODEL_REGISTRY = {
     'asr_model': _asr_bundle,
+    'k2_model': _k2_bundle,
     'transducer': _transducer_bundle,
     'bitransducer': _transducer_bundle,
     'paraformer': _paraformer_bundle,
@@ -524,9 +545,9 @@ _ALT_ENCODERS = ('branchformer', 'e_branchformer', 'squeezeformer',
 
 def init_model(configs: Dict, rng=None, cmvn: Optional[tuple] = None
                ) -> ModelBundle:
-    """Registry dispatch (init_model.py:99-277).  k2-style LF-MMI models are
-    intentionally descoped (SURVEY.md §2.9); HLG decoding is covered by
-    reverb_tpu.decode.hlg."""
+    """Registry dispatch (init_model.py:99-277).  k2-style LF-MMI training
+    is covered k2-free by `model: k2_model` (models/k2_model.py); HLG
+    decoding by reverb_tpu.decode.hlg."""
     rng = rng if rng is not None else jax.random.PRNGKey(777)
     kind = configs.get('model', 'asr_model')
     enc = configs.get('encoder', 'conformer')
