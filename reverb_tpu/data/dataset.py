@@ -107,6 +107,9 @@ def Dataset(data_type: str, data_list_file, tokenizer=None, conf=None,
     if feats_type == 'fbank':
         ds = ds.map(partial(processor.compute_fbank,
                             **conf.get('fbank_conf', {})))
+    elif feats_type == 'mfcc':
+        ds = ds.map(partial(processor.compute_mfcc,
+                            **conf.get('mfcc_conf', {})))
     elif feats_type == 'log_mel_spectrogram':
         ds = ds.map(partial(processor.compute_log_mel_spectrogram,
                             **conf.get('log_mel_spectrogram_conf', {})))

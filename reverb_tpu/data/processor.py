@@ -103,6 +103,27 @@ def compute_fbank(sample: Dict, num_mel_bins: int = 23,
     return sample
 
 
+def compute_mfcc(sample: Dict, num_mel_bins: int = 23,
+                 frame_length: float = 25, frame_shift: float = 10,
+                 dither: float = 0.0, num_ceps: int = 40,
+                 high_freq: float = 0.0, low_freq: float = 20.0) -> Dict:
+    """MFCC features (processor.py:385-416): kaldi.mfcc on the 1<<15-scaled
+    waveform.  Same arg surface as the reference; num_ceps is clamped to
+    num_mel_bins (kaldi requires num_ceps <= num_mel_bins)."""
+    from reverb_tpu.frontend.fbank import mfcc_numpy
+    cfg = FbankConfig(sample_rate=sample['sample_rate'],
+                      num_mel_bins=num_mel_bins,
+                      frame_length_ms=frame_length,
+                      frame_shift_ms=frame_shift, dither=dither,
+                      low_freq=low_freq, high_freq=high_freq)
+    wave = sample['wav'][0] * (1 << 15)
+    if dither > 0:
+        wave = wave + dither * np.random.randn(len(wave)).astype(np.float32)
+    sample['feat'] = mfcc_numpy(wave, cfg,
+                                num_ceps=min(num_ceps, num_mel_bins))
+    return sample
+
+
 def compute_log_mel_spectrogram(sample: Dict, n_fft: int = 400,
                                 hop_length: int = 160, num_mel_bins: int = 80,
                                 padding: int = 0) -> Dict:

@@ -80,6 +80,92 @@ def export_serving_functions(params, model_config,
                       'window': window, 'cache_t': cache_t}
 
 
+def serialize_serving_functions(params, model_config, out_dir: str,
+                                **kwargs) -> Dict[str, str]:
+    """Write the serving function set as portable serialized StableHLO
+    artifacts — the file-based analogue of the reference's ONNX export
+    (bin/export_onnx_cpu.py:79,274,324: one file per subgraph + metadata).
+
+    Each `<name>.stablehlo` embeds the weights as constants (like an ONNX
+    initializer) and round-trips through `load_serialized` into a callable
+    that runs on any JAX backend.  Returns name → file path.
+    """
+    import json
+
+    from jax import export as jexport
+
+    from reverb_tpu.models import ctc as ctc_mod
+    from reverb_tpu.models.asr_model import forward_attention_decoder
+    from reverb_tpu.models.encoder import (encoder_forward_chunk,
+                                           init_stream_caches)
+
+    # params are closed over (baked in as constants); numpy leaves from the
+    # npz loader must become jax arrays to be indexable by tracers
+    params = jax.tree.map(jnp.asarray, params)
+
+    ecfg = model_config.encoder
+    chunk_size = kwargs.get('chunk_size', 16)
+    num_left_chunks = kwargs.get('num_left_chunks', 16)
+    batch_size = kwargs.get('batch_size', 1)
+    rescoring_nbest = kwargs.get('rescoring_nbest', 10)
+    max_hyp_len = kwargs.get('max_hyp_len', 64)
+
+    sub = ecfg.subsampling_rate
+    context = {1: 1, 4: 7, 6: 11, 8: 15}[sub]
+    window = (chunk_size - 1) * sub + context
+    cache_t = chunk_size * num_left_chunks
+    att0, cnn0 = init_stream_caches(ecfg, cache_t, batch_size)
+    cat = jnp.zeros((2,), jnp.float32)
+    feats = jnp.zeros((batch_size, window, ecfg.input_size), jnp.float32)
+    enc_out = jnp.zeros((batch_size, chunk_size, ecfg.output_size),
+                        jnp.float32)
+    enc_full = jnp.zeros((1, cache_t, ecfg.output_size), jnp.float32)
+    hyps = jnp.zeros((rescoring_nbest, max_hyp_len), jnp.int32)
+    hyps_lens = jnp.ones((rescoring_nbest,), jnp.int32)
+
+    # params closed over → baked into the artifact as constants
+    fns = {
+        'encoder_chunk': (
+            lambda f, o, a, c, ce: encoder_forward_chunk(
+                params['encoder'], f, o, ecfg, a, c, ce),
+            (feats, jnp.asarray(0), att0, cnn0, cat)),
+        'ctc_activation': (
+            lambda e: ctc_mod.ctc_logprobs(params['ctc'], e, 0.0,
+                                           model_config.blank_id),
+            (enc_out,)),
+        'attention_decoder': (
+            lambda h, hl, e: forward_attention_decoder(
+                params, model_config, h, hl, e,
+                model_config.reverse_weight),
+            (hyps, hyps_lens, enc_full)),
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    paths: Dict[str, str] = {}
+    meta = {'chunk_size': chunk_size, 'num_left_chunks': num_left_chunks,
+            'batch_size': batch_size, 'window': window, 'cache_t': cache_t,
+            'subsampling_rate': sub, 'right_context': context - 1,
+            'inputs': {}}
+    for name, (fn, args) in fns.items():
+        exp = jexport.export(jax.jit(fn))(*args)
+        path = os.path.join(out_dir, f'{name}.stablehlo')
+        with open(path, 'wb') as f:
+            f.write(exp.serialize())
+        paths[name] = path
+        meta['inputs'][name] = [
+            [list(a.shape), str(a.dtype)] if a is not None else None
+            for a in args]
+    with open(os.path.join(out_dir, 'manifest.json'), 'w') as f:
+        json.dump(meta, f, indent=2)
+    return paths
+
+
+def load_serialized(path: str):
+    """Deserialize a `.stablehlo` artifact into a callable."""
+    from jax import export as jexport
+    with open(path, 'rb') as f:
+        return jexport.deserialize(f.read()).call
+
+
 def scriptability_check(params, model_config) -> bool:
     """Train-time jit-export check (train_utils.py:472-483 `--jit`): the
     model must trace + lower with static shapes; raises on failure."""

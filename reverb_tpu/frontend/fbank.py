@@ -157,6 +157,55 @@ def compute_fbank_batch(waves: jax.Array, cfg: FbankConfig = FbankConfig()
     return jax.vmap(lambda w: compute_fbank(w, cfg))(waves)
 
 
+@functools.lru_cache(maxsize=8)
+def dct_matrix(num_ceps: int, num_mel_bins: int) -> np.ndarray:
+    """(num_mel_bins, num_ceps) kaldi DCT-II basis: ortho-normalized rows,
+    C0 row = sqrt(1/N) (kaldi feat/mel-computations ComputeDctMatrix /
+    torchaudio _get_dct_matrix semantics)."""
+    n = np.arange(num_mel_bins, dtype=np.float64)
+    k = np.arange(num_ceps, dtype=np.float64)[:, None]
+    dct = np.cos(np.pi / num_mel_bins * (n[None, :] + 0.5) * k)  # (C, M)
+    dct *= np.sqrt(2.0 / num_mel_bins)
+    dct[0, :] = np.sqrt(1.0 / num_mel_bins)
+    return dct.T.astype(np.float32)                              # (M, C)
+
+
+@functools.lru_cache(maxsize=8)
+def lifter_coeffs(num_ceps: int, q: float) -> np.ndarray:
+    """Cepstral liftering 1 + (Q/2)·sin(πi/Q) (kaldi ComputeLifterCoeffs)."""
+    i = np.arange(num_ceps, dtype=np.float64)
+    return (1.0 + 0.5 * q * np.sin(np.pi * i / q)).astype(np.float32)
+
+
+def compute_mfcc(wave: jax.Array, cfg: FbankConfig = FbankConfig(),
+                 num_ceps: int = 13, cepstral_lifter: float = 22.0,
+                 n_frames: int | None = None) -> jax.Array:
+    """Kaldi-compatible MFCC (torchaudio.compliance.kaldi.mfcc semantics,
+    use_energy=False): log-mel fbank → DCT-II → cepstral liftering.
+
+    Reference consumer: asr/wenet/dataset/processor.py:385-416
+    (`compute_mfcc`, feats_type 'mfcc').  Jittable; the DCT is one
+    (T,M)x(M,C) matmul.
+    """
+    assert num_ceps <= cfg.num_mel_bins, (num_ceps, cfg.num_mel_bins)
+    logmel = compute_fbank(wave, cfg, n_frames)                  # (T, M)
+    feat = logmel @ jnp.asarray(dct_matrix(num_ceps, cfg.num_mel_bins))
+    if cepstral_lifter != 0.0:
+        feat = feat * jnp.asarray(lifter_coeffs(num_ceps, cepstral_lifter))
+    return feat
+
+
+def mfcc_numpy(wave: np.ndarray, cfg: FbankConfig = FbankConfig(),
+               num_ceps: int = 13, cepstral_lifter: float = 22.0
+               ) -> np.ndarray:
+    """Host-side MFCC mirroring compute_mfcc (data-pipeline path)."""
+    assert num_ceps <= cfg.num_mel_bins, (num_ceps, cfg.num_mel_bins)
+    feat = fbank_numpy(wave, cfg) @ dct_matrix(num_ceps, cfg.num_mel_bins)
+    if cepstral_lifter != 0.0:
+        feat = feat * lifter_coeffs(num_ceps, cepstral_lifter)[None, :]
+    return feat.astype(np.float32)
+
+
 def fbank_numpy(wave: np.ndarray, cfg: FbankConfig = FbankConfig()) -> np.ndarray:
     """Pure-NumPy reference path (host-side; used for tests and small files)."""
     T = num_frames(len(wave), cfg)

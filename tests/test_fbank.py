@@ -74,3 +74,46 @@ def test_jit_static_shape():
     assert out.shape == (num_frames(4000, CFG), 80)
     # log-floor on silence
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mfcc_matches_numpy_and_spec():
+    """MFCC = log-mel → kaldi DCT-II → liftering (processor.py:385-416)."""
+    import jax.numpy as jnp
+    from reverb_tpu.frontend.fbank import (compute_mfcc, dct_matrix,
+                                           lifter_coeffs, mfcc_numpy,
+                                           fbank_numpy)
+    rng = np.random.RandomState(0)
+    wave = (rng.randn(16000) * 1000).astype(np.float32)
+    cfg = FbankConfig(num_mel_bins=23)
+    got = np.asarray(compute_mfcc(jnp.asarray(wave), cfg, num_ceps=13))
+    want = mfcc_numpy(wave, cfg, num_ceps=13)
+    assert got.shape == (98, 13)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+    # hand-check: MFCC == lifter * (logmel @ dct)
+    manual = fbank_numpy(wave, cfg) @ dct_matrix(13, 23)
+    manual *= lifter_coeffs(13, 22.0)[None, :]
+    np.testing.assert_allclose(want, manual, rtol=1e-5, atol=1e-5)
+
+    # DCT basis: C0 row constant sqrt(1/M); rows orthonormal under DCT-II
+    d = dct_matrix(23, 23)                     # (M, C) full square
+    np.testing.assert_allclose(d[:, 0], np.sqrt(1.0 / 23), rtol=1e-6)
+    gram = d.T @ d
+    np.testing.assert_allclose(gram, np.eye(23), atol=1e-5)
+
+    # liftering: coeff_0 == 1, peak near i=Q/2
+    lc = lifter_coeffs(13, 22.0)
+    assert abs(lc[0] - 1.0) < 1e-6
+    assert lc.argmax() == np.argmax(1 + 11 * np.sin(np.pi * np.arange(13) / 22))
+
+
+def test_mfcc_dataset_dispatch():
+    from reverb_tpu.data import processor
+    rng = np.random.RandomState(1)
+    sample = {'key': 'utt1', 'wav': rng.randn(1, 8000).astype(np.float32),
+              'sample_rate': 16000}
+    out = processor.compute_mfcc(dict(sample), num_mel_bins=23, num_ceps=40)
+    assert out['feat'].shape == (48, 23)       # num_ceps clamped to 23
+    out13 = processor.compute_mfcc(dict(sample), num_mel_bins=23,
+                                   num_ceps=13)
+    assert out13['feat'].shape == (48, 13)

@@ -107,3 +107,51 @@ def test_aot_export():
     assert ys.shape[1] == 4
     ctc = compiled['ctc_activation'](params, jnp.zeros((1, 4, 32)))
     assert ctc.shape[-1] == 50
+
+
+def test_stablehlo_serialized_export_roundtrip(tmp_path):
+    """serialize_serving_functions writes portable .stablehlo artifacts that
+    reload into callables matching the live functions exactly (the ONNX-file
+    analogue of bin/export_onnx_cpu.py)."""
+    import json
+    import os
+    from reverb_tpu.export.aot import (load_serialized,
+                                       serialize_serving_functions)
+    from reverb_tpu.models import ctc as ctc_mod
+    from reverb_tpu.models.asr_model import ModelConfig, init_params
+    conf = dict(TINY)
+    conf['encoder_conf'] = dict(conf['encoder_conf'], causal=True)
+    cfg = ModelConfig.from_config(conf)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    out = tmp_path / 'export'
+    paths = serialize_serving_functions(params, cfg, str(out), chunk_size=4,
+                                        num_left_chunks=2, rescoring_nbest=3,
+                                        max_hyp_len=8)
+    assert set(paths) == {'encoder_chunk', 'ctc_activation',
+                          'attention_decoder'}
+    manifest = json.loads((out / 'manifest.json').read_text())
+    assert manifest['chunk_size'] == 4
+    assert all(os.path.getsize(p) > 0 for p in paths.values())
+
+    ctc_fn = load_serialized(paths['ctc_activation'])
+    enc = jnp.asarray(np.random.RandomState(0).randn(1, 4, 32), jnp.float32)
+    got = ctc_fn(enc)
+    want = ctc_mod.ctc_logprobs(params['ctc'], enc, 0.0, cfg.blank_id)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_export_cli(tmp_path):
+    """reverb-export end-to-end on a tiny model dir."""
+    from pathlib import Path
+    from helpers import build_tiny_model_dir
+    from reverb_tpu.bin import export as export_bin
+    mdir = build_tiny_model_dir(Path(tmp_path) / 'model')
+    out = tmp_path / 'artifacts'
+    rc = export_bin.main(['--config', str(mdir / 'config.yaml'),
+                          '--checkpoint', str(mdir / 'model.npz'),
+                          '--output_dir', str(out),
+                          '--chunk_size', '4', '--num_left_chunks', '2',
+                          '--rescoring_nbest', '3', '--max_hyp_len', '8'])
+    assert rc == 0
+    assert (out / 'encoder_chunk.stablehlo').exists()
+    assert (out / 'manifest.json').exists()
