@@ -40,6 +40,10 @@ class FbankConfig:
     snip_edges: bool = True
     # torchaudio's EPSILON = smallest float32 eps (get_epsilon); log floor.
     epsilon: float = float(np.finfo(np.float32).eps)
+    # Spectrum backend: None = auto (DFT-as-matmul on TPU, rfft elsewhere).
+    # XLA's TPU FFT is slow for small batched transforms; a 512-point rDFT
+    # as two f32 matmuls rides the MXU ~5x faster.  True/False to force.
+    use_dft_matmul: bool | None = None
 
     @property
     def window_size(self) -> int:
@@ -103,6 +107,32 @@ def mel_banks(cfg: FbankConfig = FbankConfig()) -> np.ndarray:
     return weights.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=4)
+def _rdft_matrices(n: int):
+    """(n, n//2) cos/sin bases of the real DFT (Nyquist bin excluded, as in
+    mel_banks).  Used where jnp.fft.rfft is slower than two MXU matmuls."""
+    k = np.arange(n // 2, dtype=np.float64)
+    t = np.arange(n, dtype=np.float64)[:, None]
+    ang = -2.0 * np.pi * t * k[None, :] / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _power_spectrum(frames: jax.Array, cfg: FbankConfig) -> jax.Array:
+    """(…, padded_window_size) windowed frames → (…, pw//2) power spectrum."""
+    use_dft = cfg.use_dft_matmul
+    if use_dft is None:
+        use_dft = jax.default_backend() == 'tpu'
+    n = cfg.padded_window_size
+    if use_dft:
+        cr, ci = _rdft_matrices(n)
+        re = jnp.matmul(frames, jnp.asarray(cr), precision='highest')
+        im = jnp.matmul(frames, jnp.asarray(ci), precision='highest')
+        return re * re + im * im
+    spec = jnp.fft.rfft(frames, axis=-1)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    return power[..., : n // 2]  # drop Nyquist bin
+
+
 def _frame_signal(wave: jax.Array, n_frames: int, cfg: FbankConfig) -> jax.Array:
     idx = (jnp.arange(n_frames)[:, None] * cfg.window_shift
            + jnp.arange(cfg.window_size)[None, :])
@@ -140,11 +170,9 @@ def compute_fbank(wave: jax.Array,
     if pad > 0:
         frames = jnp.pad(frames, ((0, 0), (0, pad)))
 
-    spec = jnp.fft.rfft(frames, axis=1)
-    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    power = _power_spectrum(frames, cfg)
     if not cfg.use_power:
         power = jnp.sqrt(power)
-    power = power[:, : cfg.padded_window_size // 2]  # drop Nyquist bin
 
     banks = jnp.asarray(mel_banks(cfg))  # (M, F)
     mel = power @ banks.T

@@ -117,3 +117,21 @@ def test_mfcc_dataset_dispatch():
     out13 = processor.compute_mfcc(dict(sample), num_mel_bins=23,
                                    num_ceps=13)
     assert out13['feat'].shape == (48, 13)
+
+
+def test_dft_matmul_spectrum_matches_rfft():
+    """DFT-as-matmul backend (TPU default) == rfft backend to fp32 rounding
+    in log-mel space."""
+    import dataclasses
+    import jax.numpy as jnp
+    rng = np.random.RandomState(7)
+    wave = (rng.randn(32400) * 1000).astype(np.float32)
+    base = FbankConfig()
+    a = np.asarray(compute_fbank(
+        jnp.asarray(wave), dataclasses.replace(base, use_dft_matmul=False)))
+    b = np.asarray(compute_fbank(
+        jnp.asarray(wave), dataclasses.replace(base, use_dft_matmul=True)))
+    assert a.shape == b.shape
+    # near-floor bins may differ by ~1e-2 in log space; energy bins agree
+    np.testing.assert_allclose(b, a, atol=5e-2)
+    assert float(np.mean(np.abs(a - b))) < 5e-3
