@@ -134,9 +134,24 @@ def _power_spectrum(frames: jax.Array, cfg: FbankConfig) -> jax.Array:
 
 
 def _frame_signal(wave: jax.Array, n_frames: int, cfg: FbankConfig) -> jax.Array:
-    idx = (jnp.arange(n_frames)[:, None] * cfg.window_shift
-           + jnp.arange(cfg.window_size)[None, :])
-    return wave[idx]
+    """Overlapping frames via shift-aligned reshape + row slices.
+
+    A (T,W) gather runs at ~60 GB/s on TPU (scalarized row fetches); slicing
+    a (nb, shift) reshape into k overlapping row-ranges and concatenating is
+    plain HBM-bandwidth copies (~10x faster).  Frame t = blocks t..t+k of the
+    shift-strided wave, exactly the samples [t·shift, t·shift+W).
+    """
+    shift, size = cfg.window_shift, cfg.window_size
+    k_full, rem = divmod(size, shift)
+    nb = n_frames - 1 + k_full + (1 if rem else 0)
+    w = wave
+    if nb * shift > w.shape[0]:
+        w = jnp.pad(w, (0, nb * shift - w.shape[0]))
+    b = w[: nb * shift].reshape(nb, shift)
+    parts = [b[i: i + n_frames] for i in range(k_full)]
+    if rem:
+        parts.append(b[k_full: k_full + n_frames, :rem])
+    return jnp.concatenate(parts, axis=1)
 
 
 def compute_fbank(wave: jax.Array,
