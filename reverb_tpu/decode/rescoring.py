@@ -39,41 +39,66 @@ def _rescore_device(params, cfg: ModelConfig, hyps_pad, hyps_lens, encoder_out,
 
     Returns (att_score (N,), r_att_score (N,), token_logp (N,Lmax)).
     """
+    from reverb_tpu.models.decoder import decoder_forward
+    from reverb_tpu.utils.common import reverse_sequence
+
     N, Lmax = hyps_pad.shape
     sos_col = jnp.full((N, 1), cfg.sos, dtype=hyps_pad.dtype)
     body = jnp.where(jnp.arange(Lmax)[None, :] < hyps_lens[:, None],
                      hyps_pad, cfg.eos)
     hyps_in = jnp.concatenate([sos_col, body], axis=1)        # (N, L+1)
     lens_in = hyps_lens + 1
-    l_x, r_x = forward_attention_decoder(params, cfg, hyps_in, lens_in,
-                                         encoder_out, reverse_weight, cat_embs,
-                                         encoder_lens=enc_len)
+
+    # forward_attention_decoder semantics (asr_model.py:867-978) with the
+    # log-softmax DEFERRED: gather the needed token logits and subtract the
+    # per-position logsumexp — never materializes the (N,L,V) f32 log-prob
+    # tensor (the convert fuses into the reduce)
+    enc = jnp.broadcast_to(encoder_out, (N,) + encoder_out.shape[1:])
+    if enc_len is None:
+        enc_mask = jnp.ones((N, 1, enc.shape[1]), dtype=bool)
+    else:
+        enc_mask = jnp.broadcast_to(
+            (jnp.arange(enc.shape[1]) < jnp.reshape(enc_len, ()))[None, None],
+            (N, 1, enc.shape[1]))
+    r_body = reverse_sequence(hyps_in[:, 1:], lens_in - 1, cfg.eos)
+    r_hyps = jnp.concatenate([hyps_in[:, :1], r_body], axis=1)
+    dec_cat = cat_embs if cfg.lsl_dec else None
+    l_x, r_x = decoder_forward(params['decoder'], enc, enc_mask, hyps_in,
+                               lens_in, r_hyps, reverse_weight, cfg.decoder,
+                               cat_embs=dec_cat)
+
     idx = jnp.arange(Lmax)
     valid = idx[None, :] < hyps_lens[:, None]                 # (N,Lmax)
     tok = jnp.where(valid, hyps_pad, 0)
-    # forward decoder: position j predicts token j (input was sos-shifted)
-    tok_logp = jnp.take_along_axis(l_x[:, :Lmax, :], tok[..., None],
-                                   axis=-1)[..., 0]
-    tok_logp = jnp.where(valid, tok_logp, 0.0)
-    att = jnp.sum(tok_logp, axis=1)
-    eos_logp = jnp.take_along_axis(
-        l_x, hyps_lens[:, None, None] * jnp.ones((N, 1, 1), jnp.int32),
-        axis=1)[:, 0, cfg.eos]
-    att = att + eos_logp
+
+    # gather in the logits dtype (exact: values are bf16 either way); the
+    # logsumexp's convert-to-f32 fuses into the reduce, so no (N,L,V) f32
+    # log-prob tensor is ever written
+    tok_val = jnp.take_along_axis(l_x[:, :Lmax, :], tok[..., None],
+                                  axis=-1)[..., 0].astype(jnp.float32)
+    eos_val = jnp.take_along_axis(
+        l_x[:, :, cfg.eos], hyps_lens[:, None], axis=1)[:, 0]
+    lse = jax.nn.logsumexp(l_x.astype(jnp.float32), axis=-1)  # (N, L+1)
+    tok_logp = jnp.where(valid, tok_val - lse[:, :Lmax], 0.0)
+    eos_logp = (eos_val.astype(jnp.float32)
+                - jnp.take_along_axis(lse, hyps_lens[:, None], axis=1)[:, 0])
+    att = jnp.sum(tok_logp, axis=1) + eos_logp
 
     if reverse_weight > 0.0:
         # r_decoder scores the reversed sequence: token j of hyp is at
         # position len-1-j in the reversed stream (search.py:428-433)
         rpos = jnp.where(valid, hyps_lens[:, None] - 1 - idx[None, :], 0)
-        r_tok_logp = jnp.take_along_axis(
+        r_val = jnp.take_along_axis(
             jnp.take_along_axis(r_x[:, :Lmax, :], rpos[..., None], axis=1),
-            tok[..., None], axis=-1)[..., 0]
-        r_tok_logp = jnp.where(valid, r_tok_logp, 0.0)
-        r_att = jnp.sum(r_tok_logp, axis=1)
-        r_eos = jnp.take_along_axis(
-            r_x, hyps_lens[:, None, None] * jnp.ones((N, 1, 1), jnp.int32),
-            axis=1)[:, 0, cfg.eos]
-        r_att = r_att + r_eos
+            tok[..., None], axis=-1)[..., 0].astype(jnp.float32)
+        r_lse = jax.nn.logsumexp(r_x.astype(jnp.float32), axis=-1)
+        r_lse_at = jnp.take_along_axis(r_lse[:, :Lmax], rpos, axis=1)
+        r_tok_logp = jnp.where(valid, r_val - r_lse_at, 0.0)
+        r_eos_val = jnp.take_along_axis(
+            r_x[:, :, cfg.eos], hyps_lens[:, None], axis=1)[:, 0]
+        r_eos_logp = (r_eos_val.astype(jnp.float32) - jnp.take_along_axis(
+            r_lse, hyps_lens[:, None], axis=1)[:, 0])
+        r_att = jnp.sum(r_tok_logp, axis=1) + r_eos_logp
         tok_logp = jnp.where(valid,
                              jnp.log(jnp.maximum(
                                  (jnp.exp(tok_logp) + jnp.exp(r_tok_logp)) / 2,
@@ -113,48 +138,72 @@ def score_hyps_with_decoder(params, cfg: ModelConfig, token_paths,
     return np.asarray(att), np.asarray(r_att)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 5))
+def _rescore_device_all(params, cfg: ModelConfig, hyps_pad, hyps_lens,
+                        encoder_outs, reverse_weight: float, cat_embs=None,
+                        enc_lens=None):
+    """Whole-batch rescoring: hyps_pad (B,N,L), hyps_lens (B,N),
+    encoder_outs (B,T,D), enc_lens (B,) → (att, r_att (B,N),
+    tok_logp (B,N,L)).  One device program for the entire serving batch —
+    the per-utterance host loop cost B dispatches (~140 ms each through a
+    remote-TPU tunnel); this costs one."""
+    def one(hyps, lens, enc, el):
+        return _rescore_device.__wrapped__(
+            params, cfg, hyps, lens, enc[None], reverse_weight, cat_embs, el)
+    return jax.vmap(one, in_axes=(0, 0, 0, 0))(
+        hyps_pad, hyps_lens, encoder_outs, enc_lens)
+
+
 def attention_rescoring(params, cfg: ModelConfig,
                         ctc_prefix_results: List[DecodeResult],
                         encoder_outs, encoder_lens,
                         ctc_weight: float = 0.0,
                         reverse_weight: float = 0.0,
                         cat_embs=None) -> List[DecodeResult]:
-    """Rescore each utterance's nbest with the attention decoder."""
-    encoder_outs = np.asarray(encoder_outs)
+    """Rescore every utterance's nbest in ONE batched decoder pass."""
     encoder_lens = np.asarray(encoder_lens)
+    B = len(ctc_prefix_results)
+    Nmax = max((len(p.nbest) for p in ctc_prefix_results), default=0)
+    Lmax = max((len(h) for p in ctc_prefix_results for h in p.nbest),
+               default=0)
+    if Lmax == 0 or Nmax == 0:
+        return [DecodeResult(tokens=[], times=[], tokens_confidence=[])
+                for _ in ctc_prefix_results]
+    Lb = _bucket(Lmax)   # static-shape bucket: bounded compile count
+    hyps_pad = np.zeros((B, Nmax, Lb), dtype=np.int32)
+    lens = np.zeros((B, Nmax), dtype=np.int32)
+    row_valid = np.zeros((B, Nmax), dtype=bool)
+    ctc_scores = np.full((B, Nmax), -1e30, dtype=np.float64)
+    for b, pre in enumerate(ctc_prefix_results):
+        for i, h in enumerate(pre.nbest):
+            hyps_pad[b, i, :len(h)] = h
+            lens[b, i] = len(h)
+            row_valid[b, i] = True
+            ctc_scores[b, i] = pre.nbest_scores[i]
+    att, r_att, tok_logp = _rescore_device_all(
+        params, cfg, jnp.asarray(hyps_pad), jnp.asarray(lens),
+        jnp.asarray(encoder_outs), reverse_weight,
+        jnp.asarray(cat_embs) if cat_embs is not None else None,
+        jnp.asarray(encoder_lens.astype(np.int32)))
+    att = np.asarray(att, np.float64)
+    r_att = np.asarray(r_att, np.float64)
+    tok_logp = np.asarray(tok_logp)
+    score = att * (1 - reverse_weight) + r_att * reverse_weight if \
+        reverse_weight > 0 else att
+    confidences = np.exp(score / (lens + 1))
+    total = score + ctc_scores * ctc_weight
+    total = np.where(row_valid, total, -np.inf)
     results = []
     for b, pre in enumerate(ctc_prefix_results):
-        hyps = pre.nbest
-        ctc_scores = pre.nbest_scores
-        N = len(hyps)
-        Lmax = max((len(h) for h in hyps), default=0)
-        if Lmax == 0:
+        if not row_valid[b].any() or lens[b].max() == 0:
             results.append(DecodeResult(tokens=[], times=[],
                                         tokens_confidence=[]))
             continue
-        Lb = _bucket(Lmax)   # static-shape bucket: bounded compile count
-        hyps_pad = np.zeros((N, Lb), dtype=np.int32)
-        lens = np.zeros((N,), dtype=np.int32)
-        for i, h in enumerate(hyps):
-            hyps_pad[i, :len(h)] = h
-            lens[i] = len(h)
-        enc = jnp.asarray(encoder_outs[b:b + 1])            # full T, static
-        att, r_att, tok_logp = _rescore_device(
-            params, cfg, jnp.asarray(hyps_pad), jnp.asarray(lens), enc,
-            reverse_weight,
-            jnp.asarray(cat_embs) if cat_embs is not None else None,
-            jnp.asarray(int(encoder_lens[b]), jnp.int32))
-        att = np.asarray(att)
-        r_att = np.asarray(r_att)
-        tok_logp = np.asarray(tok_logp)
-        score = att * (1 - reverse_weight) + r_att * reverse_weight if \
-            reverse_weight > 0 else att
-        confidences = np.exp(score / (lens + 1))
-        total = score + np.asarray(ctc_scores) * ctc_weight
-        best = int(np.argmax(total))
-        tc = [math.exp(float(x)) for x in tok_logp[best, :lens[best]]]
+        best = int(np.argmax(total[b]))
+        n = int(lens[b, best])
+        tc = [math.exp(float(x)) for x in tok_logp[b, best, :n]]
         results.append(DecodeResult(
-            tokens=hyps[best], score=float(total[best]),
-            confidence=float(confidences[best]),
+            tokens=pre.nbest[best], score=float(total[b, best]),
+            confidence=float(confidences[b, best]),
             times=pre.nbest_times[best], tokens_confidence=tc))
     return results
