@@ -43,6 +43,10 @@ def get_args(argv=None):
     p.add_argument('--process_id', type=int, default=0)
     p.add_argument('--tensorboard_dir', default=None)
     p.add_argument('--seed', type=int, default=777)
+    p.add_argument('--prng_impl', default='auto',
+                   choices=['auto', 'threefry2x32', 'rbg'],
+                   help='dropout PRNG; auto = rbg on TPU (threefry mask '
+                        'generation is ~900x slower there)')
     p.add_argument('--log_interval', type=int, default=100)
     p.add_argument('--enc_init', default=None,
                    help='partial-init checkpoint (load_trained_modules)')
@@ -76,7 +80,8 @@ def main(argv=None):
                                              save_checkpoint)
     from reverb_tpu.train.executor import Executor
     from reverb_tpu.train.trainer import (TrainConfig, build_optimizer,
-                                          make_eval_step, make_train_step)
+                                          make_eval_step, make_train_step,
+                                          train_prng_key)
     from reverb_tpu.utils.config import (check_modify_and_save_config,
                                          override_config)
 
@@ -202,7 +207,7 @@ def main(argv=None):
                                     args.profile_num_steps)
 
     max_epoch = args.max_epoch or configs.get('max_epoch', 100)
-    rng = jax.random.PRNGKey(args.seed)
+    rng = train_prng_key(args.seed, args.prng_impl)   # rbg on TPU
     with jax.set_mesh(mesh):
         for epoch in range(start_epoch, max_epoch):
             rng, sub = jax.random.split(rng)

@@ -31,6 +31,20 @@ from reverb_tpu.parallel.mesh import _path_str
 from reverb_tpu.train.scheduler import build_scheduler
 
 
+def train_prng_key(seed: int, impl: str = 'auto'):
+    """Step-loop PRNG key for dropout.
+
+    'auto' picks the partitionable 'rbg' generator on TPU — threefry mask
+    generation is VPU-bound and measured ~900x slower than rbg in isolation;
+    on the full flagship train step (B=16, T=512, bf16) rbg cuts step time
+    480→438 ms (~9%).  rbg is the documented JAX choice for TPU training.
+    Weight INIT keys stay threefry (seed-stable checkpoints).
+    """
+    if impl == 'auto':
+        impl = 'rbg' if jax.default_backend() == 'tpu' else 'threefry2x32'
+    return jax.random.key(seed, impl=impl)
+
+
 @dataclasses.dataclass
 class TrainConfig:
     optim: str = 'adam'

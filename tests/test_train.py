@@ -176,3 +176,25 @@ def test_gradient_checkpointing_with_dropout_trains():
     l, g = loss_and_grad(params, jax.random.PRNGKey(3))
     assert np.isfinite(float(l))
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
+
+
+def test_train_prng_key_rbg():
+    """train_prng_key: 'auto' maps to threefry off-TPU; an explicit 'rbg'
+    key drives a full jitted train step (dropout sites split/fold the key
+    inside jit) and produces finite, non-skipped updates."""
+    from reverb_tpu.train.trainer import train_prng_key
+    auto = train_prng_key(7)
+    expected = 'rbg' if jax.default_backend() == 'tpu' else 'threefry2x32'
+    assert str(jax.random.key_impl(auto)) == expected
+
+    conf, cfg, tc, params = _setup()
+    tx, _ = build_optimizer(tc)
+    opt_state = tx.init(params)
+    step_fn = jax.jit(make_train_step(cfg, tx, accum_grad=2))
+    batch = _batch(cfg, B=4)
+    rng = train_prng_key(7, 'rbg')
+    rng, sub = jax.random.split(rng)
+    params, opt_state, m = step_fn(params, opt_state, batch,
+                                   jnp.asarray(0), sub)
+    assert np.isfinite(float(m['loss']))
+    assert float(m['skipped']) == 0.0
