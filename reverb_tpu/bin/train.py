@@ -199,6 +199,9 @@ def main(argv=None):
                                                      4),
                   schedule=schedule, writer=tracker,
                   save_to_tracker=bool(snap_conf.get('save_to_wandb')),
+                  use_named_snapshots=bool(
+                      snap_conf.get('use_named_snapshots', True)),
+                  run_tag=snap_conf.get('run_tag'),
                   step=start_step)
     if args.profile_dir:
         from reverb_tpu.utils.profiling import ProfileWindow

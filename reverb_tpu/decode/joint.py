@@ -135,7 +135,7 @@ class TimeSyncBeamSearch:
         if best == self.blank and self.blank_threshold < 0 and \
                 p_ctc[best] >= self.blank_threshold:
             return ctc_dp, hyps, scores
-        pre_thresh = np.sort(p_ctc)[-self.pre_beam_size]
+        pre_thresh = np.sort(p_ctc)[-min(self.pre_beam_size, p_ctc.shape[0])]
         cands = [int(c) for c in np.nonzero(p_ctc >= pre_thresh)[0]]
         if not cands:
             cands = [best]
@@ -236,12 +236,46 @@ class TimeSyncBeamSearch:
         return out
 
 
+@functools.lru_cache(maxsize=4)
+def load_lexicon(lexicon_path: Optional[str], token_path: Optional[str]):
+    """(words, word_prefixes, tok_to_str) from model_conf paths.
+
+    Reference semantics (asr_model.py:112-127): lexicon lines
+    'word sw1 sw2 ...' → words[word]=1 plus every cumulative subword
+    concatenation as a valid prefix; token file lines 'token id' →
+    tok_to_str[id]=token (the units symbol table)."""
+    words: Dict[str, int] = {}
+    word_prefixes: Dict[str, int] = {}
+    if lexicon_path:
+        with open(lexicon_path) as f:
+            for line in f:
+                p = line.strip().split()
+                if not p:
+                    continue
+                words[p[0]] = 1
+                ws = ''
+                for sw in p[1:]:
+                    ws = ws + sw
+                    word_prefixes[ws] = 1
+    tok_to_str: Dict[int, str] = {}
+    if token_path:
+        with open(token_path) as f:
+            for line in f:
+                s = line.strip().split()
+                if len(s) >= 2:
+                    tok_to_str[int(s[1])] = s[0]
+    return words, word_prefixes, tok_to_str
+
+
 def joint_decoding(params, cfg: ModelConfig, encoder_outs, encoder_lens,
                    ctc_probs, ctc_weight: float = 0.5, beam_size: int = 4,
                    pre_beam_ratio: float = 1.5, length_bonus: float = 0.5,
                    cat_embs=None, words=None, word_prefixes=None,
                    tok_to_str=None) -> List[DecodeResult]:
     """search.py:450-496 entry: per-utterance time-sync search."""
+    if words is None and (cfg.lexicon_path or cfg.token_path):
+        words, word_prefixes, tok_to_str = load_lexicon(cfg.lexicon_path,
+                                                        cfg.token_path)
     encoder_outs = np.asarray(encoder_outs)
     encoder_lens = np.asarray(encoder_lens)
     ctc_probs = np.asarray(ctc_probs)

@@ -55,6 +55,12 @@ class ModelConfig:
     focal_alpha: float = 0.5
     focal_gamma: float = 2.0
     compute_dtype: Any = jnp.float32
+    # joint-decoding lexicon constraint sources (asr_model.py:73-74, 112-127):
+    # lexicon lines 'word sw1 sw2 ...' → words + cumulative-prefix set;
+    # token file lines 'token id' → id→token map.  Loaded lazily at decode
+    # time (decode/api.py) and fed to TimeSyncBeamSearch.
+    lexicon_path: Optional[str] = None
+    token_path: Optional[str] = None
 
     @staticmethod
     def from_config(configs: Dict) -> 'ModelConfig':
@@ -130,7 +136,9 @@ class ModelConfig:
             lsl_dec=dec_num_langs > 0,
             focal_ctc=bool(focal.get('enabled', False)),
             focal_alpha=focal.get('alpha', 0.5),
-            focal_gamma=focal.get('gamma', 2.0))
+            focal_gamma=focal.get('gamma', 2.0),
+            lexicon_path=model_conf.get('lexicon_path'),
+            token_path=model_conf.get('token_path'))
 
 
 # ------------------------------ init ------------------------------

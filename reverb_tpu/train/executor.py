@@ -50,6 +50,11 @@ class Executor:
     schedule: Optional[Callable] = None
     writer: Optional[object] = None     # tensorboard-like .add_scalar
     save_to_tracker: bool = False       # snapshot_saving_conf.save_to_wandb
+    # snapshot_saving_conf.use_named_snapshots (checkpoint.py:157-168):
+    # True → one checkpoint per step tag; False → overwrite a single rolling
+    # 'snapshot[_and_optimizer]' file (bounded disk)
+    use_named_snapshots: bool = True
+    run_tag: Optional[str] = None       # snapshot_saving_conf.run_tag
     step: int = 0
     frames_seen: float = 0.0
     snapshots_taken: int = 0
@@ -106,17 +111,21 @@ class Executor:
                 'lr': float(self.schedule(self.step)) if self.schedule
                 else None,
                 'tag': f'step_{self.step}'}
+        if self.run_tag:
+            info['run_tag'] = self.run_tag
         if cv_dataset is not None:
             cv_metrics = self.cv(params, cv_dataset)
             info['cv_loss'] = cv_metrics.get('loss')
             logging.info('CV at step %d: %s', self.step, cv_metrics)
-        path = save_checkpoint(self.model_dir, f'step_{self.step}', params,
+        name = (f'step_{self.step}' if self.use_named_snapshots
+                else ('snapshot_and_optimizer' if with_opt else 'snapshot'))
+        path = save_checkpoint(self.model_dir, name, params,
                                opt_state if with_opt else None, info)
         if self.save_to_tracker and hasattr(self.writer, 'log_artifact'):
             # ckpt artifact upload (utils/checkpoint.py:180-190)
             self.writer.log_artifact(f'ckpt-step_{self.step}', 'checkpoint',
                                      {path.name: str(path),
-                                      f'step_{self.step}.yaml':
+                                      f'{name}.yaml':
                                       str(path.with_suffix('.yaml'))})
 
     def _log(self, tag, epoch, metrics, t0):

@@ -36,8 +36,9 @@ def train_prng_key(seed: int, impl: str = 'auto'):
 
     'auto' picks the partitionable 'rbg' generator on TPU — threefry mask
     generation is VPU-bound and measured ~900x slower than rbg in isolation;
-    on the full flagship train step (B=16, T=512, bf16) rbg cuts step time
-    480→438 ms (~9%).  rbg is the documented JAX choice for TPU training.
+    on the full flagship train step (B=16, T=512) rbg cuts step time
+    480→438 ms in f32 and 180→141 ms (22%) in the bf16 AMP path.  rbg is
+    the documented JAX choice for TPU training.
     Weight INIT keys stay threefry (seed-stable checkpoints).
     """
     if impl == 'auto':

@@ -71,3 +71,49 @@ def test_train_main(tmp_path):
           '--cv_data', str(cv_list), '--model_dir', str(model_dir),
           '--max_epoch', '2', '--checkpoint',
           str(model_dir / 'epoch_0.npz'), '--log_interval', '1'])
+
+
+def test_rolling_snapshots(tmp_path):
+    """snapshot_saving_conf.use_named_snapshots=False overwrites one rolling
+    snapshot[_and_optimizer] file instead of step-tagged checkpoints, and
+    run_tag lands in the sidecar metadata (checkpoint.py:153-168)."""
+    import jax
+    import jax.numpy as jnp
+    from reverb_tpu.models.asr_model import ModelConfig, init_params
+    from reverb_tpu.models.presets import reverb_tiny
+    from reverb_tpu.train.executor import Executor
+    from reverb_tpu.train.trainer import (TrainConfig, build_optimizer,
+                                          make_train_step, make_eval_step)
+    conf = reverb_tiny()
+    cfg = ModelConfig.from_config(conf)
+    tc = TrainConfig.from_config(conf)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tx, schedule = build_optimizer(tc)
+    opt_state = tx.init(params)
+    rng = np.random.RandomState(0)
+    B, T, L = 2, 67, 4
+    batch = {
+        'feats': rng.randn(B, T, 80).astype(np.float32),
+        'feats_lengths': np.full((B,), T, np.int32),
+        'target': rng.randint(1, cfg.vocab_size - 2, (B, L)).astype(np.int32),
+        'target_lengths': np.full((B,), L, np.int32),
+        'cat_embs': np.tile(np.array([[1.0, 0.0]], np.float32), (B, 1)),
+    }
+    mdir = tmp_path / 'exp'
+    mdir.mkdir()
+    ex = Executor(train_step=jax.jit(make_train_step(cfg, tx)),
+                  eval_step=jax.jit(make_eval_step(cfg)),
+                  model_dir=str(mdir), log_interval=100,
+                  save_interval=1, save_optimizer_every=2,
+                  schedule=schedule, use_named_snapshots=False,
+                  run_tag='exp-rolling')
+    ex.train(params, opt_state, [batch] * 3, epoch=0,
+             rng=jax.random.PRNGKey(1))
+    names = sorted(p.name for p in mdir.glob('*.npz'))
+    assert names == ['snapshot.npz', 'snapshot_and_optimizer.npz',
+                     'snapshot_and_optimizer.opt.npz'], names
+    import yaml as _yaml
+    with open(mdir / 'snapshot.yaml') as f:
+        info = _yaml.safe_load(f)
+    assert info['run_tag'] == 'exp-rolling'
+    assert info['step'] == 3   # last odd snapshot (1,3) overwrote step 1
