@@ -17,8 +17,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from reverb_tpu.decode.api import encode_and_ctc
-    from reverb_tpu.decode.prefix_beam import ctc_prefix_beam_search_device
+    from reverb_tpu.decode.api import encode_and_ctc_topk
+    from reverb_tpu.decode.prefix_beam import (
+        ctc_prefix_beam_search_device_topk)
     from reverb_tpu.frontend.fbank import FbankConfig, compute_fbank_batch
     from reverb_tpu.models.asr_model import ModelConfig, init_params
     from reverb_tpu.models.presets import reverb_large
@@ -53,10 +54,12 @@ def main():
     @jax.jit
     def pipeline(params, wave):
         feats = compute_fbank_batch(wave, FbankConfig())[:, :CHUNK]
-        enc, enc_lens, ctc = encode_and_ctc(params, cfg, feats, feats_lens,
-                                            cat)
-        prefixes, plens, scores, times = ctc_prefix_beam_search_device(
-            ctc, enc_lens, BEAM)
+        # deferred-normalization CTC: top-k + blank straight off the bf16
+        # logits; the (B,T,V) f32 log-prob table is never materialized
+        enc, enc_lens, tk_logp, tk_idx, blank_lp = encode_and_ctc_topk(
+            params, cfg, feats, feats_lens, cat, BEAM)
+        prefixes, plens, scores, times = ctc_prefix_beam_search_device_topk(
+            tk_logp, tk_idx, blank_lp, enc_lens, BEAM)
         return prefixes, plens, scores
 
     # warmup/compile

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 
 from reverb_tpu.decode.attention_beam import attention_beam_search
 from reverb_tpu.decode.greedy import ctc_greedy_search
-from reverb_tpu.decode.prefix_beam import ctc_prefix_beam_search
+from reverb_tpu.decode.prefix_beam import (ctc_prefix_beam_search,
+                                            ctc_prefix_beam_search_topk)
 from reverb_tpu.decode.rescoring import attention_rescoring
 from reverb_tpu.decode.results import DecodeResult
 from reverb_tpu.models import ctc as ctc_mod
@@ -42,6 +43,26 @@ def encode_and_ctc(params, cfg: ModelConfig, feats, feats_lens, cat_embs,
     return encoder_out, encoder_lens, ctc_probs
 
 
+@functools.partial(jax.jit, static_argnums=(1, 5, 6, 7))
+def encode_and_ctc_topk(params, cfg: ModelConfig, feats, feats_lens,
+                        cat_embs, k: int, blank_penalty: float = 0.0,
+                        decoding_chunk_size: int = -1):
+    """Encoder + per-frame CTC top-k (deferred normalization).
+
+    The (B,T,V) f32 log-prob table is never materialized — only each frame's
+    k winners + p(blank) are normalized (models/ctc.py ctc_topk_logprobs).
+    This is the serving path for greedy / prefix-beam / rescoring mode sets.
+    """
+    enc_cat = cat_embs if cfg.lsl_enc else None
+    encoder_out, encoder_mask = forward_encoder(
+        params, cfg, feats, feats_lens, cat_embs=enc_cat,
+        decoding_chunk_size=decoding_chunk_size)
+    encoder_lens = jnp.sum(encoder_mask[:, 0, :], axis=-1).astype(jnp.int32)
+    topk_logp, topk_idx, blank_logp = ctc_mod.ctc_topk_logprobs(
+        params['ctc'], encoder_out, k, blank_penalty, cfg.blank_id)
+    return encoder_out, encoder_lens, topk_logp, topk_idx, blank_logp
+
+
 def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
            beam_size: int = 10,
            decoding_chunk_size: int = -1,
@@ -61,9 +82,27 @@ def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
     for m in methods:
         assert m in ALL_MODES, m
     cat = jnp.asarray(cat_embs) if cat_embs is not None else None
-    encoder_out, encoder_lens, ctc_probs = encode_and_ctc(
-        params, cfg, jnp.asarray(feats), jnp.asarray(feats_lens), cat,
-        blank_penalty, decoding_chunk_size)
+    need_prefix = ('ctc_prefix_beam_search' in methods
+                   or 'attention_rescoring' in methods)
+    # Modes that walk the full distribution (time-sync joint search, WFST
+    # composition, non-blank-frame filtering) need the dense (B,T,V) table;
+    # greedy/prefix/rescoring consume only per-frame top-k + p(blank), for
+    # which the fused deferred-normalization path skips ~4 full-tensor HBM
+    # passes at V=10k (encode_and_ctc_topk).
+    need_full = (('joint_decoding' in methods) or ('hlg_onebest' in methods)
+                 or ('hlg_rescore' in methods)
+                 or cfg.apply_non_blank_embedding)
+    ctc_probs = None
+    if need_full:
+        encoder_out, encoder_lens, ctc_probs = encode_and_ctc(
+            params, cfg, jnp.asarray(feats), jnp.asarray(feats_lens), cat,
+            blank_penalty, decoding_chunk_size)
+    else:
+        k = beam_size if need_prefix else 1
+        encoder_out, encoder_lens, tk_logp, tk_idx, blank_lp = \
+            encode_and_ctc_topk(
+                params, cfg, jnp.asarray(feats), jnp.asarray(feats_lens),
+                cat, k, blank_penalty, decoding_chunk_size)
 
     results: Dict[str, List[DecodeResult]] = {}
     if 'attention' in methods:
@@ -71,14 +110,22 @@ def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
             params, cfg, encoder_out, encoder_lens, beam_size, length_penalty,
             cat_embs=cat)
     if 'ctc_greedy_search' in methods:
-        results['ctc_greedy_search'] = ctc_greedy_search(
-            ctc_probs, encoder_lens, cfg.blank_id)
-    need_prefix = ('ctc_prefix_beam_search' in methods
-                   or 'attention_rescoring' in methods)
+        if ctc_probs is not None:
+            results['ctc_greedy_search'] = ctc_greedy_search(
+                ctc_probs, encoder_lens, cfg.blank_id)
+        else:
+            from reverb_tpu.decode.greedy import ctc_greedy_from_top1
+            results['ctc_greedy_search'] = ctc_greedy_from_top1(
+                tk_idx[:, :, 0], encoder_lens, cfg.blank_id)
     if need_prefix:
-        prefix_results = ctc_prefix_beam_search(
-            ctc_probs, encoder_lens, beam_size, cfg.blank_id,
-            blank_skip_threshold=blank_skip_threshold)
+        if ctc_probs is not None:
+            prefix_results = ctc_prefix_beam_search(
+                ctc_probs, encoder_lens, beam_size, cfg.blank_id,
+                blank_skip_threshold=blank_skip_threshold)
+        else:
+            prefix_results = ctc_prefix_beam_search_topk(
+                tk_logp, tk_idx, blank_lp, encoder_lens, beam_size,
+                cfg.blank_id, blank_skip_threshold=blank_skip_threshold)
         if context_graph is not None:
             prefix_results = context_graph.rescore_nbest(prefix_results)
         if 'ctc_prefix_beam_search' in methods:

@@ -47,3 +47,29 @@ def ctc_greedy_search(ctc_probs, ctc_lens, blank_id: int = 0
         results.append(DecodeResult(tokens=tokens[b][k].tolist(),
                                     times=times[b][k].tolist()))
     return results
+
+
+def ctc_greedy_from_top1(top1, ctc_lens, blank_id: int = 0
+                         ) -> List[DecodeResult]:
+    """Greedy results from precomputed per-frame argmax indices (B, T) —
+    the k=1 column of the deferred-normalization CTC top-k (api.py
+    encode_and_ctc_topk); identical tie order to argmax of the log-probs."""
+    def dev(top1, ctc_lens):
+        B, T = top1.shape
+        pad = make_pad_mask(ctc_lens, T)
+        t1 = jnp.where(pad, blank_id, top1)
+        prev = jnp.concatenate(
+            [jnp.full((B, 1), -1, dtype=t1.dtype), t1[:, :-1]], axis=1)
+        keep = (t1 != blank_id) & (t1 != prev)
+        times = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+        return t1, keep, times
+    tokens, keep, times = jax.jit(dev)(top1, ctc_lens)
+    tokens = np.asarray(tokens)
+    keep = np.asarray(keep)
+    times = np.asarray(times)
+    results = []
+    for b in range(tokens.shape[0]):
+        k = keep[b]
+        results.append(DecodeResult(tokens=tokens[b][k].tolist(),
+                                    times=times[b][k].tolist()))
+    return results

@@ -334,18 +334,16 @@ def _search_one(ctc_topk_logp, ctc_topk_idx, num_t, K: int, blank_id: int,
     return prefixes, state.plen[order], total[order], times
 
 
-def _compress_blanks(ctc_probs, ctc_lens, blank_id: int, threshold: float,
-                     keep_cap: int):
+def _compress_blanks(p_blank, ctc_lens, threshold: float, keep_cap: int):
     """Select frames with p(blank) ≤ threshold; fold each skipped run's
     blank log-mass into the next kept frame (exact for the keep entries; the
     only approximation is dropping non-blank *extension* candidates on
     blank-dominated frames — the production blank-skip tradeoff, cf. the
     reference's ctc_activation_more blank suppression, asr_model.py:736-840).
 
-    Returns gathered (topk_logp, topk_idx, ts, valid_len, blank_acc,
+    p_blank: (B, T) log p(blank).  Returns (ts, valid_len, blank_acc,
     has_skip, tail_acc) with static length keep_cap."""
-    B, T, V = ctc_probs.shape
-    p_blank = ctc_probs[:, :, blank_id]
+    B, T = p_blank.shape
     in_range = jnp.arange(T)[None, :] < ctc_lens[:, None]
     keep = (p_blank <= jnp.log(threshold)) & in_range          # (B,T)
     skipped_mass = jnp.where(~keep & in_range, p_blank, 0.0)
@@ -368,6 +366,39 @@ def _compress_blanks(ctc_probs, ctc_lens, blank_id: int, threshold: float,
     return ts, jnp.minimum(n_keep, keep_cap), blank_acc, has_skip, tail_acc
 
 
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def ctc_prefix_beam_search_device_topk(topk_logp, topk_idx, blank_logp,
+                                       ctc_lens, beam_size: int,
+                                       blank_id: int = 0, max_tokens: int = 0,
+                                       blank_skip_threshold: float = 0.0,
+                                       keep_cap: int = 0):
+    """Batched device-side search from precomputed per-frame top-k.
+
+    topk_logp (B,T,K2) f32 / topk_idx (B,T,K2) i32: each frame's top-k CTC
+    log-probs (models.ctc.ctc_topk_logprobs computes them from bf16 logits
+    with deferred normalization — the (B,T,V) f32 log-prob table is never
+    materialized).  blank_logp (B,T): log p(blank) per frame, used by the
+    blank-run folding.  Returns (prefixes (B,K,L), plens (B,K),
+    scores (B,K), times (B,K,L))."""
+    T = topk_logp.shape[1]
+    L = max_tokens or T
+    topk_logp = topk_logp.astype(jnp.float32)
+    topk_idx = topk_idx.astype(jnp.int32)
+    if blank_skip_threshold > 0.0:
+        cap = keep_cap or T
+        ts, n_keep, blank_acc, has_skip, tail_acc = _compress_blanks(
+            blank_logp.astype(jnp.float32), ctc_lens,
+            blank_skip_threshold, cap)
+        g_logp = jnp.take_along_axis(topk_logp, ts[..., None], axis=1)
+        g_idx = jnp.take_along_axis(topk_idx, ts[..., None], axis=1)
+        fn = jax.vmap(lambda lp, ix, n, tss, acc, hs, tail: _search_one(
+            lp, ix, n, beam_size, blank_id, L, tss, acc, hs, tail))
+        return fn(g_logp, g_idx, n_keep, ts, blank_acc, has_skip, tail_acc)
+    fn = jax.vmap(lambda lp, ix, n: _search_one(lp, ix, n, beam_size,
+                                                blank_id, L))
+    return fn(topk_logp, topk_idx, ctc_lens)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def ctc_prefix_beam_search_device(ctc_probs, ctc_lens, beam_size: int,
                                   blank_id: int = 0, max_tokens: int = 0,
@@ -382,25 +413,13 @@ def ctc_prefix_beam_search_device(ctc_probs, ctc_lens, beam_size: int,
     Returns (prefixes (B,K,L), plens (B,K), scores (B,K), times (B,K,L)).
     """
     ctc_probs = ctc_probs.astype(jnp.float32)
-    B, T, V = ctc_probs.shape
-    L = max_tokens or T
     from reverb_tpu.ops.topk import topk_lastdim
     # blocked exact top-k: lax.top_k's whole-row sort was 45% of the
     # long-form pipeline at V=10k (ops/topk.py)
     topk_logp, topk_idx = topk_lastdim(ctc_probs, beam_size)   # (B,T,K2)
-    topk_idx = topk_idx.astype(jnp.int32)
-    if blank_skip_threshold > 0.0:
-        cap = keep_cap or T
-        ts, n_keep, blank_acc, has_skip, tail_acc = _compress_blanks(
-            ctc_probs, ctc_lens, blank_id, blank_skip_threshold, cap)
-        g_logp = jnp.take_along_axis(topk_logp, ts[..., None], axis=1)
-        g_idx = jnp.take_along_axis(topk_idx, ts[..., None], axis=1)
-        fn = jax.vmap(lambda lp, ix, n, tss, acc, hs, tail: _search_one(
-            lp, ix, n, beam_size, blank_id, L, tss, acc, hs, tail))
-        return fn(g_logp, g_idx, n_keep, ts, blank_acc, has_skip, tail_acc)
-    fn = jax.vmap(lambda lp, ix, n: _search_one(lp, ix, n, beam_size,
-                                                blank_id, L))
-    return fn(topk_logp, topk_idx, ctc_lens)
+    return ctc_prefix_beam_search_device_topk(
+        topk_logp, topk_idx, ctc_probs[:, :, blank_id], ctc_lens, beam_size,
+        blank_id, max_tokens, blank_skip_threshold, keep_cap)
 
 
 def ctc_prefix_beam_search(ctc_probs, ctc_lens, beam_size: int,
@@ -409,9 +428,25 @@ def ctc_prefix_beam_search(ctc_probs, ctc_lens, beam_size: int,
                            ) -> List[DecodeResult]:
     """Host wrapper producing DecodeResults with nbest (search.py:235-247)."""
     keep_cap = (ctc_probs.shape[1] // 2) if blank_skip_threshold > 0 else 0
-    prefixes, plens, scores, times = ctc_prefix_beam_search_device(
+    out = ctc_prefix_beam_search_device(
         ctc_probs, ctc_lens, beam_size, blank_id, 0,
         blank_skip_threshold, keep_cap)
+    return _pack_results(*out)
+
+
+def ctc_prefix_beam_search_topk(topk_logp, topk_idx, blank_logp, ctc_lens,
+                                beam_size: int, blank_id: int = 0,
+                                blank_skip_threshold: float = 0.0
+                                ) -> List[DecodeResult]:
+    """Host wrapper over the deferred-normalization top-k device search."""
+    keep_cap = (topk_logp.shape[1] // 2) if blank_skip_threshold > 0 else 0
+    out = ctc_prefix_beam_search_device_topk(
+        topk_logp, topk_idx, blank_logp, ctc_lens, beam_size, blank_id, 0,
+        blank_skip_threshold, keep_cap)
+    return _pack_results(*out)
+
+
+def _pack_results(prefixes, plens, scores, times) -> List[DecodeResult]:
     prefixes = np.asarray(prefixes)
     plens = np.asarray(plens)
     scores = np.asarray(scores)

@@ -25,6 +25,34 @@ def ctc_log_softmax(params, encoder_out):
         ctc_logits(params, encoder_out).astype(jnp.float32), axis=-1)
 
 
+def ctc_topk_logprobs(params, encoder_out, k: int,
+                      blank_penalty: float = 0.0, blank_id: int = 0):
+    """Top-k CTC log-probs with deferred normalization.
+
+    The device prefix-beam (and greedy = k:1) consume only each frame's
+    top-k candidates plus p(blank); materializing the full (B,T,V) f32
+    log-softmax costs ~4 full-tensor HBM passes at V=10k.  Here top-k runs
+    on the bf16 logits (order-preserving) and only the k winners + blank
+    are normalized by a one-pass f32 logsumexp.
+
+    Returns (topk_logp f32 (B,T,k), topk_idx i32 (B,T,k),
+    blank_logp f32 (B,T)) — identical values/indices to topk of
+    `ctc_logprobs` (same bf16 logits, same tie order).
+    """
+    from reverb_tpu.ops.topk import topk_lastdim
+    logits = ctc_logits(params, encoder_out)
+    if blank_penalty > 0.0:
+        logits = logits.at[:, :, blank_id].add(
+            jnp.asarray(-blank_penalty, logits.dtype))
+    m = jnp.max(logits, axis=-1).astype(jnp.float32)
+    se = jnp.sum(jnp.exp(logits.astype(jnp.float32) - m[..., None]), axis=-1)
+    lse = m + jnp.log(se)
+    tv, ti = topk_lastdim(logits, k)
+    topk_logp = tv.astype(jnp.float32) - lse[..., None]
+    blank_logp = logits[:, :, blank_id].astype(jnp.float32) - lse
+    return topk_logp, ti.astype(jnp.int32), blank_logp
+
+
 def ctc_logprobs(params, encoder_out, blank_penalty: float = 0.0,
                  blank_id: int = 0):
     """asr_model.py:317-329: optional blank-logit penalty before log_softmax."""

@@ -180,3 +180,56 @@ def test_blank_skip_matches_exact_on_peaky_input():
         live = np.asarray(exact[2][b]) > -1e29
         np.testing.assert_allclose(e_rel[live][:3], f_rel[live][:3],
                                    atol=0.12)
+
+
+def test_topk_deferred_normalization_equivalence():
+    """encode_and_ctc_topk + ctc_prefix_beam_search_topk ==
+    encode_and_ctc + ctc_prefix_beam_search (the fused serving path never
+    materializes the (B,T,V) f32 log-softmax; values agree to float-assoc
+    tolerance, tokens/times exactly)."""
+    import jax
+    from reverb_tpu.decode.api import encode_and_ctc, encode_and_ctc_topk
+    from reverb_tpu.decode.prefix_beam import (ctc_prefix_beam_search,
+                                               ctc_prefix_beam_search_topk)
+    from reverb_tpu.decode.greedy import (ctc_greedy_search,
+                                          ctc_greedy_from_top1)
+    from reverb_tpu.models.asr_model import ModelConfig, init_params
+    from tests.test_model_forward import TINY
+    cfg = ModelConfig.from_config(TINY)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(3)
+    B, T = 3, 71
+    feats = jnp.asarray(rng.randn(B, T, 80), jnp.float32)
+    lens = jnp.asarray([T, T - 9, T - 30])
+    cat = jnp.array([1.0, 0.0], jnp.float32)
+    K = 4
+
+    enc_d, lens_d, probs = encode_and_ctc(params, cfg, feats, lens, cat)
+    enc_t, lens_t, tklp, tki, blp = encode_and_ctc_topk(
+        params, cfg, feats, lens, cat, K)
+    np.testing.assert_allclose(np.asarray(enc_d), np.asarray(enc_t))
+    # top-k values/indices match topk of the dense table
+    dv, di = jax.lax.top_k(probs, K)
+    np.testing.assert_array_equal(np.asarray(di), np.asarray(tki))
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(tklp),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs[:, :, cfg.blank_id]),
+                               np.asarray(blp), atol=1e-5, rtol=1e-5)
+
+    for thr in (0.0, 0.95):
+        dense = ctc_prefix_beam_search(probs, lens_d, K, cfg.blank_id,
+                                       blank_skip_threshold=thr)
+        fused = ctc_prefix_beam_search_topk(tklp, tki, blp, lens_t, K,
+                                            cfg.blank_id,
+                                            blank_skip_threshold=thr)
+        for a, b in zip(dense, fused):
+            assert a.tokens == b.tokens, (thr, a.tokens, b.tokens)
+            assert a.times == b.times
+            assert a.nbest == b.nbest
+            np.testing.assert_allclose(a.nbest_scores, b.nbest_scores,
+                                       atol=1e-4)
+
+    g1 = ctc_greedy_search(probs, lens_d, cfg.blank_id)
+    g2 = ctc_greedy_from_top1(tki[:, :, 0], lens_t, cfg.blank_id)
+    for a, b in zip(g1, g2):
+        assert a.tokens == b.tokens and a.times == b.times
