@@ -180,7 +180,8 @@ def main(argv=None):
     opt_state = jax.device_put(opt_state, o_shard)
 
     train_step = jax.jit(make_train_step(cfg, tx, tc.accum_grad,
-                                         loss_fn=loss_fn),
+                                         loss_fn=loss_fn,
+                                         grad_clip=tc.grad_clip),
                          donate_argnums=(0, 1))
     eval_step = jax.jit(make_eval_step(cfg, loss_fn=loss_fn))
 

@@ -198,3 +198,43 @@ def test_train_prng_key_rbg():
                                    jnp.asarray(0), sub)
     assert np.isfinite(float(m['loss']))
     assert float(m['skipped']) == 0.0
+
+
+def test_grad_clip_single_pass_equivalence():
+    """make_train_step(grad_clip=c) (one global-norm pass) ==
+    optax.chain(clip_by_global_norm(c), base) (the two-pass formulation)."""
+    import optax
+    conf, cfg, tc, params = _setup()
+    tc.grad_clip = 0.5          # small enough to actually trigger clipping
+    tx, _ = build_optimizer(tc)
+    batch = _batch(cfg)
+
+    new_step = jax.jit(make_train_step(cfg, tx, grad_clip=tc.grad_clip))
+    ref_tx = optax.chain(optax.clip_by_global_norm(tc.grad_clip), tx)
+    ref_step = jax.jit(make_train_step(cfg, ref_tx, grad_clip=0.0))
+
+    p1, o1, m1 = new_step(params, tx.init(params), batch,
+                          jnp.asarray(0), None)
+    p2, o2, m2 = ref_step(params, ref_tx.init(params), batch,
+                          jnp.asarray(0), None)
+    assert float(m1['grad_norm']) > tc.grad_clip   # clip active
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def test_non_finite_grad_skips_update():
+    """NaN loss → grads non-finite → the step is a no-op on params AND
+    optimizer state (train_utils.py:699-701), flagged in metrics."""
+    conf, cfg, tc, params = _setup()
+    tx, _ = build_optimizer(tc)
+    opt_state = tx.init(params)
+    step_fn = jax.jit(make_train_step(cfg, tx, grad_clip=50.0))
+    batch = _batch(cfg)
+    batch['feats'] = batch['feats'].at[0, 0, 0].set(jnp.nan)
+    p, o, m = step_fn(params, opt_state, batch, jnp.asarray(0), None)
+    assert float(m['skipped']) == 1.0
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(o), jax.tree.leaves(opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
