@@ -101,11 +101,14 @@ def _attn_kernel(lens_ref, q_ref, u_ref, vb_ref, k_ref, p_ref, v_ref, o_ref,
     p = p_ref[0]
     v = v_ref[0]
 
-    ac = jax.lax.dot_general(qu, k, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    bd = jax.lax.dot_general(qv, p, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    scores = (ac + bd) * scale                                   # (BQ, TK) f32
+    # qu·kᵀ + qv·pᵀ == [qu|qv]·[k|p]ᵀ exactly — one full-width (2·dk=128)
+    # MXU contraction instead of two half-width ones (dk=64 would waste
+    # half the systolic array's contraction dim)
+    qcat = jnp.concatenate([qu, qv], axis=-1)                    # (BQ, 2dk)
+    kcat = jnp.concatenate([k, p], axis=-1)                      # (TK, 2dk)
+    scores = jax.lax.dot_general(
+        qcat, kcat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale              # (BQ, TK) f32
 
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(col < kv_len, scores, _MASK_VALUE)
