@@ -34,8 +34,9 @@ def get_args(argv=None):
     parser.add_argument('--length_penalty', type=float, default=0.0)
     parser.add_argument('--blank_penalty', type=float, default=0.0)
     parser.add_argument('--result_dir', required=True)
-    parser.add_argument('--batch_size', type=int, default=1,
-                        help='chunks decoded in parallel')
+    parser.add_argument('--batch_size', type=int, default=0,
+                        help='chunks decoded in parallel '
+                             '(0 = auto: batch all chunks, capped at 8)')
     parser.add_argument('--chunk_size', type=int, default=2051,
                         help='chunk size in 10ms frames')
     parser.add_argument('--modes', nargs='+', choices=MODES,

@@ -168,7 +168,7 @@ class ReverbASR:
                          format: str = 'txt',
                          verbatimicity: float = 1.0,
                          chunk_size: int = 2051,
-                         batch_size: int = 1,
+                         batch_size: Optional[int] = None,
                          beam_size: int = 10,
                          decoding_chunk_size: int = -1,
                          num_decoding_left_chunks: int = -1,
@@ -181,6 +181,12 @@ class ReverbASR:
                          blank_skip_threshold: float = 0.0,
                          context_graph=None) -> List[str]:
         feats = self.compute_feats(audio_file)
+        if not batch_size:
+            # Auto-batch: run all of a file's chunks through the encoder in
+            # one device program (capped to bound HBM) instead of the
+            # reference's one-chunk-at-a-time loop (cli/reverb.py:142-174).
+            # CTM output is unchanged vs batch_size=1 (test_e2e_cli.py).
+            batch_size = min(max(math.ceil(feats.shape[0] / chunk_size), 1), 8)
         cat_embs = np.asarray([verbatimicity, 1.0 - verbatimicity],
                               dtype=np.float32)
         results = []

@@ -101,23 +101,6 @@ def bestrq_loss(params, encoder_apply, feats, feats_lens, rng,
     return {'loss': loss, 'code_accuracy': acc, 'num_masked': jnp.sum(valid)}
 
 
-def contrastive_loss(anchor, positive, mask, temperature: float = 0.1,
-                     num_negatives: int = 50, rng=None):
-    """wav2vec2-style InfoNCE over masked positions with in-utterance
-    negatives (ssl/wav2vec2 capability)."""
-    B, T, D = anchor.shape
-    a = anchor / (jnp.linalg.norm(anchor, axis=-1, keepdims=True) + 1e-8)
-    p = positive / (jnp.linalg.norm(positive, axis=-1, keepdims=True) + 1e-8)
-    sims = jnp.einsum('btd,bsd->bts', a, p) / temperature    # (B,T,T)
-    labels = jnp.arange(T)
-    logp = jax.nn.log_softmax(sims, axis=-1)
-    pos_lp = jnp.take_along_axis(
-        logp, jnp.broadcast_to(labels[None, :, None], (B, T, 1)),
-        axis=-1)[..., 0]
-    denom = jnp.maximum(jnp.sum(mask), 1)
-    return -jnp.sum(jnp.where(mask, pos_lp, 0.0)) / denom
-
-
 # ------------------------------ wav2vec 2.0 ------------------------------
 
 @dataclasses.dataclass(frozen=True)
@@ -198,18 +181,30 @@ def wav2vec2_loss(params, encoder_apply, feats, feats_lens, rng,
     m_sub = mask[:, :Tq * cfg.stack_frames:cfg.stack_frames][:, :Tq]
     valid = enc_mask[:, 0, :Tq] & m_sub                    # (B,Tq)
 
-    def cos(a, b):
-        a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-8)
-        b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + 1e-8)
-        return jnp.einsum('btd,bsd->bts', a, b)
+    # Sample cfg.num_negatives distractor positions per anchor from the same
+    # utterance, excluding the positive (wav2vec2_model.py sampled-negative
+    # semantics; negatives whose quantized target equals the positive's are
+    # masked out of the softmax, as in the reference).
+    N = max(int(cfg.num_negatives), 1)
+    neg_idx = jax.random.randint(k4, (B, Tq, N), 0, max(Tq - 1, 1))
+    neg_idx = jnp.where(neg_idx >= jnp.arange(Tq)[None, :, None],
+                        neg_idx + 1, neg_idx) % Tq           # skip positive
+    negs = jax.vmap(lambda tg, idx: tg[idx])(targets, neg_idx)  # (B,Tq,N,Df)
 
-    sims = cos(context, targets) / cfg.contrastive_temperature  # (B,Tq,Tq)
-    # positives on the diagonal; negatives = other masked positions.
-    # Exclude positions equal to the positive target (wav2vec2 semantics).
-    neg_ok = valid[:, None, :] & ~jnp.eye(Tq, dtype=bool)[None]
-    logits = jnp.where(neg_ok | jnp.eye(Tq, dtype=bool)[None], sims, -1e9)
+    def unit(v):
+        return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-8)
+
+    cn, tn, nn = unit(context), unit(targets), unit(negs)
+    pos_sim = jnp.einsum('btd,btd->bt', cn, tn)
+    neg_sim = jnp.einsum('btd,btnd->btn', cn, nn)
+    neg_is_pos = jnp.all(
+        jnp.abs(negs - targets[:, :, None]) < 1e-6, axis=-1)  # (B,Tq,N)
+    neg_invalid = ~jax.vmap(lambda v, idx: v[idx])(valid, neg_idx)
+    neg_sim = jnp.where(neg_is_pos | neg_invalid, -jnp.inf, neg_sim)
+    logits = jnp.concatenate([pos_sim[..., None], neg_sim],
+                             axis=-1) / cfg.contrastive_temperature
     logp = jax.nn.log_softmax(logits, axis=-1)
-    pos_lp = jnp.einsum('btt->bt', logp)
+    pos_lp = logp[..., 0]
     denom = jnp.maximum(jnp.sum(valid), 1)
     contrastive = -jnp.sum(jnp.where(valid, pos_lp, 0.0)) / denom
     # diversity: maximize softmax-prob entropy per codebook

@@ -12,6 +12,7 @@ no bias on K projections.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -125,24 +126,48 @@ def whisper_decode(params, tokens, audio_features, cfg: WhisperConfig):
     return x @ params['token_embedding']['weight'].T.astype(x.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=('cfg', 'sot_len', 'eot'))
+def _greedy_loop(params, feats, tokens0, cfg: WhisperConfig, sot_len: int,
+                 eot: int):
+    """One compiled program per (B, total_len) shape: a `lax.while_loop`
+    over a static token buffer. Future positions hold `eot` padding, which
+    the causal mask keeps invisible to every already-decoded position."""
+    B, total = tokens0.shape
+
+    def cond(state):
+        _, cur, finished = state
+        return (cur < total) & ~jnp.all(finished)
+
+    def step(state):
+        tokens, cur, finished = state
+        logits = whisper_decode(params['decoder'], tokens, feats, cfg)
+        prev = jax.lax.dynamic_index_in_dim(
+            logits, cur - 1, axis=1, keepdims=False)          # (B, V)
+        nxt = jnp.argmax(prev, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, eot, nxt)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, nxt[:, None], (0, cur))
+        return tokens, cur + 1, finished | (nxt == eot)
+
+    out, _, _ = jax.lax.while_loop(
+        cond, step,
+        (tokens0, jnp.int32(sot_len), jnp.zeros((B,), bool)))
+    return out
+
+
 def whisper_greedy_decode(params, mel, cfg: WhisperConfig, sot_sequence,
                           eot: int, max_len: int = 224):
-    """Simple batched greedy decode (host loop, jitted decoder calls)."""
+    """Batched greedy decode — one compile per (B, length) shape (the former
+    host loop re-jitted the decoder every step as `tokens` grew)."""
     feats = whisper_encode(params['encoder'], mel, cfg)
     B = mel.shape[0]
-    tokens = np.tile(np.asarray(sot_sequence, np.int32)[None], (B, 1))
-    decode = jax.jit(lambda t: whisper_decode(params['decoder'],
-                                              jnp.asarray(t), feats, cfg))
-    finished = np.zeros((B,), bool)
-    for _ in range(max_len):
-        logits = np.asarray(decode(tokens))
-        nxt = logits[:, -1].argmax(-1).astype(np.int32)
-        nxt = np.where(finished, eot, nxt)
-        tokens = np.concatenate([tokens, nxt[:, None]], axis=1)
-        finished |= nxt == eot
-        if finished.all():
-            break
-    return tokens[:, len(sot_sequence):]
+    L0 = len(sot_sequence)
+    total = min(L0 + max_len, cfg.n_text_ctx)
+    tokens0 = jnp.full((B, total), eot, jnp.int32)
+    tokens0 = tokens0.at[:, :L0].set(
+        jnp.asarray(sot_sequence, jnp.int32)[None])
+    out = _greedy_loop(params, feats, tokens0, cfg, L0, int(eot))
+    return np.asarray(out)[:, L0:]
 
 
 # ------------------------------ HF converter ------------------------------
