@@ -410,13 +410,33 @@ def _ctl_bundle(configs, rng, cmvn) -> ModelBundle:
     return ModelBundle('ctl_model', cfg, params, loss)
 
 
+def _ssl_quantizer_window(acfg):
+    """BestRQ stacks encoder.embed.right_context+1 frames with
+    stride=subsampling_rate so the quantized-target length equals the
+    encoder output length (bestrq_model.py __init__)."""
+    stride = acfg.encoder.subsampling_rate
+    return {1: 1, 4: 7, 6: 11, 8: 15}.get(stride, stride), stride
+
+
+def _ssl_normalize(params, feats):
+    """The reference applies signal CMVN itself and disables the encoder's
+    (bestrq_model.py forward): normalize once, then encode without CMVN."""
+    g = params.get('encoder', {}).get('global_cmvn')
+    if g is None:
+        return params, feats
+    enc = {k: v for k, v in params['encoder'].items() if k != 'global_cmvn'}
+    return dict(params, encoder=enc), (feats - g['mean']) * g['istd']
+
+
 def _bestrq_bundle(configs, rng, cmvn) -> ModelBundle:
     from reverb_tpu.models.asr_model import forward_encoder
     from reverb_tpu.models.ssl import (BestRQConfig, bestrq_loss, init_bestrq)
     acfg = ModelConfig.from_config(configs)
+    stack, stride = _ssl_quantizer_window(acfg)
     bcfg = BestRQConfig(
         **_dataclass_kwargs(BestRQConfig,
-                            dict(configs.get('bestrq_conf', {}) or {},
+                            dict({'stack_frames': stack, 'stride': stride},
+                                 **(configs.get('bestrq_conf', {}) or {}),
                                  input_dim=configs.get('input_dim', 80),
                                  encoder_output_size=acfg.encoder.output_size)))
     k1, k2 = jax.random.split(rng)
@@ -424,9 +444,11 @@ def _bestrq_bundle(configs, rng, cmvn) -> ModelBundle:
     params.update(init_bestrq(k2, bcfg))
 
     def loss(params, batch, rng=None):
+        enc_params, feats = _ssl_normalize(params, batch['feats'])
+
         def encoder_apply(feats, lens):
-            return forward_encoder(params, acfg, feats, lens, None, None)
-        return bestrq_loss(params, encoder_apply, batch['feats'],
+            return forward_encoder(enc_params, acfg, feats, lens, None, None)
+        return bestrq_loss(params, encoder_apply, feats,
                            batch['feats_lengths'],
                            rng if rng is not None else jax.random.PRNGKey(0),
                            bcfg)
@@ -470,17 +492,22 @@ def _w2vbert_bundle(configs, rng, cmvn) -> ModelBundle:
     wcfg = Wav2vec2Config(**_dataclass_kwargs(
         Wav2vec2Config, dict(configs.get('wav2vec2_conf', {}) or {},
                              **common)))
+    stack, stride = _ssl_quantizer_window(acfg)
     bcfg = BestRQConfig(**_dataclass_kwargs(
-        BestRQConfig, dict(configs.get('bestrq_conf', {}) or {}, **common)))
+        BestRQConfig, dict({'stack_frames': stack, 'stride': stride},
+                           **(configs.get('bestrq_conf', {}) or {}),
+                           **common)))
     k1, k2, k3 = jax.random.split(rng, 3)
     params = init_params(k1, acfg, cmvn=cmvn)
     params.update(init_wav2vec2(k2, wcfg))
     params.update(init_bestrq(k3, bcfg))
 
     def loss(params, batch, rng=None):
+        enc_params, feats = _ssl_normalize(params, batch['feats'])
+
         def encoder_apply(feats, lens):
-            return forward_encoder(params, acfg, feats, lens, None, None)
-        return w2vbert_loss(params, encoder_apply, batch['feats'],
+            return forward_encoder(enc_params, acfg, feats, lens, None, None)
+        return w2vbert_loss(params, encoder_apply, feats,
                             batch['feats_lengths'],
                             rng if rng is not None else jax.random.PRNGKey(0),
                             wcfg, bcfg)

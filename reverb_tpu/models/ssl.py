@@ -30,7 +30,10 @@ class BestRQConfig:
     codebook_dim: int = 16
     mask_prob: float = 0.01          # per-frame mask-start probability
     mask_length: int = 10
-    stack_frames: int = 4            # frames quantized per encoder output
+    stack_frames: int = 4            # quantizer window (right_context+1)
+    stride: int = 4                  # encoder subsampling rate
+    norm_epsilon: float = 1e-5
+    features_regularization_weight: float = 0.01
 
 
 def init_bestrq(rng, cfg: BestRQConfig):
@@ -38,33 +41,66 @@ def init_bestrq(rng, cfg: BestRQConfig):
     d_in = cfg.input_dim * cfg.stack_frames
     return {
         # frozen random quantizer (never trained)
-        'projection': jax.random.normal(k1, (d_in, cfg.codebook_dim)),
+        'projection': jax.random.normal(
+            k1, (d_in, cfg.num_codebooks * cfg.codebook_dim)),
         'codebook': jax.random.normal(
             k2, (cfg.num_codebooks, cfg.codebook_size, cfg.codebook_dim)),
-        # trained prediction head
+        # trained prediction head (≡ reference per-codebook
+        # encoder_top_n_out (G, D, C) flattened to one (D, G·C) linear)
         'head': init_linear(k3, cfg.encoder_output_size,
                             cfg.num_codebooks * cfg.codebook_size),
     }
 
 
-def bestrq_targets(params, feats, cfg: BestRQConfig):
-    """Quantize stacked fbank frames with the frozen random codebook →
-    (B, T', num_codebooks) code ids."""
+def stack_features(feats, size: int, step: int):
+    """Sliding-window frame stacking, matching torch
+    `unfold(1, size, step).transpose(-1,-2).reshape(B, T', size·F)`
+    (ssl/bestrq/bestrq_model.py _stack_features): window frames contiguous,
+    each frame's F features inside. With size=right_context+1 and
+    step=subsampling_rate, T' equals the encoder's output length."""
     B, T, F = feats.shape
-    Ts = T // cfg.stack_frames
-    x = feats[:, :Ts * cfg.stack_frames].reshape(B, Ts,
-                                                 cfg.stack_frames * F)
-    x = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-8)
-    proj = jax.lax.stop_gradient(x @ params['projection'])   # (B,Ts,Dc)
-    proj = proj / (jnp.linalg.norm(proj, axis=-1, keepdims=True) + 1e-8)
-    cb = params['codebook']
-    cb = cb / (jnp.linalg.norm(cb, axis=-1, keepdims=True) + 1e-8)
-    sims = jnp.einsum('btd,kcd->btkc', proj, cb)
-    return jax.lax.stop_gradient(jnp.argmax(sims, axis=-1))  # (B,Ts,K)
+    Tp = max((T - size) // step + 1, 0)
+    idx = jnp.arange(Tp)[:, None] * step + jnp.arange(size)[None]  # (T',size)
+    return feats[:, idx].reshape(B, Tp, size * F)
+
+
+def subsampled_mask(mask, size: int, step: int):
+    """A subsampled target position counts as masked only when ALL frames in
+    its receptive window are masked (bestrq_model.py forward step 1:
+    `torch.min` over the unfolded mask)."""
+    B, T = mask.shape
+    Tp = max((T - size) // step + 1, 0)
+    idx = jnp.arange(Tp)[:, None] * step + jnp.arange(size)[None]
+    return jnp.all(mask[:, idx], axis=-1)                     # (B, T')
+
+
+def bestrq_targets(params, feats, cfg: BestRQConfig):
+    """Quantize stacked (CMVN'd) fbank windows with the frozen random
+    projection + codebook → (B, T', num_codebooks) code ids.
+
+    Reference semantics (bestrq_model.py _nearest_embedding_idx):
+    affine-free LayerNorm over the stacked window (when stack_frames>1),
+    random projection, then EUCLIDEAN nearest code per codebook group."""
+    x = stack_features(feats, cfg.stack_frames, cfg.stride)
+    if cfg.stack_frames > 1:
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        x = (x - mu) * jax.lax.rsqrt(var + cfg.norm_epsilon)
+    proj = x @ params['projection']                          # (B,T',G·Dc)
+    B, Tp, _ = proj.shape
+    proj = proj.reshape(B, Tp, cfg.num_codebooks, cfg.codebook_dim)
+    cb = params['codebook']                                  # (G,C,Dc)
+    # ‖l−c‖² argmin ≡ argmin(‖l‖² − 2·l·c + ‖c‖²); ‖l‖² is constant in c
+    dist = (jnp.sum(cb ** 2, -1)[None, None]                 # (1,1,G,C)
+            - 2.0 * jnp.einsum('btgd,gcd->btgc', proj, cb))
+    return jax.lax.stop_gradient(jnp.argmin(dist, axis=-1))  # (B,T',G)
 
 
 def make_mask(rng, B: int, T: int, cfg: BestRQConfig):
-    """Span masking: starts ~Bernoulli(mask_prob), span mask_length."""
+    """Span masking: starts ~Bernoulli(mask_prob), span mask_length.
+
+    Statically-shaped redesign of compute_mask_indices_v2 (which draws an
+    exact span count then randperms positions — data-dependent shapes)."""
     starts = jax.random.bernoulli(rng, cfg.mask_prob, (B, T))
     idx = jnp.arange(T)
     span = (idx[None, None, :] >= idx[None, :, None]) & \
@@ -75,30 +111,48 @@ def make_mask(rng, B: int, T: int, cfg: BestRQConfig):
 
 def bestrq_loss(params, encoder_apply, feats, feats_lens, rng,
                 cfg: BestRQConfig):
-    """Mask → encode → predict code ids at masked positions (CE)."""
+    """Mask → encode → predict code ids at masked positions (CE).
+
+    `feats` must already be CMVN-normalized (the reference applies the
+    signal mean/istd itself and disables the encoder's CMVN —
+    bestrq_model.py forward); `encoder_apply` must therefore not re-apply
+    CMVN. Loss = masked CE / (Σmask · G) + λ·mean(feats²)
+    (features_regularization)."""
     B, T, F = feats.shape
     k1, k2 = jax.random.split(rng)
-    targets = bestrq_targets(params, feats, cfg)             # (B,Ts,K)
+    targets = bestrq_targets(params, feats, cfg)             # (B,T',G)
     Ts = targets.shape[1]
     mask = make_mask(k1, B, T, cfg)                          # (B,T)
-    noise = jax.random.normal(k2, feats.shape) * 0.1
+    # one shared gaussian mask vector per call (bestrq_model.py mask_emb)
+    noise = jax.random.normal(k2, (1, 1, F)) * 0.1
     masked_feats = jnp.where(mask[..., None], noise, feats)
     enc_out, enc_mask = encoder_apply(masked_feats, feats_lens)
-    # align encoder frames to stacked-target frames
     Tq = min(enc_out.shape[1], Ts)
     logits = linear(params['head'], enc_out[:, :Tq])
     logits = logits.reshape(B, Tq, cfg.num_codebooks, cfg.codebook_size)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     tgt = targets[:, :Tq]
-    tok_lp = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    # only masked (and valid) positions contribute
-    m_sub = mask[:, :Tq * cfg.stack_frames:cfg.stack_frames][:, :Tq]
+    # only positions whose whole window was masked (and valid) contribute
+    m_sub = subsampled_mask(mask, cfg.stack_frames, cfg.stride)[:, :Tq]
     valid = enc_mask[:, 0, :Tq] & m_sub
-    denom = jnp.maximum(jnp.sum(valid), 1)
-    loss = -jnp.sum(jnp.where(valid[..., None], tok_lp, 0.0)) / denom
+    loss, logp = bestrq_ce(logits, tgt, valid, cfg.num_codebooks)
+    if cfg.features_regularization_weight:
+        loss = loss + (cfg.features_regularization_weight
+                       * jnp.mean(feats.astype(jnp.float32) ** 2))
+    num_codes = jnp.maximum(jnp.sum(valid) * cfg.num_codebooks, 1)
     acc = jnp.sum(jnp.where(valid[..., None],
-                            (jnp.argmax(logp, -1) == tgt), 0)) / denom
+                            (jnp.argmax(logp, -1) == tgt), 0)) / num_codes
     return {'loss': loss, 'code_accuracy': acc, 'num_masked': jnp.sum(valid)}
+
+
+def bestrq_ce(logits, targets, valid, num_codebooks: int):
+    """Masked CE over code ids: Σ −log p[target] over valid positions,
+    normalized by (Σvalid + 1e-5)·G (bestrq_model.py _compute_loss).
+    logits (B,T',G,C), targets (B,T',G), valid (B,T')."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tok_lp = jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    denom = (jnp.sum(valid) + 1e-5) * num_codebooks
+    loss = -jnp.sum(jnp.where(valid[..., None], tok_lp, 0.0)) / denom
+    return loss, logp
 
 
 # ------------------------------ wav2vec 2.0 ------------------------------

@@ -41,6 +41,12 @@ class WhisperConfig:
     n_text_layer: int = 4
 
 
+def _gelu(x):
+    """Exact (erf) GELU — torch.nn.GELU's default, which both OpenAI and
+    wenet whisper use; jax.nn.gelu defaults to the tanh approximation."""
+    return jax.nn.gelu(x, approximate=False)
+
+
 def _init_attn(rng, d: int):
     ks = jax.random.split(rng, 4)
     return {'linear_q': init_linear(ks[0], d, d),
@@ -84,8 +90,8 @@ def init_whisper(rng, cfg: WhisperConfig):
 def whisper_encode(params, mel, cfg: WhisperConfig):
     """mel (B, T, n_mels) → (B, T//2, D)."""
     x = mel.transpose(0, 2, 1)
-    x = jax.nn.gelu(conv1d(params['conv1'], x, padding=1))
-    x = jax.nn.gelu(conv1d(params['conv2'], x, stride=2, padding=1))
+    x = _gelu(conv1d(params['conv1'], x, padding=1))
+    x = _gelu(conv1d(params['conv2'], x, stride=2, padding=1))
     x = x.transpose(0, 2, 1)
     T = x.shape[1]
     if 'positional_embedding' in params:   # converted checkpoints carry the
@@ -99,7 +105,7 @@ def whisper_encode(params, mel, cfg: WhisperConfig):
         x = x + a
         xn = layer_norm(blk['norm_mlp'], x)
         x = x + linear(blk['mlp']['w_2'],
-                       jax.nn.gelu(linear(blk['mlp']['w_1'], xn)))
+                       _gelu(linear(blk['mlp']['w_1'], xn)))
     return layer_norm(params['ln_post'], x)
 
 
@@ -120,8 +126,10 @@ def whisper_decode(params, tokens, audio_features, cfg: WhisperConfig):
         x = x + a
         xn = layer_norm(blk['norm_mlp'], x)
         x = x + linear(blk['mlp']['w_2'],
-                       jax.nn.gelu(linear(blk['mlp']['w_1'], xn)))
+                       _gelu(linear(blk['mlp']['w_1'], xn)))
     x = layer_norm(params['ln'], x)
+    if 'output_layer' in params:     # untied head (wenet-format checkpoints)
+        return linear(params['output_layer'], x)
     # tied output projection
     return x @ params['token_embedding']['weight'].T.astype(x.dtype)
 
@@ -223,6 +231,68 @@ def convert_hf_whisper(hf_state: Dict[str, np.ndarray]
            'blocks': [block(f'decoder.layers.{i}', True)
                       for i in range(n_dec)],
            'ln': ln('decoder.layer_norm')}
+    return {'encoder': enc, 'decoder': dec}
+
+
+def convert_wenet_whisper(state: Dict[str, np.ndarray]) -> Dict:
+    """Map a wenet-format whisper state_dict (what the reference's
+    whisper/convert_whisper_to_wenet_config_and_ckpt.py produces:
+    TransformerEncoder with input_layer=conv1d2 / abs_pos_whisper +
+    TransformerDecoder with embed_learnable_pe, key_bias=False) into this
+    module's param tree."""
+    g = {k: np.asarray(v) for k, v in state.items()}
+
+    def lin(prefix, bias=True):
+        p = {'weight': g[f'{prefix}.weight']}
+        if bias and f'{prefix}.bias' in g:
+            p['bias'] = g[f'{prefix}.bias']
+        return p
+
+    def ln(prefix):
+        return {'weight': g[f'{prefix}.weight'], 'bias': g[f'{prefix}.bias']}
+
+    def attn(prefix):
+        return {'linear_q': lin(f'{prefix}.linear_q'),
+                'linear_k': lin(f'{prefix}.linear_k', bias=False),
+                'linear_v': lin(f'{prefix}.linear_v'),
+                'linear_out': lin(f'{prefix}.linear_out')}
+
+    def enc_block(prefix):
+        return {'self_attn': attn(f'{prefix}.self_attn'),
+                'norm1': ln(f'{prefix}.norm1'),
+                'mlp': {'w_1': lin(f'{prefix}.feed_forward.w_1'),
+                        'w_2': lin(f'{prefix}.feed_forward.w_2')},
+                'norm_mlp': ln(f'{prefix}.norm2')}
+
+    def dec_block(prefix):
+        return {'self_attn': attn(f'{prefix}.self_attn'),
+                'norm1': ln(f'{prefix}.norm1'),
+                'cross_attn': attn(f'{prefix}.src_attn'),
+                'norm2': ln(f'{prefix}.norm2'),
+                'mlp': {'w_1': lin(f'{prefix}.feed_forward.w_1'),
+                        'w_2': lin(f'{prefix}.feed_forward.w_2')},
+                'norm_mlp': ln(f'{prefix}.norm3')}
+
+    n_enc = 1 + max(int(k.split('.')[2]) for k in g
+                    if k.startswith('encoder.encoders.'))
+    n_dec = 1 + max(int(k.split('.')[2]) for k in g
+                    if k.startswith('decoder.decoders.'))
+    enc = {'conv1': lin('encoder.embed.conv.0'),
+           'conv2': lin('encoder.embed.conv.2'),
+           'positional_embedding': g['encoder.embed.pos_enc.pe'][0],
+           'blocks': [enc_block(f'encoder.encoders.{i}')
+                      for i in range(n_enc)],
+           'ln_post': ln('encoder.after_norm')}
+    dec = {'token_embedding': {'weight': g['decoder.embed.0.weight']},
+           'positional_embedding': g['decoder.embed.1.pe'][0],
+           'blocks': [dec_block(f'decoder.decoders.{i}')
+                      for i in range(n_dec)],
+           'ln': ln('decoder.after_norm')}
+    if 'decoder.output_layer.weight' in g:
+        out_w = g['decoder.output_layer.weight']
+        if not np.array_equal(out_w, dec['token_embedding']['weight']) or \
+                'decoder.output_layer.bias' in g:
+            dec['output_layer'] = lin('decoder.output_layer')
     return {'encoder': enc, 'decoder': dec}
 
 

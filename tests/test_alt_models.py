@@ -110,7 +110,7 @@ def test_paraformer_loss_and_decode():
 def test_bestrq():
     cfg = BestRQConfig(input_dim=20, encoder_output_size=16,
                        codebook_size=32, codebook_dim=8, stack_frames=2,
-                       mask_prob=0.2, mask_length=4)
+                       stride=2, mask_prob=0.2, mask_length=4)
     params = init_bestrq(jax.random.PRNGKey(0), cfg)
     feats = jnp.asarray(RNG.randn(2, 24, 20), jnp.float32)
     tgt = bestrq_targets(params, feats, cfg)

@@ -817,3 +817,147 @@ def test_transducer_predictor_joint_parity(wenet):
                               cfg)
     np.testing.assert_allclose(np.asarray(got_joint), want_joint.numpy(),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_bestrq_targets_mask_loss_parity(wenet):
+    """BestRQ quantizer semantics vs ssl/bestrq/bestrq_model.py: frame
+    stacking, affine-free LN + random-projection + euclidean nearest-code
+    targets, window-min subsampled mask, per-codebook head algebra, and the
+    masked-CE normalization (VERDICT r1 item 9)."""
+    import torch
+    import jax.numpy as jnp
+    from wenet.ssl.bestrq.bestrq_model import BestRQModel
+    from wenet.transformer.encoder import ConformerEncoder
+    from wenet.transformer.cmvn import GlobalCMVN
+    from reverb_tpu.models.modules import linear
+    from reverb_tpu.models.ssl import (BestRQConfig, bestrq_ce,
+                                       bestrq_targets, stack_features,
+                                       subsampled_mask)
+
+    torch.manual_seed(5)
+    mean, istd = torch.randn(80), torch.rand(80) + 0.5
+    enc = ConformerEncoder(global_cmvn=GlobalCMVN(mean, istd), **_TINY_ENC)
+    G, C, Dc = 2, 32, 8
+    ref = BestRQModel(encoder=enc, num_mel_bins=80, embedding_dim=Dc,
+                      num_embeddings=C, num_codebooks=G)
+    cfg = BestRQConfig(input_dim=80, encoder_output_size=32,
+                       num_codebooks=G, codebook_size=C, codebook_dim=Dc,
+                       stack_frames=ref.stack_frames, stride=ref.stride)
+    assert (cfg.stack_frames, cfg.stride) == (7, 4)
+    params = {
+        'projection': jnp.asarray(ref.projection.detach().numpy()),
+        # reference embeddings are (C, G, Dc); ours (G, C, Dc)
+        'codebook': jnp.asarray(
+            ref.embeddings.detach().numpy().transpose(1, 0, 2)),
+    }
+
+    x = torch.randn(2, 67, 80)
+    xs = (x - mean) * istd          # post-CMVN signal, as the reference uses
+
+    with torch.no_grad():
+        want_stack = ref._stack_features(xs)
+        want_tgt = ref._nearest_embedding_idx(want_stack)
+    got_stack = stack_features(jnp.asarray(xs.numpy()), cfg.stack_frames,
+                               cfg.stride)
+    np.testing.assert_allclose(np.asarray(got_stack), want_stack.numpy(),
+                               atol=1e-5, rtol=1e-5)
+    got_tgt = bestrq_targets(params, jnp.asarray(xs.numpy()), cfg)
+    assert got_tgt.shape == tuple(want_tgt.shape)
+    np.testing.assert_array_equal(np.asarray(got_tgt), want_tgt.numpy())
+
+    # window-min subsampled mask (forward step 1)
+    m = torch.rand(2, 67) > 0.5
+    want_m, _ = torch.min(
+        m.unfold(1, ref.stack_frames, ref.stride).int(), 2)
+    got_m = subsampled_mask(jnp.asarray(m.numpy()), cfg.stack_frames,
+                            cfg.stride)
+    np.testing.assert_array_equal(np.asarray(got_m).astype(np.int32),
+                                  want_m.numpy())
+
+    # per-codebook head: matmul against (G, D, C) + bias == one flat linear
+    Tq = int(want_tgt.shape[1])
+    enc_out = torch.randn(2, Tq, 32)
+    with torch.no_grad():
+        want_logits = torch.matmul(enc_out.unsqueeze(1),
+                                   ref.encoder_top_n_out.unsqueeze(0))
+        want_logits = (want_logits +
+                       ref.encoder_top_n_out_bias.unsqueeze(0).unsqueeze(2))
+    head = {'weight': jnp.asarray(ref.encoder_top_n_out.detach().numpy()
+                                  .transpose(0, 2, 1).reshape(G * C, 32)),
+            'bias': jnp.asarray(
+                ref.encoder_top_n_out_bias.detach().numpy().reshape(-1))}
+    got_logits = linear(head, jnp.asarray(enc_out.numpy())).reshape(
+        2, Tq, G, C)
+    np.testing.assert_allclose(
+        np.asarray(got_logits),
+        want_logits.numpy().transpose(0, 2, 1, 3), atol=1e-5, rtol=1e-5)
+
+    # masked-CE normalization (_compute_loss)
+    valid = got_m[:, :Tq]
+    with torch.no_grad():
+        want_loss = ref._compute_loss(
+            torch.from_numpy(np.asarray(got_logits)).permute(0, 2, 1, 3),
+            want_tgt, mask=torch.from_numpy(np.asarray(valid)).float())
+    got_loss, _ = bestrq_ce(got_logits, got_tgt, valid, G)
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+
+
+def test_wenet_whisper_forward_parity(wenet):
+    """Whisper-as-wenet wrapper forward (whisper/whisper.py:28 +
+    convert_whisper_to_wenet_config_and_ckpt.py encoder/decoder configs):
+    same weights → same encoder activations and decoder logits through our
+    whisper module via convert_wenet_whisper (VERDICT r1 item 9)."""
+    import torch
+    import jax.numpy as jnp
+    from wenet.transformer.encoder import TransformerEncoder
+    from wenet.transformer.decoder import TransformerDecoder
+    from reverb_tpu.models.whisper import (WhisperConfig,
+                                           convert_wenet_whisper,
+                                           whisper_decode, whisper_encode)
+
+    torch.manual_seed(7)
+    enc = TransformerEncoder(
+        input_size=80, output_size=64, attention_heads=2, linear_units=256,
+        num_blocks=2, dropout_rate=0.0, positional_dropout_rate=0.0,
+        attention_dropout_rate=0.0, input_layer='conv1d2',
+        pos_enc_layer_type='abs_pos_whisper', normalize_before=True,
+        static_chunk_size=-1, key_bias=False, activation_type='gelu')
+    dec = TransformerDecoder(
+        vocab_size=50, encoder_output_size=64, attention_heads=2,
+        linear_units=256, num_blocks=2, dropout_rate=0.0,
+        positional_dropout_rate=0.0, self_attention_dropout_rate=0.0,
+        src_attention_dropout_rate=0.0, input_layer='embed_learnable_pe',
+        use_output_layer=True, normalize_before=True, src_attention=True,
+        key_bias=False, activation_type='gelu')
+    with torch.no_grad():
+        dec.embed[1].pe.normal_(0.0, 0.02)   # Parameter(torch.empty) init
+    enc.eval()
+    dec.eval()
+
+    state = {**{f'encoder.{k}': v.numpy() for k, v in
+                enc.state_dict().items()},
+             **{f'decoder.{k}': v.numpy() for k, v in
+                dec.state_dict().items()}}
+    params = convert_wenet_whisper(state)
+    assert 'output_layer' in params['decoder']   # wenet head is untied
+    cfg = WhisperConfig(n_mels=80, n_audio_state=64, n_audio_head=2,
+                        n_audio_layer=2, n_vocab=50, n_text_ctx=448,
+                        n_text_state=64, n_text_head=2, n_text_layer=2)
+
+    mel = torch.randn(2, 40, 80)
+    lens = torch.tensor([40, 40])
+    with torch.no_grad():
+        want_enc, want_mask = enc(mel, lens)
+    got_enc = whisper_encode(params['encoder'], jnp.asarray(mel.numpy()), cfg)
+    assert got_enc.shape == tuple(want_enc.shape)
+    np.testing.assert_allclose(np.asarray(got_enc), want_enc.numpy(),
+                               atol=1e-4, rtol=1e-3)
+
+    ys = torch.randint(0, 50, (2, 7))
+    with torch.no_grad():
+        want_dec, _, _ = dec(want_enc, want_mask, ys, torch.tensor([7, 7]))
+    got_dec = whisper_decode(params['decoder'],
+                             jnp.asarray(ys.numpy().astype(np.int32)),
+                             got_enc, cfg)
+    np.testing.assert_allclose(np.asarray(got_dec), want_dec.numpy(),
+                               atol=1e-4, rtol=1e-3)
