@@ -135,3 +135,68 @@ def test_dft_matmul_spectrum_matches_rfft():
     # near-floor bins may differ by ~1e-2 in log space; energy bins agree
     np.testing.assert_allclose(b, a, atol=5e-2)
     assert float(np.mean(np.abs(a - b))) < 5e-3
+
+
+# ---------------- independent oracle (VERDICT r1 item 2) ----------------
+# tests/kaldi_fbank_oracle.py is a test-only torch transliteration of
+# torchaudio.compliance.kaldi.fbank (the exact function the reference calls —
+# cli/reverb.py:130-138, processor.py:343-371); tests/golden/fbank_*.npy are
+# its committed outputs, so the check also runs without torch.
+
+def _oracle_cases():
+    rng = np.random.RandomState(0)
+    return {
+        'speechy': (16000, (rng.randn(16000) * 3000).astype(np.float32)),
+        'short': (16000, (rng.randn(480) * 3000).astype(np.float32)),
+        'nonmult': (16000, (rng.randn(1000) * 1000).astype(np.float32)),
+        'dc_offset': (16000,
+                      ((rng.randn(8000) * 500) + 4000).astype(np.float32)),
+        'near_silence': (16000, (rng.randn(4000) * 1e-3).astype(np.float32)),
+        'rate8k': (8000, (rng.randn(8000) * 2000).astype(np.float32)),
+    }
+
+
+@pytest.mark.parametrize('name', list(_oracle_cases()))
+def test_fbank_vs_golden_torchaudio_kaldi(name):
+    import os
+    sr, wave = _oracle_cases()[name]
+    golden = np.load(os.path.join(os.path.dirname(__file__), 'golden',
+                                  f'fbank_{name}.npy'))
+    cfg = FbankConfig(sample_rate=sr)
+    got_np = fbank_numpy(wave, cfg)
+    got_dev = np.asarray(compute_fbank(wave, cfg))
+    assert got_np.shape == got_dev.shape == golden.shape
+    np.testing.assert_allclose(got_np, golden, atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(got_dev, golden, atol=1e-3, rtol=1e-4)
+
+
+def test_fbank_vs_live_torch_oracle():
+    """Run the transliterated torch oracle directly (not just its committed
+    outputs) on a fresh waveform none of the golden files cover."""
+    from tests.kaldi_fbank_oracle import fbank as torch_fbank
+    import torch
+    rng = np.random.RandomState(123)
+    t = np.arange(12345) / 16000.0
+    wave = ((np.sin(2 * np.pi * 523.25 * t) * 8000)
+            + rng.randn(12345) * 100).astype(np.float32)
+    want = torch_fbank(torch.from_numpy(wave).unsqueeze(0), num_mel_bins=80,
+                       frame_length=25, frame_shift=10, dither=0.0,
+                       energy_floor=0.0,
+                       sample_frequency=16000.0).numpy()
+    got = np.asarray(compute_fbank(wave, FbankConfig()))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+
+
+def test_native_fbank_vs_golden():
+    from reverb_tpu import native
+    if native.get_lib() is None:
+        pytest.skip('native library not built')
+    import os
+    for name, (sr, wave) in _oracle_cases().items():
+        if sr != 16000:
+            continue   # native path is fixed to the 16 kHz serving config
+        golden = np.load(os.path.join(os.path.dirname(__file__), 'golden',
+                                      f'fbank_{name}.npy'))
+        got = native.fbank(wave)
+        assert got.shape == golden.shape
+        np.testing.assert_allclose(got, golden, atol=1e-3, rtol=1e-4)
