@@ -71,8 +71,7 @@ def main(argv=None):
 
     from reverb_tpu.data.dataset import Dataset
     from reverb_tpu.models.asr_model import ModelConfig, init_params
-    from reverb_tpu.parallel.mesh import (batch_shardings, make_mesh,
-                                          opt_state_shardings,
+    from reverb_tpu.parallel.mesh import (make_mesh, opt_state_shardings,
                                           param_shardings)
     from reverb_tpu.text.tokenizer import init_tokenizer
     from reverb_tpu.train.checkpoint import (load_checkpoint,
@@ -203,6 +202,7 @@ def main(argv=None):
                   use_named_snapshots=bool(
                       snap_conf.get('use_named_snapshots', True)),
                   run_tag=snap_conf.get('run_tag'),
+                  mesh=mesh,
                   step=start_step)
     if args.profile_dir:
         from reverb_tpu.utils.profiling import ProfileWindow

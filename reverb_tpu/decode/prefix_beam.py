@@ -151,7 +151,14 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int):
     keep_s = jnp.where(p_blank <= NEG_INF, NEG_INF, score + p_blank)
     keep_v_s = jnp.where(p_blank <= NEG_INF, NEG_INF, viterbi + p_blank)
     keep_ns = jnp.where(p_last <= NEG_INF, NEG_INF, state.ns + p_last)
-    keep_v_ns = jnp.where(p_last <= NEG_INF, NEG_INF, state.v_ns + p_last)
+    # De-facto reference semantics (search.py:177-183 assigns the typo'd
+    # `vs_ns` attr): a keep entry's viterbi ns-score is NEVER updated, so it
+    # stays the fresh defaultdict -inf every frame — v_ns survives only on
+    # prefixes extended THIS frame.  Token times therefore stamp the append
+    # frame and thread through the blank (s) bank, which is what the shipped
+    # reverb CTMs contain; we reproduce it exactly (CTM byte-parity,
+    # test_full_scale_parity.py) rather than the intended textbook update.
+    keep_v_ns = jnp.full((K,), NEG_INF)
 
     # ---- extend entries (K beams × K2 tokens) ----
     u = jnp.broadcast_to(topk_idx[None, :], (K, K2))             # (K,K2)
@@ -183,8 +190,8 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int):
     mrg_s = at_m(keep_s)
     mrg_ns = _log_add(ext_ns, at_m(keep_ns))
     mrg_v_s = at_m(keep_v_s)
-    mrg_v_ns = jnp.maximum(ext_v_ns, at_m(keep_v_ns))
-    vwin_is_keep = has_m & (at_m(keep_v_ns) > ext_v_ns)
+    mrg_v_ns = ext_v_ns            # keep_v_ns is -inf (typo semantics)
+    vwin_is_keep = jnp.zeros_like(has_m)
     ext_total = _log_add(mrg_s, mrg_ns)
     ext_total = jnp.where(dead & ~has_m, NEG_INF, ext_total)
 
@@ -240,7 +247,12 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int):
     ext_src_is_ns = jnp.where(rep_tok, _take1(s_bank_pre_is_ns, parent),
                               _take1(vit_pre_is_ns, parent))
     tns_parent = jnp.where(is_ext, m_sel, keep_i)
-    repeat_fired = _take1(keep_ns, tns_parent) > NEG_INF
+    # the repeat branch's time overwrite is gated on the parent's v_ns
+    # being live (search.py:177 `if next_score1.v_ns < prefix.v_ns + prob`
+    # with fresh v_ns=-inf) — under the typo invariant that only holds for
+    # prefixes extended on the previous frame
+    repeat_fired = ((_take1(keep_ns, tns_parent) > NEG_INF) &
+                    (_take1(state.v_ns, tns_parent) > NEG_INF))
     keep_wpos = jnp.where(repeat_fired,
                           jnp.maximum(_take1(state.plen, tns_parent) - 1, 0),
                           -1)

@@ -17,6 +17,7 @@ XLA folds the transposes; keeping torch layout costs nothing at runtime.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -101,19 +102,63 @@ def batch_norm_last(p, x, eps: float = 1e-5):
     return x * scale + shift
 
 
-def depthwise_conv1d_ntc(p, x, padding=0):
-    """Depthwise conv over time for (B, T, C) activations — no layout
-    transposes (TPU-friendly NWC). torch-layout weight (C, 1, k).
-    padding: int (symmetric) or (left, right) tuple."""
-    w = p['weight'].astype(x.dtype).transpose(2, 1, 0)       # (k, 1, C)
-    pad = padding if isinstance(padding, tuple) else (padding, padding)
+def _dw_conv_fwd_op(w, x, pad):
+    """(C,1,k) weight × (B,T,C) NWC activations → (B,T_out,C)."""
     y = jax.lax.conv_general_dilated(
-        x, w,
+        x, w.astype(x.dtype).transpose(2, 1, 0),
         window_strides=(1,),
         padding=[pad],
         dimension_numbers=('NHC', 'HIO', 'NHC'),
         feature_group_count=x.shape[-1],
         precision=jax.lax.Precision.HIGHEST)
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dw_conv(w, x, pad):
+    """Depthwise time conv with a partitioner-safe backward.
+
+    Forward: XLA's grouped conv (fastest on TPU).  Backward: k shifted
+    elementwise FMAs over static slices — the grouped conv's WEIGHT-GRADIENT
+    kernel miscompiles under GSPMD when the time axis is sharded inside a
+    larger program (observed ~100% relative grad error on the conformer
+    depthwise weights with a 'seq' mesh axis; the slice formulation
+    partitions exactly, and XLA fuses the k terms into one kernel)."""
+    return _dw_conv_fwd_op(w, x, pad)
+
+
+def _dw_conv_fwd(w, x, pad):
+    return _dw_conv_fwd_op(w, x, pad), (w, x)
+
+
+def _dw_conv_bwd(pad, res, g):
+    w, x = res                                    # (C,1,k), (B,T,C)
+    k = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), pad, (0, 0)))
+    t_out = g.shape[1]
+    # dw[c,k] = Σ_{b,t} x_pad[b,t+k,c]·g[b,t,c]
+    dw = jnp.stack([jnp.sum(xp[:, i:i + t_out, :] * g, axis=(0, 1))
+                    for i in range(k)], axis=-1)[:, None, :]  # (C,1,k)
+    # dx_pad[s] = Σ_i w[i]·g[s-i]  → slice a (k-1)-padded g per tap
+    gp = jnp.pad(g, ((0, 0), (k - 1, k - 1), (0, 0)))
+    t_pad = xp.shape[1]
+    dxp = gp[:, k - 1:k - 1 + t_pad, :] * w[:, 0, 0][None, None, :]
+    for i in range(1, k):
+        dxp = dxp + (gp[:, k - 1 - i:k - 1 - i + t_pad, :]
+                     * w[:, 0, i][None, None, :])
+    dx = dxp[:, pad[0]:dxp.shape[1] - pad[1], :]
+    return dw.astype(w.dtype), dx.astype(x.dtype)
+
+
+_dw_conv.defvjp(_dw_conv_fwd, _dw_conv_bwd)
+
+
+def depthwise_conv1d_ntc(p, x, padding=0):
+    """Depthwise conv over time for (B, T, C) activations — no layout
+    transposes (TPU-friendly NWC). torch-layout weight (C, 1, k).
+    padding: int (symmetric) or (left, right) tuple."""
+    pad = padding if isinstance(padding, tuple) else (padding, padding)
+    y = _dw_conv(p['weight'], x, pad)
     if 'bias' in p and p['bias'] is not None:
         y = y + p['bias'][None, None, :].astype(x.dtype)
     return y

@@ -169,10 +169,42 @@ def opt_state_shardings(opt_state, params, mesh: Mesh, zero: bool = True,
     return map_state(opt_state)
 
 
-def batch_shardings(batch, mesh: Mesh):
-    """Shard the leading batch dim of every batch leaf over 'data'."""
+def batch_shardings(batch, mesh: Mesh, local_divisor: Optional[int] = None):
+    """Shard the leading batch dim of every batch leaf over 'data'
+    (replicate leaves whose dim 0 doesn't divide, e.g. a batch-level
+    cat_embs vector). `local_divisor` overrides the divisibility check for
+    per-process local slices (data_size // process_count)."""
+    div = local_divisor or mesh.shape['data']
+
     def leaf(x):
-        if hasattr(x, 'ndim') and x.ndim >= 1:
+        if hasattr(x, 'ndim') and x.ndim >= 1 and x.shape[0] % div == 0:
             return NamedSharding(mesh, P('data', *([None] * (x.ndim - 1))))
         return NamedSharding(mesh, P())
     return jax.tree_util.tree_map(leaf, batch)
+
+
+def put_batch(batch, mesh: Optional[Mesh]):
+    """Place a host batch onto the mesh as globally-sharded arrays.
+
+    Single-process: device_put with the 'data'-sharded layout (the SPMD
+    equivalent of DDP's per-rank batches). Multi-process (after
+    jax.distributed.initialize): each process passes its PER-PROCESS slice
+    of the global batch and `jax.make_array_from_process_local_data`
+    assembles the global array — the glue the reference gets from
+    DDP/DistributedSampler (utils/train_utils.py:199-212, 301-349). All
+    processes must supply equal local shapes (pad to static shapes, as the
+    static/bucket batchers do).
+    """
+    if mesh is None:
+        return jax.tree_util.tree_map(jax.numpy.asarray, batch)
+    nproc = jax.process_count()
+    if nproc > 1:
+        shards = batch_shardings(batch, mesh,
+                                 local_divisor=max(
+                                     mesh.shape['data'] // nproc, 1))
+        return jax.tree_util.tree_map(
+            lambda v, s: jax.make_array_from_process_local_data(
+                s, np.asarray(v)), batch, shards)
+    shards = batch_shardings(batch, mesh)
+    return jax.tree_util.tree_map(
+        lambda v, s: jax.device_put(jax.numpy.asarray(v), s), batch, shards)

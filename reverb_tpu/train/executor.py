@@ -30,13 +30,13 @@ from reverb_tpu.train.checkpoint import (save_checkpoint,
                                          should_force_snapshot)
 
 
-def _device_batch(batch: Dict) -> Dict:
-    """Drop host-only fields; ship arrays to device."""
-    keep = {}
-    for k, v in batch.items():
-        if isinstance(v, np.ndarray):
-            keep[k] = jnp.asarray(v)
-    return keep
+def _device_batch(batch: Dict, mesh=None) -> Dict:
+    """Drop host-only fields; ship arrays to the mesh as globally-sharded
+    arrays (multi-process: each process contributes its local slice via
+    jax.make_array_from_process_local_data — parallel/mesh.py put_batch)."""
+    from reverb_tpu.parallel.mesh import put_batch
+    keep = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    return put_batch(keep, mesh)
 
 
 @dataclass
@@ -55,6 +55,7 @@ class Executor:
     # 'snapshot[_and_optimizer]' file (bounded disk)
     use_named_snapshots: bool = True
     run_tag: Optional[str] = None       # snapshot_saving_conf.run_tag
+    mesh: Optional[object] = None       # jax Mesh for global batch placement
     step: int = 0
     frames_seen: float = 0.0
     snapshots_taken: int = 0
@@ -69,7 +70,7 @@ class Executor:
                 break
             if self.profiler is not None:
                 self.profiler.maybe_start(self.step)
-            db = _device_batch(batch)
+            db = _device_batch(batch, self.mesh)
             rng, sub = jax.random.split(rng)
             params, opt_state, metrics = self.train_step(
                 params, opt_state, db, jnp.asarray(self.step), sub)
@@ -90,7 +91,7 @@ class Executor:
         tot: Dict[str, float] = {}
         n = 0
         for batch in dataset:
-            db = _device_batch(batch)
+            db = _device_batch(batch, self.mesh)
             m = self.eval_step(params, db)
             bs = batch['feats'].shape[0]
             for k, v in m.items():

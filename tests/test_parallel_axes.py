@@ -128,3 +128,64 @@ def test_constrain_is_noop_without_mesh():
     x = jnp.ones((4, 6))
     y = constrain(x, 'data', 'seq')
     np.testing.assert_allclose(np.asarray(y), np.asarray(x))
+
+
+def test_tp_zero_sharded_train_step_matches_single_device():
+    """TP via param_shardings (model=2) + ZeRO opt-state sharding: losses,
+    grad norms, and updated params must EQUAL the single-device run — a
+    wrong TP_RULES entry must fail here, not just produce finite numbers
+    (VERDICT r1 item 4)."""
+    from reverb_tpu.models.asr_model import ModelConfig, init_params
+    from reverb_tpu.models.presets import reverb_tiny
+    from reverb_tpu.parallel.mesh import (make_mesh, opt_state_shardings,
+                                          param_shardings, put_batch)
+    from reverb_tpu.train.trainer import (TrainConfig, build_optimizer,
+                                          make_train_step)
+
+    conf = reverb_tiny()
+    cfg = ModelConfig.from_config(conf)
+    tc = TrainConfig.from_config(conf)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = build_optimizer(tc)
+    opt_state = tx.init(params)
+    B, T, L = 8, 64, 5
+    rng = np.random.RandomState(3)
+    batch = {
+        'feats': rng.randn(B, T, 80).astype(np.float32),
+        'feats_lengths': np.full((B,), T, np.int32),
+        'target': rng.randint(1, cfg.vocab_size - 2, (B, L)).astype(np.int32),
+        'target_lengths': np.full((B,), L, np.int32),
+        'cat_embs': np.tile(np.array([[1.0, 0.0]], np.float32), (B, 1)),
+    }
+    ts = make_train_step(cfg, tx, accum_grad=tc.accum_grad,
+                         grad_clip=tc.grad_clip)
+
+    dev0 = jax.devices()[0]
+    p0, o0 = jax.device_put((params, opt_state), dev0)
+    want = []
+    for i in range(2):
+        p0, o0, m = jax.jit(ts)(p0, o0, jax.device_put(
+            jax.tree.map(jnp.asarray, batch), dev0),
+            jnp.asarray(i), jax.random.PRNGKey(i))
+        want.append((float(m['loss']), float(m['grad_norm'])))
+
+    mesh = make_mesh(model=2)            # data=4, model=2
+    p_sh = param_shardings(params, mesh)
+    o_sh = opt_state_shardings(opt_state, params, mesh, zero=True)
+    # sanity: TP rules actually sharded something
+    specs = jax.tree.leaves(jax.tree.map(lambda s: s.spec, p_sh))
+    assert any('model' in str(s) for s in specs)
+    p1 = jax.device_put(params, p_sh)
+    o1 = jax.device_put(opt_state, o_sh)
+    got = []
+    with jax.set_mesh(mesh):
+        step = jax.jit(ts, in_shardings=(p_sh, o_sh, None, None, None),
+                       out_shardings=(p_sh, o_sh, None))
+        for i in range(2):
+            p1, o1, m = step(p1, o1, put_batch(batch, mesh),
+                             jnp.asarray(i), jax.random.PRNGKey(i))
+            got.append((float(m['loss']), float(m['grad_norm'])))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+    dmax = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+               for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p0)))
+    assert dmax <= 1e-4, dmax

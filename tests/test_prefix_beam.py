@@ -37,7 +37,12 @@ class _E:
 
 
 def prefix_beam_dict(logp, beam, blank=0, num_t=None):
-    """Host oracle: dict-based prefix beam search, intended viterbi semantics."""
+    """Host oracle: dict-based prefix beam search, DE-FACTO reference
+    semantics — including the search.py:178 `vs_ns` typo, under which a
+    keep entry's viterbi ns-score is never updated (stays fresh -inf), so
+    token times stamp the append frame and thread through the blank bank.
+    The shipped reverb CTMs come from this behavior, so it is what both the
+    device scan and this oracle reproduce."""
     T, V = logp.shape
     num_t = T if num_t is None else num_t
     root = _E()
@@ -63,8 +68,9 @@ def prefix_beam_dict(logp, beam, blank=0, num_t=None):
                 elif u == last:
                     e = nxt[prefix]
                     e.ns = _logadd(e.ns, sc.ns + p)
-                    if sc.ns > NEG and sc.v_ns + p > e.v_ns:
-                        e.v_ns = sc.v_ns + p
+                    # typo: e.v_ns NOT updated; the time overwrite fires
+                    # only when the parent's v_ns is live (fresh extends)
+                    if sc.v_ns > NEG:
                         e.tns = sc.tns[:-1] + [t]
                     e2 = nxt[prefix + (u,)]
                     e2.ns = _logadd(e2.ns, sc.s + p)

@@ -28,11 +28,10 @@ _TINY_ENC = dict(input_size=80, output_size=32, attention_heads=2,
                  use_cnn_module=True, cnn_module_kernel=15)
 
 
-@pytest.fixture(scope='module')
-def wenet():
+def import_wenet():
     """Import the reference `wenet` package with compat shims, bypassing its
     CLI-heavy __init__ (torchaudio/whisper stubs; torch>=2.6 conv symbol
-    re-exports)."""
+    re-exports). Plain function so other test modules can reuse it."""
     import importlib.machinery
     import importlib.util
     import types
@@ -63,6 +62,11 @@ def wenet():
         m.__path__ = [os.path.join(REF, 'wenet')]
         sys.modules['wenet'] = m
     return sys.modules['wenet']
+
+
+@pytest.fixture(scope='module')
+def wenet():
+    return import_wenet()
 
 
 def _to_ours(module):
