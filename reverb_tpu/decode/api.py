@@ -118,16 +118,17 @@ def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
             results['ctc_greedy_search'] = ctc_greedy_from_top1(
                 tk_idx[:, :, 0], encoder_lens, cfg.blank_id)
     if need_prefix:
+        # context biasing is IN-BEAM, as in the reference (search.py:169-218)
         if ctc_probs is not None:
             prefix_results = ctc_prefix_beam_search(
                 ctc_probs, encoder_lens, beam_size, cfg.blank_id,
-                blank_skip_threshold=blank_skip_threshold)
+                blank_skip_threshold=blank_skip_threshold,
+                context_graph=context_graph)
         else:
             prefix_results = ctc_prefix_beam_search_topk(
                 tk_logp, tk_idx, blank_lp, encoder_lens, beam_size,
-                cfg.blank_id, blank_skip_threshold=blank_skip_threshold)
-        if context_graph is not None:
-            prefix_results = context_graph.rescore_nbest(prefix_results)
+                cfg.blank_id, blank_skip_threshold=blank_skip_threshold,
+                context_graph=context_graph, vocab_size=cfg.vocab_size)
         if 'ctc_prefix_beam_search' in methods:
             results['ctc_prefix_beam_search'] = prefix_results
     if 'attention_rescoring' in methods:

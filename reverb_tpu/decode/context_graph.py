@@ -5,14 +5,11 @@ Parity: asr/wenet/utils/context_graph.py — context phrases are tokenized
 per-hypothesis graph state earning `context_score` per matched token, with
 fail-arc fallback and a `finalize` backoff for partial matches (:103-142).
 
-Integration note (documented divergence): the reference adds the bonus
-inside the python CTC prefix-beam loop (search.py:169-218).  The device-side
-scan search here applies biasing as an exact nbest re-ranking pass instead
-(`rescore_nbest`): each nbest hypothesis is walked through the graph and its
-total score adjusted — identical scores for hypotheses that survive the
-beam; phrases pruned *inside* the beam are not resurrected (same tradeoff as
-shallow-fusion-after-beam).  In-loop device biasing is a planned follow-up
-(per-step bonus table lookup in the scan).
+Integration: IN-BEAM, like the reference (search.py:169-218) — the device
+prefix-beam scan carries a per-beam trie-state and cumulative bonus, using
+dense (S, V) goto/score tables from `device_tables()`; biased phrases earn
+their +context_score per token inside the beam so they survive pruning.
+`rescore_nbest` remains as a cheap fallback for very large S·V.
 """
 
 from __future__ import annotations
@@ -79,7 +76,12 @@ class ContextGraph:
         return out
 
     def build(self, token_ids: List[List[int]]):
-        """Trie + BFS fail/output arcs (context_graph.py:59-142)."""
+        """Trie + BFS fail/output arcs — exact behavioral mirror of the
+        reference build (context_graph.py:144-207), including its quirks:
+        a node's `is_end`/`output_score` are fixed at CREATION time (a
+        later-inserted shorter phrase ending on an existing interior node
+        earns no completion bonus), and each node's `output_score`
+        accumulates its output chain's score."""
         for ids in token_ids:
             node = self.root
             for i, tok in enumerate(ids):
@@ -91,9 +93,7 @@ class ContextGraph:
                         self.num_nodes, tok, self.context_score, node_score,
                         node_score if is_end else 0.0, is_end)
                 node = node.next[tok]
-            node.is_end = True
-            node.output_score = node.node_score
-        # fail arcs
+        # fail + output arcs (BFS)
         queue = deque()
         for tok, node in self.root.next.items():
             node.fail = self.root
@@ -102,36 +102,90 @@ class ContextGraph:
             cur = queue.popleft()
             for tok, node in cur.next.items():
                 fail = cur.fail
-                while tok not in fail.next and fail is not self.root:
+                if tok in fail.next:
+                    fail = fail.next[tok]
+                else:
                     fail = fail.fail
-                node.fail = fail.next.get(tok, self.root)
-                if node.fail is node:
-                    node.fail = self.root
-                node.output = (node.fail if node.fail.is_end
-                               else node.fail.output)
+                    while tok not in fail.next:
+                        fail = fail.fail
+                        if fail.token == -1:
+                            break
+                    if tok in fail.next:
+                        fail = fail.next[tok]
+                node.fail = fail
+                output = node.fail
+                while not output.is_end:
+                    output = output.fail
+                    if output.token == -1:
+                        output = None
+                        break
+                node.output = output
+                node.output_score += 0 if output is None \
+                    else output.output_score
                 queue.append(node)
 
     def forward_one_step(self, state: ContextState, token: int
                          ) -> Tuple[float, ContextState]:
-        """Returns (score delta, next state)."""
+        """Returns (score delta, next state) — context_graph.py:209-246."""
         if token in state.next:
-            nxt = state.next[token]
-            score = nxt.token_score
+            node = state.next[token]
+            score = node.token_score
         else:
             node = state.fail
-            while token not in node.next and node is not self.root:
+            while token not in node.next:
                 node = node.fail
+                if node.token == -1:
+                    break
             if token in node.next:
-                nxt = node.next[token]
-            else:
-                nxt = self.root
-            score = nxt.node_score - state.node_score
-        out_score = nxt.output.output_score if nxt.output else 0.0
-        return score + out_score, nxt
+                node = node.next[token]
+            score = node.node_score - state.node_score
+        return score + node.output_score, node
 
     def finalize(self, state: ContextState) -> Tuple[float, ContextState]:
-        """Backoff partial matches at utterance end (context_graph.py:131+)."""
-        return -state.node_score if not state.is_end else 0.0, self.root
+        """Implicit fail arc to root at sequence end: −node_score, always
+        (context_graph.py:248-264)."""
+        return -state.node_score, self.root
+
+    # ----------------------- device tables -----------------------
+
+    def device_tables(self, vocab_size: int):
+        """Dense (S, V) goto/score tables for the in-beam device search.
+
+        next_tab[s, u]  = Aho-Corasick goto(s, u) (child or fail-resolved)
+        score_tab[s, u] = forward_one_step(s, u) score
+                        = node_score[goto] − node_score[s]
+                          + output_score[goto]   (identical on both branches:
+                          a matched child's node_score − parent's == its
+                          token_score)
+        node_score[s]   : finalize backoff is −node_score[s].
+        """
+        import numpy as np
+        S = self.num_nodes + 1
+        nodes = [None] * S
+        stack = [self.root]
+        while stack:
+            n = stack.pop()
+            nodes[n.id] = n
+            stack.extend(n.next.values())
+        node_score = np.array([n.node_score for n in nodes], np.float32)
+        out_score = np.array([n.output_score for n in nodes], np.float32)
+        next_tab = np.zeros((S, vocab_size), np.int32)
+        # BFS order guarantees fail(s) rows are filled before s
+        order = deque([self.root])
+        seen = []
+        while order:
+            n = order.popleft()
+            seen.append(n)
+            order.extend(n.next.values())
+        for n in seen:
+            if n is not self.root:
+                next_tab[n.id] = next_tab[n.fail.id]
+            for tok, child in n.next.items():
+                if tok < vocab_size:
+                    next_tab[n.id, tok] = child.id
+        score_tab = (node_score[next_tab] - node_score[:, None]
+                     + out_score[next_tab]).astype(np.float32)
+        return next_tab, score_tab, node_score
 
     # ----------------------- nbest integration -----------------------
 

@@ -51,6 +51,8 @@ class BeamState(NamedTuple):
     ns: jax.Array         # (K,) f32 non-blank-ending logprob
     v_s: jax.Array        # (K,) f32 viterbi blank-ending score
     v_ns: jax.Array       # (K,) f32 viterbi non-blank-ending score
+    ctx: jax.Array        # (K,) int32 context-trie state (0 = root)
+    cum: jax.Array        # (K,) f32 cumulative context bonus
 
 
 class StepEmit(NamedTuple):
@@ -103,6 +105,8 @@ def _init_state(K: int) -> BeamState:
         ns=jnp.full((K,), NEG_INF),
         v_s=jnp.where(active, 0.0, NEG_INF),
         v_ns=jnp.full((K,), NEG_INF),
+        ctx=jnp.zeros((K,), jnp.int32),
+        cum=jnp.zeros((K,), jnp.float32),
     )
 
 
@@ -111,9 +115,16 @@ def _child_hash(h1, h2, u):
     return (h1 * _MULT1 + uu, h2 * _MULT2 + uu)
 
 
-def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int):
+def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int,
+          ctx_tables=None):
     """One frame update. inputs = (topk_logp (K2,), topk_idx (K2,), t, valid,
-    blank_acc, has_skip).  Returns (new_state, StepEmit)."""
+    blank_acc, has_skip).  Returns (new_state, StepEmit).
+
+    ctx_tables: optional (next_tab (S,V) i32, score_tab (S,V) f32) — in-beam
+    context biasing (search.py:169-218): extends advance the per-beam trie
+    state and add the bonus to the PRUNING totals; keeps carry state/bonus
+    unchanged (the trie state is a pure function of the prefix, so a merged
+    keep+extend entry gets the same state from either path)."""
     topk_logp, topk_idx, t, valid, blank_acc, has_skip = inputs
     beam_ix = jnp.arange(K, dtype=jnp.int32)
     orig_state = state      # frozen steps must be TRUE no-ops (no fold)
@@ -198,8 +209,22 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int):
     keep_total = jnp.where(matched_to_ext | ~live_keep, NEG_INF,
                            _log_add(keep_s, keep_ns))
 
+    # ---- context biasing: bonus enters the PRUNING totals ----
+    if ctx_tables is not None:
+        nt, sct = ctx_tables
+        ctx_ext = jnp.take_along_axis(nt[state.ctx], u, axis=1)      # (K,K2)
+        bonus_ext = jnp.take_along_axis(sct[state.ctx], u, axis=1)
+        ext_prune = jnp.where(ext_total <= NEG_INF, NEG_INF,
+                              ext_total + state.cum[:, None] + bonus_ext)
+        keep_prune = jnp.where(keep_total <= NEG_INF, NEG_INF,
+                               keep_total + state.cum)
+    else:
+        ctx_ext = jnp.zeros((K, K2), jnp.int32)
+        bonus_ext = jnp.zeros((K, K2), jnp.float32)
+        ext_prune, keep_prune = ext_total, keep_total
+
     # ---- second beam prune over K·K2 extend + K keep candidates ----
-    totals = jnp.concatenate([ext_total.reshape(-1), keep_total])
+    totals = jnp.concatenate([ext_prune.reshape(-1), keep_prune])
     top_total, top_idx = jax.lax.top_k(totals, K)
     del top_total
     is_ext = top_idx < K * K2
@@ -226,6 +251,9 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int):
                            jnp.maximum(tok, 0))
     new_h1 = jnp.where(is_ext, ch1, _take1(state.h1, parent))
     new_h2 = jnp.where(is_ext, ch2, _take1(state.h2, parent))
+    new_ctx = jnp.where(is_ext, flat(ctx_ext), _take1(state.ctx, parent))
+    new_cum = (_take1(state.cum, parent)
+               + jnp.where(is_ext, flat(bonus_ext), 0.0))
 
     # ---- backpointer emits (replaces carrying (K,L) buffers) ----
     m_sel = flat(m_idx)
@@ -264,7 +292,7 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int):
 
     new_state = BeamState(plen=new_plen, last=new_last, h1=new_h1,
                           h2=new_h2, s=new_s, ns=new_ns, v_s=new_v_s,
-                          v_ns=new_v_ns)
+                          v_ns=new_v_ns, ctx=new_ctx, cum=new_cum)
     # freeze state past the utterance's true length; identity emits
     merged = jax.tree.map(lambda new, old: jnp.where(valid, new, old),
                           new_state, orig_state)
@@ -320,10 +348,11 @@ def _backtrace(emits: StepEmit, order, final_sel_ns, K: int, L: int):
 
 def _search_one(ctc_topk_logp, ctc_topk_idx, num_t, K: int, blank_id: int,
                 L: int, ts=None, blank_acc=None, has_skip=None,
-                tail_acc=None):
+                tail_acc=None, ctx_tables=None):
     """Search one utterance. ctc_topk_*: (T, K2); optional frame-compression
     inputs from `_compress_blanks` (`ts` carries ORIGINAL frame indices for
-    timestamps; validity counts steps)."""
+    timestamps; validity counts steps). ctx_tables: optional (next_tab,
+    score_tab, node_score) context-biasing tables."""
     T, K2 = ctc_topk_logp.shape
     state = _init_state(K)
     valid = jnp.arange(T, dtype=jnp.int32) < num_t
@@ -332,7 +361,9 @@ def _search_one(ctc_topk_logp, ctc_topk_idx, num_t, K: int, blank_id: int,
     if blank_acc is None:
         blank_acc = jnp.zeros((T,), jnp.float32)
         has_skip = jnp.zeros((T,), bool)
-    step = functools.partial(_step, K=K, K2=K2, blank_id=blank_id)
+    step = functools.partial(
+        _step, K=K, K2=K2, blank_id=blank_id,
+        ctx_tables=None if ctx_tables is None else ctx_tables[:2])
     state, emits = jax.lax.scan(step, state,
                                 (ctc_topk_logp, ctc_topk_idx, ts, valid,
                                  blank_acc, has_skip))
@@ -340,7 +371,15 @@ def _search_one(ctc_topk_logp, ctc_topk_idx, num_t, K: int, blank_id: int,
     if tail_acc is not None:
         # trailing skipped blank mass (after the last kept frame)
         total = total + tail_acc
-    order = jnp.argsort(-total).astype(jnp.int32)
+    if ctx_tables is not None:
+        # reference quirk (search.py:227-233): the final order is by
+        # acoustic + ACCUMULATED context bonus (the last step's sort), but
+        # the REPORTED score replaces the accumulated bonus with the
+        # finalize backoff (−node_score of the final trie state)
+        order = jnp.argsort(-(total + state.cum)).astype(jnp.int32)
+        total = total - ctx_tables[2][state.ctx]
+    else:
+        order = jnp.argsort(-total).astype(jnp.int32)
     final_sel_ns = ~(state.v_s > state.v_ns)[order]
     prefixes, times = _backtrace(emits, order, final_sel_ns, K, L)
     return prefixes, state.plen[order], total[order], times
@@ -383,7 +422,7 @@ def ctc_prefix_beam_search_device_topk(topk_logp, topk_idx, blank_logp,
                                        ctc_lens, beam_size: int,
                                        blank_id: int = 0, max_tokens: int = 0,
                                        blank_skip_threshold: float = 0.0,
-                                       keep_cap: int = 0):
+                                       keep_cap: int = 0, ctx_tables=None):
     """Batched device-side search from precomputed per-frame top-k.
 
     topk_logp (B,T,K2) f32 / topk_idx (B,T,K2) i32: each frame's top-k CTC
@@ -404,10 +443,12 @@ def ctc_prefix_beam_search_device_topk(topk_logp, topk_idx, blank_logp,
         g_logp = jnp.take_along_axis(topk_logp, ts[..., None], axis=1)
         g_idx = jnp.take_along_axis(topk_idx, ts[..., None], axis=1)
         fn = jax.vmap(lambda lp, ix, n, tss, acc, hs, tail: _search_one(
-            lp, ix, n, beam_size, blank_id, L, tss, acc, hs, tail))
+            lp, ix, n, beam_size, blank_id, L, tss, acc, hs, tail,
+            ctx_tables=ctx_tables))
         return fn(g_logp, g_idx, n_keep, ts, blank_acc, has_skip, tail_acc)
     fn = jax.vmap(lambda lp, ix, n: _search_one(lp, ix, n, beam_size,
-                                                blank_id, L))
+                                                blank_id, L,
+                                                ctx_tables=ctx_tables))
     return fn(topk_logp, topk_idx, ctc_lens)
 
 
@@ -415,7 +456,7 @@ def ctc_prefix_beam_search_device_topk(topk_logp, topk_idx, blank_logp,
 def ctc_prefix_beam_search_device(ctc_probs, ctc_lens, beam_size: int,
                                   blank_id: int = 0, max_tokens: int = 0,
                                   blank_skip_threshold: float = 0.0,
-                                  keep_cap: int = 0):
+                                  keep_cap: int = 0, ctx_tables=None):
     """Batched device-side search.
 
     ctc_probs: (B, T, V) log-probs; ctc_lens: (B,).
@@ -431,30 +472,49 @@ def ctc_prefix_beam_search_device(ctc_probs, ctc_lens, beam_size: int,
     topk_logp, topk_idx = topk_lastdim(ctc_probs, beam_size)   # (B,T,K2)
     return ctc_prefix_beam_search_device_topk(
         topk_logp, topk_idx, ctc_probs[:, :, blank_id], ctc_lens, beam_size,
-        blank_id, max_tokens, blank_skip_threshold, keep_cap)
+        blank_id, max_tokens, blank_skip_threshold, keep_cap, ctx_tables)
+
+
+def _graph_tables(context_graph, vocab_size: int):
+    """(next, score, node_score) jnp tables for a ContextGraph, cached."""
+    if context_graph is None:
+        return None
+    key = '_device_tables_' + str(vocab_size)
+    cached = getattr(context_graph, key, None)
+    if cached is None:
+        nt, sct, nsc = context_graph.device_tables(vocab_size)
+        cached = (jnp.asarray(nt), jnp.asarray(sct), jnp.asarray(nsc))
+        setattr(context_graph, key, cached)
+    return cached
 
 
 def ctc_prefix_beam_search(ctc_probs, ctc_lens, beam_size: int,
                            blank_id: int = 0,
-                           blank_skip_threshold: float = 0.0
-                           ) -> List[DecodeResult]:
+                           blank_skip_threshold: float = 0.0,
+                           context_graph=None) -> List[DecodeResult]:
     """Host wrapper producing DecodeResults with nbest (search.py:235-247)."""
     keep_cap = (ctc_probs.shape[1] // 2) if blank_skip_threshold > 0 else 0
     out = ctc_prefix_beam_search_device(
         ctc_probs, ctc_lens, beam_size, blank_id, 0,
-        blank_skip_threshold, keep_cap)
+        blank_skip_threshold, keep_cap,
+        _graph_tables(context_graph, ctc_probs.shape[-1]))
     return _pack_results(*out)
 
 
 def ctc_prefix_beam_search_topk(topk_logp, topk_idx, blank_logp, ctc_lens,
                                 beam_size: int, blank_id: int = 0,
-                                blank_skip_threshold: float = 0.0
+                                blank_skip_threshold: float = 0.0,
+                                context_graph=None, vocab_size: int = 0
                                 ) -> List[DecodeResult]:
     """Host wrapper over the deferred-normalization top-k device search."""
     keep_cap = (topk_logp.shape[1] // 2) if blank_skip_threshold > 0 else 0
+    ctx_tables = None
+    if context_graph is not None:
+        assert vocab_size > 0, 'vocab_size required for context biasing'
+        ctx_tables = _graph_tables(context_graph, vocab_size)
     out = ctc_prefix_beam_search_device_topk(
         topk_logp, topk_idx, blank_logp, ctc_lens, beam_size, blank_id, 0,
-        blank_skip_threshold, keep_cap)
+        blank_skip_threshold, keep_cap, ctx_tables)
     return _pack_results(*out)
 
 
