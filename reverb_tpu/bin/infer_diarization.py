@@ -21,6 +21,11 @@ def main(argv=None):
                         '(random init if absent — for smoke runs)')
     p.add_argument('--pipeline-model', type=str, default='reverb-diar-v1',
                    help='accepted for CLI parity')
+    p.add_argument('--segmentation-ckpt', type=str, default=None,
+                   help='pyannote-format PyanNet checkpoint (.ckpt/.bin), '
+                        'e.g. a released Revai/reverb-diarization model')
+    p.add_argument('--embedding-ckpt', type=str, default=None,
+                   help='wespeaker ResNet34 embedding checkpoint (.pt)')
     args = p.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -33,14 +38,18 @@ def main(argv=None):
     from reverb_tpu.diar.pipeline import Diarizer, write_rttm
     from reverb_tpu.frontend.audio import load_audio, resample, to_mono
 
-    if args.model_dir and (args.model_dir / 'segmentation.npz').exists():
-        seg_params, _ = load_npz(args.model_dir / 'segmentation.npz')
-        emb_params, _ = load_npz(args.model_dir / 'embedding.npz')
+    if args.segmentation_ckpt:
+        # released pyannote/wespeaker-format checkpoints (diar/pyannet.py)
+        diar = Diarizer.from_pyannote_checkpoints(args.segmentation_ckpt,
+                                                  args.embedding_ckpt)
     else:
-        seg_params = init_segmentation(jax.random.PRNGKey(0))
-        emb_params = init_embedding_model(jax.random.PRNGKey(1))
-
-    diar = Diarizer(seg_params, emb_params)
+        if args.model_dir and (args.model_dir / 'segmentation.npz').exists():
+            seg_params, _ = load_npz(args.model_dir / 'segmentation.npz')
+            emb_params, _ = load_npz(args.model_dir / 'embedding.npz')
+        else:
+            seg_params = init_segmentation(jax.random.PRNGKey(0))
+            emb_params = init_embedding_model(jax.random.PRNGKey(1))
+        diar = Diarizer(seg_params, emb_params)
     for audio in args.audios:
         print('Processing', audio)
         x, sr = load_audio(audio)

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from reverb_tpu.diar.models import (EmbeddingConfig, SegmentationConfig,
-                                    embedding_forward, powerset_to_multilabel,
+                                    embedding_forward, init_embedding_model,
+                                    powerset_to_multilabel,
                                     segmentation_forward,
                                     segmentation_frame_rate)
 from reverb_tpu.frontend.fbank import FbankConfig, fbank_numpy
@@ -124,16 +125,66 @@ class Diarizer:
     def __init__(self, seg_params, emb_params,
                  seg_cfg: SegmentationConfig = SegmentationConfig(),
                  emb_cfg: EmbeddingConfig = EmbeddingConfig(),
-                 cfg: DiarizationConfig = DiarizationConfig()):
+                 cfg: DiarizationConfig = DiarizationConfig(),
+                 seg_forward=None, emb_forward=None, frame_sec=None,
+                 emb_feat_dim=None):
+        """seg_forward(p, wave (B,Tw)) → (B,T',C) powerset LOG-probs and
+        emb_forward(p, feats (B,T,F), lens) → (B,E) override the native
+        models (e.g. the pyannote/wespeaker-compatible family in
+        diar/pyannet.py — see `from_pyannote_checkpoints`); frame_sec is the
+        seconds-per-output-frame of the override segmentation net."""
         self.seg_params = seg_params
         self.emb_params = emb_params
         self.seg_cfg = seg_cfg
         self.emb_cfg = emb_cfg
         self.cfg = cfg
-        self._seg_fn = jax.jit(
-            lambda p, w: jnp.exp(segmentation_forward(p, w, seg_cfg)))
-        self._emb_fn = jax.jit(
+        self._frame_sec = frame_sec
+        self._emb_feat_dim = emb_feat_dim or emb_cfg.feat_dim
+        seg_fn = seg_forward or (
+            lambda p, w: segmentation_forward(p, w, seg_cfg))
+        emb_fn = emb_forward or (
             lambda p, f, l: embedding_forward(p, f, l, emb_cfg))
+        self._seg_fn = jax.jit(lambda p, w: jnp.exp(seg_fn(p, w)))
+        self._emb_fn = jax.jit(emb_fn)
+
+    @classmethod
+    def from_pyannote_checkpoints(cls, segmentation_ckpt: str,
+                                  embedding_ckpt: str = None,
+                                  cfg: DiarizationConfig = None):
+        """Build a Diarizer from released pyannote-format checkpoints: a
+        PyanNet segmentation .ckpt/.bin (e.g. Revai/reverb-diarization-v1/2)
+        and optionally a wespeaker ResNet34 embedding .pt — the stack behind
+        diarization/infer_pyannote3.0.py:33-42."""
+        import torch
+        from reverb_tpu.diar.pyannet import (PyanNetConfig,
+                                             convert_wespeaker_resnet34,
+                                             load_pyannet_checkpoint,
+                                             pyannet_forward,
+                                             resnet34_forward)
+        seg_params = load_pyannet_checkpoint(segmentation_ckpt)
+        pcfg = PyanNetConfig()
+        if embedding_ckpt:
+            state = torch.load(embedding_ckpt, map_location='cpu',
+                               weights_only=False)
+            state = state.get('state_dict', state) if isinstance(state, dict)\
+                else state
+            emb_params = convert_wespeaker_resnet34(
+                {k: (v.numpy() if hasattr(v, 'numpy') else v)
+                 for k, v in state.items()})
+            emb_fwd = lambda p, f, l: resnet34_forward(p, f, l)  # noqa: E731
+            emb_feat_dim = 80
+        else:   # fall back to the native embedding net
+            emb_params = None
+            emb_fwd = None
+            emb_feat_dim = None
+        if emb_params is None:
+            emb_params = init_embedding_model(jax.random.PRNGKey(0))
+        return cls(seg_params, emb_params,
+                   cfg=cfg or DiarizationConfig(),
+                   seg_forward=lambda p, w: pyannet_forward(p, w, pcfg),
+                   emb_forward=emb_fwd,
+                   frame_sec=pcfg.frame_stride / pcfg.sample_rate,
+                   emb_feat_dim=emb_feat_dim)
 
     def __call__(self, wave: np.ndarray, sr: int = 16000) -> List[Segment]:
         cfg = self.cfg
@@ -147,7 +198,8 @@ class Diarizer:
         activity = np.asarray(powerset_to_multilabel(
             jnp.asarray(probs), self.seg_cfg.max_speakers,
             self.seg_cfg.max_simultaneous))            # (W, T', S)
-        frame_sec = segmentation_frame_rate(self.seg_cfg)
+        frame_sec = self._frame_sec or \
+            segmentation_frame_rate(self.seg_cfg)
 
         # local segments + their embeddings
         local: List[Tuple[float, float, int, int]] = []  # start,end,win,slot
@@ -160,17 +212,17 @@ class Diarizer:
             return []
 
         fb_cfg = FbankConfig(sample_rate=sr,
-                             num_mel_bins=self.emb_cfg.feat_dim)
+                             num_mel_bins=self._emb_feat_dim)
         feats_list = []
         max_T = 0
         for (a, b, _, _) in local:
             seg_wave = wave[int(a * sr):int(b * sr)] * (1 << 15)
             f = fbank_numpy(seg_wave.astype(np.float32), fb_cfg)
             if f.shape[0] == 0:
-                f = np.zeros((2, self.emb_cfg.feat_dim), np.float32)
+                f = np.zeros((2, self._emb_feat_dim), np.float32)
             feats_list.append(f)
             max_T = max(max_T, f.shape[0])
-        feats = np.zeros((len(feats_list), max_T, self.emb_cfg.feat_dim),
+        feats = np.zeros((len(feats_list), max_T, self._emb_feat_dim),
                          np.float32)
         lens = np.zeros((len(feats_list),), np.int32)
         for i, f in enumerate(feats_list):

@@ -20,9 +20,14 @@ from reverb_tpu.diar.models import (SegmentationConfig, powerset_to_multilabel,
 
 
 def segmentation_loss(params, wave, labels, cfg: SegmentationConfig,
-                      vad_weight: float = 0.5):
-    """wave (B,T) + labels (B,T',C) one-hot powerset classes → CE + VAD BCE."""
-    logp = segmentation_forward(params, wave, cfg)      # (B,T',C)
+                      vad_weight: float = 0.5, forward=None):
+    """wave (B,T) + labels (B,T',C) one-hot powerset classes → CE + VAD BCE.
+
+    forward(params, wave) overrides the native net — e.g.
+    diar.pyannet.pyannet_forward to fine-tune a converted
+    pyannote/segmentation-3.0 checkpoint (train_pyannote3.0.py's job)."""
+    fwd = forward or (lambda p, w: segmentation_forward(p, w, cfg))
+    logp = fwd(params, wave)                            # (B,T',C)
     T = min(logp.shape[1], labels.shape[1])
     logp = logp[:, :T]
     labels = labels[:, :T]
@@ -39,21 +44,24 @@ def train_segmentation(params, train_batches: Callable[[], Iterable],
                        cv_batches: Optional[Callable[[], Iterable]] = None,
                        cfg: SegmentationConfig = SegmentationConfig(),
                        lr: float = 1e-4, max_epochs: int = 20,
-                       patience: int = 10, grad_clip: float = 0.5):
+                       patience: int = 10, grad_clip: float = 0.5,
+                       forward=None):
     tx = optax.chain(optax.clip_by_global_norm(grad_clip), optax.adam(lr))
     opt_state = tx.init(params)
 
     @jax.jit
     def step(params, opt_state, wave, labels):
         (loss, aux), grads = jax.value_and_grad(
-            lambda p: segmentation_loss(p, wave, labels, cfg),
+            lambda p: segmentation_loss(p, wave, labels, cfg,
+                                        forward=forward),
             has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss, aux
 
     @jax.jit
     def eval_loss(params, wave, labels):
-        loss, _ = segmentation_loss(params, wave, labels, cfg)
+        loss, _ = segmentation_loss(params, wave, labels, cfg,
+                                    forward=forward)
         return loss
 
     best_loss = float('inf')
