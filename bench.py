@@ -1,10 +1,18 @@
 """Long-form ASR throughput benchmark on the flagship (reverb_asr_v1-class)
-model: fbank → conformer encoder (bf16) → CTC log-probs → device-side CTC
-prefix beam search.
+model, pricing the mode set behind the reference's headline WER numbers
+(asr/README.md:70-78): fbank → conformer encoder (bf16) → CTC top-k →
+device CTC prefix beam search with production blank-run folding →
+whole-batch attention rescoring — i.e.
+`--modes ctc_prefix_beam_search attention_rescoring`.
+
+The CTC head is shaped like a trained model (sharper logits + blank bias
+auto-tuned to ~75% blank-top frames): random-weight logits are flat, which
+both disables the blank-skip path real speech hits and under-prices the
+beam's extend work.  Host-side nbest packing between the beam and the
+rescorer is included — it is part of the served path.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: BASELINE.json north-star ≥20× real-time per v5e chip on long-form
-audio (the reference publishes accuracy only — BASELINE.md).
+Baseline: BASELINE.json north-star ≥20× real-time per v5e chip.
 """
 
 import json
@@ -17,9 +25,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from reverb_tpu.decode.api import encode_and_ctc_topk
-    from reverb_tpu.decode.prefix_beam import (
-        ctc_prefix_beam_search_device_topk)
+    from reverb_tpu.decode.api import decode
     from reverb_tpu.frontend.fbank import FbankConfig, compute_fbank_batch
     from reverb_tpu.models.asr_model import ModelConfig, init_params
     from reverb_tpu.models.presets import reverb_large
@@ -42,6 +48,7 @@ def main():
     CHUNK = 2051                      # 20.51 s of 10 ms frames
     B = 32 if on_tpu else 2           # server-batch: 32 chunks in flight
     BEAM = 10
+    BLANK_SKIP = 0.95                 # production blank-run folding
     sr = 16000
     chunk_sec = CHUNK * 0.01
     samples = int(chunk_sec * sr) + 400
@@ -49,35 +56,58 @@ def main():
     rng = np.random.RandomState(0)
     wave = jnp.asarray(rng.randn(B, samples).astype(np.float32) * 1000)
     feats_lens = jnp.full((B,), CHUNK, jnp.int32)
-    cat = jnp.array([1.0, 0.0], jnp.float32)
+    cat = np.array([1.0, 0.0], np.float32)
 
     @jax.jit
-    def pipeline(params, wave):
-        feats = compute_fbank_batch(wave, FbankConfig())[:, :CHUNK]
-        # deferred-normalization CTC: top-k + blank straight off the bf16
-        # logits; the (B,T,V) f32 log-prob table is never materialized
-        enc, enc_lens, tk_logp, tk_idx, blank_lp = encode_and_ctc_topk(
-            params, cfg, feats, feats_lens, cat, BEAM)
-        prefixes, plens, scores, times = ctc_prefix_beam_search_device_topk(
-            tk_logp, tk_idx, blank_lp, enc_lens, BEAM)
-        return prefixes, plens, scores
+    def frontend(wave):
+        return compute_fbank_batch(wave, FbankConfig())[:, :CHUNK]
 
-    # warmup/compile
-    out = pipeline(params, wave)
-    jax.block_until_ready(out)
+    feats = frontend(wave)
+
+    # ---- shape the CTC head like a trained model (peaky, blank-heavy) ----
+    # solve the blank bias in closed form from one probe batch: bias at the
+    # 75th percentile of (max non-blank logit − blank logit) per frame puts
+    # blank on top for ~75% of frames, the regime trained models live in
+    from reverb_tpu.decode.api import encode_and_ctc
+    params['ctc']['ctc_lo'] = dict(params['ctc']['ctc_lo'])
+    params['ctc']['ctc_lo']['weight'] = params['ctc']['ctc_lo']['weight'] * 4
+    logits = np.asarray(encode_and_ctc(
+        params, cfg, feats[:4], feats_lens[:4], jnp.asarray(cat))[2],
+        np.float32)
+    blank = logits[..., cfg.blank_id]
+    non_blank = np.max(np.delete(logits, cfg.blank_id, axis=-1), axis=-1)
+    bias = float(np.quantile((non_blank - blank).reshape(-1), 0.75))
+    b = params['ctc']['ctc_lo']['bias']
+    params['ctc']['ctc_lo']['bias'] = b.at[cfg.blank_id].add(
+        jnp.asarray(bias, b.dtype))
+
+    def pipeline(wave):
+        """The served path: device fbank+encoder+beam, host nbest packing,
+        one batched rescoring dispatch."""
+        feats = frontend(wave)
+        out = decode(params, cfg, ['attention_rescoring'], feats, feats_lens,
+                     beam_size=BEAM, ctc_weight=0.1, cat_embs=cat,
+                     blank_skip_threshold=BLANK_SKIP)
+        return out['attention_rescoring']
+
+    # warmup/compile (two calls: nbest length buckets may differ)
+    res = pipeline(wave)
+    res = pipeline(wave)
+    assert any(len(r.tokens) for r in res)
 
     iters = 6 if on_tpu else 2
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = pipeline(params, wave)
-    jax.block_until_ready(out)
+        res = pipeline(wave)
+    # decode() returns host-materialized results — no pending device work
     dt = time.perf_counter() - t0
 
     audio_sec = B * chunk_sec * iters
     rtf = audio_sec / dt
     print(json.dumps({
         'metric': 'long-form ASR throughput (xRT, fbank+encoder+CTC prefix '
-                  'beam, flagship model, bf16)',
+                  'beam[blank-skip]+attention rescoring — the headline-WER '
+                  'mode set, flagship model, bf16)',
         'value': round(rtf, 2),
         'unit': 'x realtime per chip',
         'vs_baseline': round(rtf / 20.0, 2),
