@@ -63,9 +63,25 @@ def _rescore_device(params, cfg: ModelConfig, hyps_pad, hyps_lens, encoder_out,
     r_body = reverse_sequence(hyps_in[:, 1:], lens_in - 1, cfg.eos)
     r_hyps = jnp.concatenate([hyps_in[:, :1], r_body], axis=1)
     dec_cat = cat_embs if cfg.lsl_dec else None
+    # cross-attn K/V over the T-frame memory computed ONCE per utterance and
+    # shared by all N hyps (they dominate rescoring FLOPs; the broadcast-enc
+    # path recomputed them N times)
+    from reverb_tpu.models import attention as att
+    dp = params['decoder']
+    dcfg = cfg.decoder
+    mem1 = encoder_out[0]                                     # (T, D)
+    lp = dp['left_decoder'] if dcfg.decoder_type == 'bitransformer' else dp
+    mem_kv = [att.cross_kv(l['src_attn'], mem1, dcfg.attention_heads)
+              for l in lp['decoders']]
+    r_mem_kv = None
+    if (dcfg.decoder_type == 'bitransformer' and reverse_weight > 0.0
+            and dcfg.r_num_blocks > 0):
+        r_mem_kv = [att.cross_kv(l['src_attn'], mem1, dcfg.attention_heads)
+                    for l in dp['right_decoder']['decoders']]
     l_x, r_x = decoder_forward(params['decoder'], enc, enc_mask, hyps_in,
                                lens_in, r_hyps, reverse_weight, cfg.decoder,
-                               cat_embs=dec_cat)
+                               cat_embs=dec_cat, mem_kv=mem_kv,
+                               r_mem_kv=r_mem_kv)
 
     idx = jnp.arange(Lmax)
     valid = idx[None, :] < hyps_lens[:, None]                 # (N,Lmax)

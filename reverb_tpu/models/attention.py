@@ -84,6 +84,41 @@ def mha(p, query, key, value, mask, h: int, rate: float = 0.0, rng=None,
     return out, new_cache
 
 
+def cross_kv(p, memory, h: int):
+    """Precompute cross-attention K/V heads for a memory shared by many query
+    sequences (nbest rescoring): memory (T,D) → ((H,T,dk), (H,T,dk)).
+
+    The K/V projections over the T-frame encoder output dominate rescoring
+    FLOPs; computing them once per utterance instead of once per hypothesis
+    cuts that cost by the nbest size (search.py:363-448 recomputes them per
+    stacked hyp batch)."""
+    k = _split_heads(linear(p['linear_k'], memory[None]), h)[0]
+    v = _split_heads(linear(p['linear_v'], memory[None]), h)[0]
+    return k, v
+
+
+def mha_shared_kv(p, query, kv, mask, h: int):
+    """MHA whose (k, v) = kv of shape (H,T,dk) are shared across the whole
+    query batch: the B× K/V copies are never materialized — the shared
+    operands ride the einsums directly (B folds into the query rows, a
+    better MXU shape than B small batched matmuls)."""
+    q = _split_heads(linear(p['linear_q'], query), h)        # (B,H,L,dk)
+    k, v = kv
+    d_k = q.shape[-1]
+    scores = jnp.einsum('bhld,htd->bhlt', q, k,
+                        precision=jax.lax.Precision.HIGHEST) / math.sqrt(d_k)
+    scores32 = scores.astype(jnp.float32)
+    if mask is not None:
+        m = mask[:, None, :, :][..., :scores.shape[-1]]      # (B,1,*,T)
+        scores32 = jnp.where(m, scores32, _MASK_VALUE)
+        attn = jnp.where(m, jax.nn.softmax(scores32, axis=-1), 0.0)
+    else:
+        attn = jax.nn.softmax(scores32, axis=-1)
+    ctx = jnp.einsum('bhlt,htd->bhld', attn.astype(v.dtype), v,
+                     precision=jax.lax.Precision.HIGHEST)
+    return linear(p['linear_out'], _merge_heads(ctx))
+
+
 def rel_pos_mha(p, query, key, value, mask, pos_emb, h: int,
                 rate: float = 0.0, rng=None,
                 cache: Optional[jax.Array] = None):

@@ -69,7 +69,7 @@ def _lsl_mix(lang_params, x, cat_embs):
 def decoder_layer(p, x, tgt_mask, memory, memory_mask, cfg: DecoderConfig,
                   cat_embs=None, rngs: Rngs | None = None,
                   is_lsl: bool = False, q_slice: Optional[int] = None,
-                  return_src_attn: bool = False):
+                  return_src_attn: bool = False, mem_kv=None):
     """One decoder block. If q_slice is not None, only the query at position
     q_slice attends (incremental decoding); x is still the full (B,L,D) buffer.
     Returns the per-position output (B,L,D) or (B,1,D) when q_slice set; with
@@ -103,6 +103,10 @@ def decoder_layer(p, x, tgt_mask, memory, memory_mask, cfg: DecoderConfig,
                 p['src_attn'], xn, memory, memory, memory_mask,
                 cfg.attention_heads, cfg.src_attention_dropout_rate,
                 rngs.next() if rngs else None, return_weights=True)
+        elif mem_kv is not None:
+            # K/V precomputed once for the shared memory (nbest rescoring)
+            ca = att.mha_shared_kv(p['src_attn'], xn, mem_kv, memory_mask,
+                                   cfg.attention_heads)
         else:
             ca, _ = att.mha(p['src_attn'], xn, memory, memory, memory_mask,
                             cfg.attention_heads,
@@ -133,7 +137,7 @@ def decoder_layer(p, x, tgt_mask, memory, memory_mask, cfg: DecoderConfig,
 
 def _single_decoder_forward(p, memory, memory_mask, ys_in_pad, ys_in_lens,
                             cfg: DecoderConfig, n_blocks: int,
-                            cat_embs=None, rngs=None):
+                            cat_embs=None, rngs=None, mem_kv=None):
     """L2R or R2L stack: embed+abs-pos → N layers → after_norm → output_layer."""
     tgt = ys_in_pad
     L = tgt.shape[1]
@@ -154,7 +158,8 @@ def _single_decoder_forward(p, memory, memory_mask, ys_in_pad, ys_in_lens,
         else:
             x = decoder_layer(lp, x, tgt_mask, memory, memory_mask, cfg,
                               cat_embs, rngs,
-                              is_lsl=_layer_is_lsl(cfg, i, n_blocks))
+                              is_lsl=_layer_is_lsl(cfg, i, n_blocks),
+                              mem_kv=mem_kv[i] if mem_kv is not None else None)
     if cfg.normalize_before:
         x = layer_norm(p['after_norm'], x)
     if cfg.use_output_layer:
@@ -165,24 +170,29 @@ def _single_decoder_forward(p, memory, memory_mask, ys_in_pad, ys_in_lens,
 def decoder_forward(params, memory, memory_mask, ys_in_pad, ys_in_lens,
                     r_ys_in_pad=None, reverse_weight: float = 0.0,
                     cfg: DecoderConfig = DecoderConfig(),
-                    cat_embs=None, rngs=None):
+                    cat_embs=None, rngs=None, mem_kv=None, r_mem_kv=None):
     """BiTransformerDecoder.forward (decoder.py:462-496).
+
+    mem_kv/r_mem_kv: optional per-layer precomputed shared cross-attention
+    K/V (attention.cross_kv) for the left/right stacks — used by nbest
+    rescoring where all hyps share one utterance's memory.
 
     Returns (l_x (B,L,V), r_x (B,L,V) or 0.0 scalar)."""
     if cfg.decoder_type == 'bitransformer':
         l_x = _single_decoder_forward(params['left_decoder'], memory,
                                       memory_mask, ys_in_pad, ys_in_lens, cfg,
-                                      cfg.num_blocks, cat_embs, rngs)
+                                      cfg.num_blocks, cat_embs, rngs, mem_kv)
         if reverse_weight > 0.0 and cfg.r_num_blocks > 0:
             r_x = _single_decoder_forward(params['right_decoder'], memory,
                                           memory_mask, r_ys_in_pad, ys_in_lens,
-                                          cfg, cfg.r_num_blocks, cat_embs, rngs)
+                                          cfg, cfg.r_num_blocks, cat_embs,
+                                          rngs, r_mem_kv)
         else:
             r_x = jnp.zeros((), dtype=memory.dtype)
         return l_x, r_x
     l_x = _single_decoder_forward(params, memory, memory_mask, ys_in_pad,
                                   ys_in_lens, cfg, cfg.num_blocks, cat_embs,
-                                  rngs)
+                                  rngs, mem_kv)
     return l_x, jnp.zeros((), dtype=memory.dtype)
 
 
