@@ -5,10 +5,11 @@ device CTC prefix beam search with production blank-run folding →
 whole-batch attention rescoring — i.e.
 `--modes ctc_prefix_beam_search attention_rescoring`.
 
-The CTC head is shaped like a trained model (sharper logits + blank bias
-auto-tuned to ~75% blank-top frames): random-weight logits are flat, which
-both disables the blank-skip path real speech hits and under-prices the
-beam's extend work.  Host-side nbest packing between the beam and the
+The CTC head is shaped like a trained model (8x-sharpened logits + blank
+bias auto-tuned to ~75% blank-top frames, approximating the near-saturated
+blank posteriors trained CTC heads emit): random-weight logits are flat,
+which both disables the blank-skip path real speech hits and under-prices
+the beam's extend work.  Host-side nbest packing between the beam and the
 rescorer is included — it is part of the served path.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -70,7 +71,7 @@ def main():
     # blank on top for ~75% of frames, the regime trained models live in
     from reverb_tpu.decode.api import encode_and_ctc
     params['ctc']['ctc_lo'] = dict(params['ctc']['ctc_lo'])
-    params['ctc']['ctc_lo']['weight'] = params['ctc']['ctc_lo']['weight'] * 4
+    params['ctc']['ctc_lo']['weight'] = params['ctc']['ctc_lo']['weight'] * 8
     logits = np.asarray(encode_and_ctc(
         params, cfg, feats[:4], feats_lens[:4], jnp.asarray(cat))[2],
         np.float32)

@@ -63,6 +63,114 @@ def encode_and_ctc_topk(params, cfg: ModelConfig, feats, feats_lens,
     return encoder_out, encoder_lens, topk_logp, topk_idx, blank_logp
 
 
+@functools.partial(jax.jit, static_argnums=(1, 4, 6, 7, 8, 9, 10))
+def _fused_rescoring_program(params, cfg: ModelConfig, feats, feats_lens,
+                             beam_size: int, ctc_weight,
+                             reverse_weight: float,
+                             blank_skip_threshold: float, max_hyp_len: int,
+                             decoding_chunk_size: int, blank_penalty,
+                             cat_embs=None, ctx_tables=None):
+    """ONE device program for the flagship serving mode set: encoder → CTC
+    top-k → blank-skip prefix beam → whole-batch attention rescoring, with
+    the nbest wired beam→rescorer on device.
+
+    The unfused path costs three host round-trips per batch (encoder/beam
+    fetch, host nbest packing, rescore dispatch+fetch); dispatch latency
+    dominated the measured serving time (see PARITY.md).  Returns both the
+    full beam outputs (for the ctc_prefix_beam_search mode) and the
+    rescoring winners — one host fetch for everything."""
+    from reverb_tpu.decode import prefix_beam as pb
+    from reverb_tpu.decode import rescoring as rs
+    enc_cat = cat_embs if cfg.lsl_enc else None
+    encoder_out, encoder_mask = forward_encoder(
+        params, cfg, feats, feats_lens, cat_embs=enc_cat,
+        decoding_chunk_size=decoding_chunk_size)
+    encoder_lens = jnp.sum(encoder_mask[:, 0, :], axis=-1).astype(jnp.int32)
+    tk_logp, tk_idx, blank_lp = ctc_mod.ctc_topk_logprobs(
+        params['ctc'], encoder_out, beam_size, blank_penalty, cfg.blank_id)
+    keep_cap = (tk_logp.shape[1] // 2) if blank_skip_threshold > 0 else 0
+    prefixes, plens, ctc_scores, times = \
+        pb.ctc_prefix_beam_search_device_topk.__wrapped__(
+            tk_logp, tk_idx, blank_lp, encoder_lens, beam_size, cfg.blank_id,
+            max_hyp_len, blank_skip_threshold, keep_cap, ctx_tables)
+    lens_c = jnp.minimum(plens, max_hyp_len).astype(jnp.int32)
+    # device-side length bucketing: the rescorer's cost is proportional to
+    # the PADDED hyp length, and real nbests are far shorter than the static
+    # max_hyp_len cap.  lax.switch compiles one branch per bucket and runs
+    # only the smallest bucket that fits this batch's longest hyp — single
+    # dispatch, bucketed compute.
+    buckets = [b for b in (32, 64, 128) if b < max_hyp_len] + [max_hyp_len]
+    lmax = jnp.max(lens_c)
+    branch_idx = sum((lmax > b).astype(jnp.int32) for b in buckets[:-1])
+
+    def _branch(Lb):
+        def br(_):
+            att, r_att, tl = rs._rescore_device_all.__wrapped__(
+                params, cfg, prefixes[:, :, :Lb], lens_c, encoder_out,
+                reverse_weight, cat_embs, encoder_lens)
+            pad = [(0, 0), (0, 0), (0, max_hyp_len - Lb)]
+            return att, r_att, jnp.pad(tl, pad)
+        return br
+
+    att, r_att, tok_logp = jax.lax.switch(
+        branch_idx, [_branch(b) for b in buckets], 0)
+    if reverse_weight > 0:
+        score = att * (1 - reverse_weight) + r_att * reverse_weight
+    else:
+        score = att
+    confidence = jnp.exp(score / (lens_c + 1).astype(jnp.float32))
+    valid_row = ctc_scores > pb.NEG_INF / 2
+    total = jnp.where(valid_row, score + ctc_scores * ctc_weight, -jnp.inf)
+    best = jnp.argmax(total, axis=1).astype(jnp.int32)            # (B,)
+
+    def take(x):
+        idx = best[:, None] if x.ndim == 2 else best[:, None, None]
+        return jnp.take_along_axis(x, idx, axis=1)[:, 0]
+    return (prefixes, plens, ctc_scores, times, best, take(total),
+            take(confidence), take(tok_logp), take(times))
+
+
+def _decode_fused(params, cfg: ModelConfig, methods, feats, feats_lens,
+                  beam_size, ctc_weight, reverse_weight,
+                  blank_skip_threshold, max_hyp_len, decoding_chunk_size,
+                  blank_penalty, cat, ctx_tables):
+    """Host wrapper: one fused dispatch, one fetch, pack both modes."""
+    import math as _math
+
+    import numpy as np
+
+    from reverb_tpu.decode import prefix_beam as pb
+    out = _fused_rescoring_program(
+        params, cfg, jnp.asarray(feats), jnp.asarray(feats_lens), beam_size,
+        jnp.asarray(ctc_weight, jnp.float32), reverse_weight,
+        blank_skip_threshold, max_hyp_len, decoding_chunk_size,
+        blank_penalty, cat, ctx_tables)
+    (prefixes, plens, ctc_scores, times, best, total, conf, tok_logp,
+     best_times) = [np.asarray(x) for x in out]
+    if plens.max(initial=0) > max_hyp_len:
+        return None          # hyp overflowed the static cap — caller falls back
+    results: Dict[str, List[DecodeResult]] = {}
+    if 'ctc_prefix_beam_search' in methods:
+        results['ctc_prefix_beam_search'] = pb._pack_results(
+            prefixes, plens, ctc_scores, times)
+    resc = []
+    B, K, L = prefixes.shape
+    for b in range(B):
+        k = int(best[b])
+        n = int(plens[b, k])
+        if not np.isfinite(total[b]) or plens[b].max() == 0:
+            resc.append(DecodeResult(tokens=[], times=[],
+                                     tokens_confidence=[]))
+            continue
+        resc.append(DecodeResult(
+            tokens=prefixes[b, k, :n].tolist(), score=float(total[b]),
+            confidence=float(conf[b]), times=best_times[b, :n].tolist(),
+            tokens_confidence=[_math.exp(float(x))
+                               for x in tok_logp[b, :n]]))
+    results['attention_rescoring'] = resc
+    return results
+
+
 def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
            beam_size: int = 10,
            decoding_chunk_size: int = -1,
@@ -74,16 +182,39 @@ def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
            cat_embs=None,
            context_graph=None,
            blank_skip_threshold: float = 0.0,
+           max_hyp_len: int = 256,
+           fused: bool = False,
            hlg_graph=None,
            hlg_lm_scale: float = 0.0,
            hlg_decoder_scale: float = 0.0,
            hlg_r_decoder_scale: float = 0.0) -> Dict[str, List[DecodeResult]]:
-    """Decode a batch of feature chunks with the requested methods."""
+    """Decode a batch of feature chunks with the requested methods.
+
+    fused=True routes the flagship mode set (methods ⊆
+    {ctc_prefix_beam_search, attention_rescoring}) through ONE device
+    program with the nbest wired beam→rescorer on device; max_hyp_len
+    bounds its per-hyp token buffer (overflow falls back to the generic
+    path).  Off by default: measured on v5e the multi-dispatch path is
+    ~10-15% faster (XLA schedules the separate programs better and
+    per-dispatch overhead is small — PARITY.md); the fused program exists
+    for dispatch-latency-bound deployments."""
     for m in methods:
         assert m in ALL_MODES, m
     cat = jnp.asarray(cat_embs) if cat_embs is not None else None
     need_prefix = ('ctc_prefix_beam_search' in methods
                    or 'attention_rescoring' in methods)
+    if (fused and 'attention_rescoring' in methods
+            and set(methods) <= {'ctc_prefix_beam_search',
+                                 'attention_rescoring'}
+            and not cfg.apply_non_blank_embedding):
+        from reverb_tpu.decode.prefix_beam import _graph_tables
+        fused = _decode_fused(
+            params, cfg, methods, feats, feats_lens, beam_size, ctc_weight,
+            reverse_weight, blank_skip_threshold, max_hyp_len,
+            decoding_chunk_size, blank_penalty, cat,
+            _graph_tables(context_graph, cfg.vocab_size))
+        if fused is not None:
+            return fused
     # Modes that walk the full distribution (time-sync joint search, WFST
     # composition, non-blank-frame filtering) need the dense (B,T,V) table;
     # greedy/prefix/rescoring consume only per-frame top-k + p(blank), for

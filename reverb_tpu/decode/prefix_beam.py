@@ -409,12 +409,16 @@ def _compress_blanks(p_blank, ctc_lens, threshold: float, keep_cap: int):
     blank_acc = (c_at - prev_c).astype(jnp.float32)
     has_skip = blank_acc < 0.0
     total_skip = csum[:, -1]
-    last_c = jnp.where(n_keep > 0,
+    # index with the CAPPED count: when keep_cap truncates, n_keep-1 is out
+    # of bounds for the (B, keep_cap) buffer and JAX's fill-mode gather
+    # would return NaN, poisoning every beam score
+    n_keep_c = jnp.minimum(n_keep, keep_cap)
+    last_c = jnp.where(n_keep_c > 0,
                        jnp.take_along_axis(
-                           c_at, jnp.maximum(n_keep - 1, 0)[:, None],
+                           c_at, jnp.maximum(n_keep_c - 1, 0)[:, None],
                            axis=1)[:, 0], 0.0)
     tail_acc = (total_skip - last_c).astype(jnp.float32)
-    return ts, jnp.minimum(n_keep, keep_cap), blank_acc, has_skip, tail_acc
+    return ts, n_keep_c, blank_acc, has_skip, tail_acc
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
@@ -445,6 +449,21 @@ def ctc_prefix_beam_search_device_topk(topk_logp, topk_idx, blank_logp,
         fn = jax.vmap(lambda lp, ix, n, tss, acc, hs, tail: _search_one(
             lp, ix, n, beam_size, blank_id, L, tss, acc, hs, tail,
             ctx_tables=ctx_tables))
+        # scan-length bucketing: the sequential scan always runs the STATIC
+        # cap steps; on real speech (~75% blank-top frames) only ~cap/2 are
+        # kept, so run the half-length branch when the batch's max kept
+        # count allows (lax.switch executes one branch; frames past n_keep
+        # are valid=False either way)
+        half = cap // 2
+        if half >= 16:
+            def _br(Tb):
+                def br(_):
+                    return fn(g_logp[:, :Tb], g_idx[:, :Tb],
+                              jnp.minimum(n_keep, Tb), ts[:, :Tb],
+                              blank_acc[:, :Tb], has_skip[:, :Tb], tail_acc)
+                return br
+            idx = (jnp.max(n_keep) > half).astype(jnp.int32)
+            return jax.lax.switch(idx, [_br(half), _br(cap)], 0)
         return fn(g_logp, g_idx, n_keep, ts, blank_acc, has_skip, tail_acc)
     fn = jax.vmap(lambda lp, ix, n: _search_one(lp, ix, n, beam_size,
                                                 blank_id, L,
