@@ -271,11 +271,24 @@ def joint_decoding(params, cfg: ModelConfig, encoder_outs, encoder_lens,
                    ctc_probs, ctc_weight: float = 0.5, beam_size: int = 4,
                    pre_beam_ratio: float = 1.5, length_bonus: float = 0.5,
                    cat_embs=None, words=None, word_prefixes=None,
-                   tok_to_str=None) -> List[DecodeResult]:
-    """search.py:450-496 entry: per-utterance time-sync search."""
+                   tok_to_str=None, blank_threshold: float = 1.0,
+                   device: bool = True) -> List[DecodeResult]:
+    """search.py:450-496 entry: per-utterance time-sync search.
+
+    device=True (default) runs the batched `lax.scan` implementation
+    (decode/joint_device.py) — identical beam contents/scores, one device
+    program for the whole batch; the host loop remains for runs with a
+    lexicon constraint (string-level logic) and as the parity oracle."""
     if words is None and (cfg.lexicon_path or cfg.token_path):
         words, word_prefixes, tok_to_str = load_lexicon(cfg.lexicon_path,
                                                         cfg.token_path)
+    if device and not words:
+        from reverb_tpu.decode.joint_device import joint_decoding_device
+        return joint_decoding_device(
+            params, cfg, encoder_outs, encoder_lens, ctc_probs,
+            ctc_weight=ctc_weight, beam_size=beam_size,
+            pre_beam_ratio=pre_beam_ratio, length_bonus=length_bonus,
+            blank_threshold=blank_threshold, cat_embs=cat_embs)
     encoder_outs = np.asarray(encoder_outs)
     encoder_lens = np.asarray(encoder_lens)
     ctc_probs = np.asarray(ctc_probs)

@@ -198,7 +198,7 @@ def decoder_forward(params, memory, memory_mask, ys_in_pad, ys_in_lens,
 
 def decoder_forward_one_step(params, memory, memory_mask, tgt_buf, step,
                              cache, cfg: DecoderConfig, cat_embs=None,
-                             return_src_attn: bool = False):
+                             return_src_attn: bool = False, mem_kv=None):
     """Incremental decode step over a static-size token buffer.
 
     tgt_buf: (B, Lmax) int32 with tokens [0..step] valid; step: traced scalar.
@@ -230,7 +230,9 @@ def decoder_forward_one_step(params, memory, memory_mask, tgt_buf, step,
                               cat_embs, None,
                               is_lsl=_layer_is_lsl(cfg, i, n_blocks),
                               q_slice=step,
-                              return_src_attn=return_src_attn)  # (B,1,D)
+                              return_src_attn=return_src_attn,
+                              mem_kv=mem_kv[i] if mem_kv is not None
+                              else None)  # (B,1,D)
         if return_src_attn:
             out_q, w = out_q                           # w: (B,H,1,Tmem)
             layer_mean = jnp.mean(w.astype(jnp.float32), axis=1)[:, 0]
