@@ -326,7 +326,8 @@ def _get_cmvn(params):
 def forward_encoder(params, cfg: ModelConfig, feats, feats_lens,
                     cat_embs=None, rngs=None, chunk_rng=None,
                     decoding_chunk_size: int = -1,
-                    num_decoding_left_chunks: int = -1):
+                    num_decoding_left_chunks: int = -1,
+                    enable_full_context: bool = True):
     """(B,T,F) → (encoder_out (B,T',D), masks (B,1,T'))."""
     feats = feats.astype(cfg.compute_dtype)
     out, masks = encoder_forward(
@@ -334,7 +335,8 @@ def forward_encoder(params, cfg: ModelConfig, feats, feats_lens,
         cat_embs=cat_embs, cmvn=_get_cmvn(params),
         decoding_chunk_size=decoding_chunk_size,
         num_decoding_left_chunks=num_decoding_left_chunks,
-        rngs=rngs, chunk_rng=chunk_rng)
+        rngs=rngs, chunk_rng=chunk_rng,
+        enable_full_context=enable_full_context)
     return out, masks
 
 
@@ -399,6 +401,19 @@ def compute_loss(params, cfg: ModelConfig, batch, rng=None,
         encoder_out, encoder_mask = forward_encoder(
             params, cfg, batch['feats'], batch['feats_lengths'], cat_embs,
             rngs, chunk_rng, decoding_chunk_size=0)
+    return loss_from_encoder(params, cfg, encoder_out, encoder_mask, batch,
+                             rngs=rngs, ctc_loss_fn=ctc_loss_fn)
+
+
+def loss_from_encoder(params, cfg: ModelConfig, encoder_out, encoder_mask,
+                      batch, rngs=None, ctc_loss_fn=None):
+    """Hybrid CTC/attention loss given a precomputed encoder view.
+
+    The post-encoder half of `compute_loss`; the CTL model
+    (asr_model_ctl.py:115-216 forward_full/forward_chunk) runs it once per
+    encoder view (full-context and chunk-masked) on the same batch.
+    """
+    cat_embs = batch.get('cat_embs')
     encoder_out_lens = jnp.sum(encoder_mask[:, 0, :], axis=-1)
     text, text_lens = batch['target'], batch['target_lengths']
 

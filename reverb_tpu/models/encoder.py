@@ -329,7 +329,8 @@ def encoder_forward(params, xs, xs_lens, cfg: EncoderConfig,
                     num_decoding_left_chunks: int = -1,
                     rngs: Rngs | None = None,
                     chunk_rng=None,
-                    return_layers: bool = False):
+                    return_layers: bool = False,
+                    enable_full_context: bool = True):
     """Full encoder forward (encoder.py:117-149).
 
     xs: (B, T, F) features; xs_lens: (B,). Returns (out (B,T',D), masks
@@ -348,7 +349,8 @@ def encoder_forward(params, xs, xs_lens, cfg: EncoderConfig,
     chunk_masks = add_optional_chunk_mask(
         masks, cfg.use_dynamic_chunk, cfg.use_dynamic_left_chunk,
         decoding_chunk_size, cfg.static_chunk_size,
-        num_decoding_left_chunks, rng=chunk_rng)
+        num_decoding_left_chunks, rng=chunk_rng,
+        enable_full_context=enable_full_context)
 
     layer_fn = (conformer_layer if cfg.encoder_type == 'conformer'
                 else transformer_layer)

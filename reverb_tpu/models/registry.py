@@ -405,7 +405,9 @@ def _ctl_bundle(configs, rng, cmvn) -> ModelBundle:
         return ctl_compute_loss(
             params, cfg, batch, rng=rng,
             ctl_weight=model_conf.get('ctl_weight', 1.0),
-            temperature=model_conf.get('temperature', 0.1))
+            temperature=model_conf.get('logit_temp',
+                                       model_conf.get('temperature', 0.1)),
+            n_negatives=model_conf.get('n_negatives', 0))
 
     return ModelBundle('ctl_model', cfg, params, loss)
 
@@ -457,60 +459,67 @@ def _bestrq_bundle(configs, rng, cmvn) -> ModelBundle:
 
 
 def _wav2vec2_bundle(configs, rng, cmvn) -> ModelBundle:
-    from reverb_tpu.models.asr_model import forward_encoder
+    from reverb_tpu.models.asr_model import _get_cmvn
     from reverb_tpu.models.ssl import (Wav2vec2Config, init_wav2vec2,
                                        wav2vec2_loss)
     acfg = ModelConfig.from_config(configs)
+    wconf = dict(configs.get('wav2vec2_conf', {}) or {})
+    wconf.setdefault('codebook_size', wconf.pop('num_embeddings',
+                                                wconf.get('codebook_size',
+                                                          320)))
+    wconf.setdefault('embedding_dim', acfg.encoder.output_size)
     wcfg = Wav2vec2Config(
         **_dataclass_kwargs(Wav2vec2Config,
-                            dict(configs.get('wav2vec2_conf', {}) or {},
-                                 input_dim=configs.get('input_dim', 80),
+                            dict(wconf,
                                  encoder_output_size=acfg.encoder.output_size)))
     k1, k2 = jax.random.split(rng)
     params = init_params(k1, acfg, cmvn=cmvn)
     params.update(init_wav2vec2(k2, wcfg))
 
     def loss(params, batch, rng=None):
-        def encoder_apply(feats, lens):
-            return forward_encoder(params, acfg, feats, lens, None, None)
-        return wav2vec2_loss(params, encoder_apply, batch['feats'],
-                             batch['feats_lengths'],
-                             rng if rng is not None else jax.random.PRNGKey(0),
-                             wcfg)
+        return wav2vec2_loss(
+            params, params['encoder'], batch['feats'],
+            batch['feats_lengths'],
+            rng if rng is not None else jax.random.PRNGKey(0), wcfg,
+            acfg.encoder, steps=batch.get('steps', 0),
+            cmvn=_get_cmvn(params))
 
     return ModelBundle('wav2vec2', (acfg, wcfg), params, loss)
 
 
 def _w2vbert_bundle(configs, rng, cmvn) -> ModelBundle:
-    from reverb_tpu.models.asr_model import forward_encoder
-    from reverb_tpu.models.ssl import (BestRQConfig, Wav2vec2Config,
-                                       init_bestrq, init_wav2vec2,
-                                       w2vbert_loss)
+    from reverb_tpu.models.asr_model import _get_cmvn
+    from reverb_tpu.models.ssl import (W2VBertConfig, Wav2vec2Config,
+                                       init_w2vbert, w2vbert_loss)
     acfg = ModelConfig.from_config(configs)
-    common = dict(input_dim=configs.get('input_dim', 80),
-                  encoder_output_size=acfg.encoder.output_size)
-    wcfg = Wav2vec2Config(**_dataclass_kwargs(
-        Wav2vec2Config, dict(configs.get('wav2vec2_conf', {}) or {},
-                             **common)))
-    stack, stride = _ssl_quantizer_window(acfg)
-    bcfg = BestRQConfig(**_dataclass_kwargs(
-        BestRQConfig, dict({'stack_frames': stack, 'stride': stride},
-                           **(configs.get('bestrq_conf', {}) or {}),
-                           **common)))
-    k1, k2, k3 = jax.random.split(rng, 3)
+    wconf = dict(configs.get('wav2vec2_conf', {}) or {},
+                 **(configs.get('w2vbert_conf', {}) or {}))
+    wconf.setdefault('codebook_size', wconf.pop('num_embeddings',
+                                                wconf.get('codebook_size',
+                                                          320)))
+    wconf.setdefault('embedding_dim', acfg.encoder.output_size)
+    wcfg = Wav2vec2Config(
+        **_dataclass_kwargs(Wav2vec2Config,
+                            dict(wconf,
+                                 encoder_output_size=acfg.encoder.output_size)))
+    nb = acfg.encoder.num_blocks
+    bcfg = W2VBertConfig(
+        **_dataclass_kwargs(W2VBertConfig,
+                            dict({'contrastive_blocks': nb // 2,
+                                  'masked_blocks': nb - nb // 2}, **wconf)))
+    assert bcfg.contrastive_blocks + bcfg.masked_blocks == nb, \
+        (bcfg.contrastive_blocks, bcfg.masked_blocks, nb)
+    k1, k2 = jax.random.split(rng)
     params = init_params(k1, acfg, cmvn=cmvn)
-    params.update(init_wav2vec2(k2, wcfg))
-    params.update(init_bestrq(k3, bcfg))
+    params.update(init_w2vbert(k2, wcfg, bcfg))
 
     def loss(params, batch, rng=None):
-        enc_params, feats = _ssl_normalize(params, batch['feats'])
-
-        def encoder_apply(feats, lens):
-            return forward_encoder(enc_params, acfg, feats, lens, None, None)
-        return w2vbert_loss(params, encoder_apply, feats,
-                            batch['feats_lengths'],
-                            rng if rng is not None else jax.random.PRNGKey(0),
-                            wcfg, bcfg)
+        return w2vbert_loss(
+            params, params['encoder'], batch['feats'],
+            batch['feats_lengths'],
+            rng if rng is not None else jax.random.PRNGKey(0), wcfg, bcfg,
+            acfg.encoder, steps=batch.get('steps', 0),
+            cmvn=_get_cmvn(params))
 
     return ModelBundle('w2vbert', (acfg, wcfg, bcfg), params, loss)
 

@@ -159,125 +159,309 @@ def bestrq_ce(logits, targets, valid, num_codebooks: int):
 
 @dataclasses.dataclass(frozen=True)
 class Wav2vec2Config:
-    """Wav2vec2Model (ssl/wav2vec2/wav2vec2_model.py): masked contrastive
-    prediction of gumbel-VQ quantized features + codebook diversity loss."""
-    input_dim: int = 80
+    """Wav2vec2Model (ssl/wav2vec2/wav2vec2_model.py:105-324): masked
+    contrastive prediction of gumbel-VQ quantized subsampled features.
+    Field names follow the reference constructor (num_embeddings →
+    codebook_size; embedding_dim is the TOTAL codevector dim and must equal
+    the encoder output size for the cosine similarity)."""
     encoder_output_size: int = 256
-    num_codebooks: int = 2           # product quantizer groups
-    codebook_size: int = 320
-    codebook_dim: int = 128          # per-group code dim
-    final_dim: int = 256             # contrastive projection dim
+    num_codebooks: int = 1
+    codebook_size: int = 320          # num_embeddings per codebook
+    embedding_dim: int = 256          # total codevector dim (= G · per-group)
     mask_prob: float = 0.065
     mask_length: int = 10
-    stack_frames: int = 4
-    num_negatives: int = 25
+    min_masks: int = 2
+    num_negatives: int = 100
+    features_regularization_weight: float = 0.01
+    max_gumbel_temperature: float = 2.0
+    min_gumbel_temperature: float = 0.1
+    gumbel_temperature_decay: float = 0.999995
     contrastive_temperature: float = 0.1
-    diversity_weight: float = 0.1
-    gumbel_temperature: float = 2.0
+    diversity_weight: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class W2VBertConfig:
+    """W2VBERTModel extras (ssl/w2vbert/w2vbert_model.py:16-120): the block
+    split (contrastive branch taps the stack mid-way), branch weights, and
+    the mlm warmup schedule."""
+    contrastive_blocks: int = 6
+    masked_blocks: int = 6
+    contrastive_weight: float = 1.0
+    mlm_weight: float = 1.0
+    warmup_steps: int = 25000
+    bias: bool = True
 
 
 def init_wav2vec2(rng, cfg: Wav2vec2Config):
-    k1, k2, k3, k4 = jax.random.split(rng, 4)
-    d_in = cfg.input_dim * cfg.stack_frames
-    qdim = cfg.num_codebooks * cfg.codebook_dim
+    from reverb_tpu.models.modules import init_linear as _init_linear
+    k1, k2, k3 = jax.random.split(rng, 3)
+    G, C = cfg.num_codebooks, cfg.codebook_size
+    d = cfg.embedding_dim // G
     return {
-        # trainable gumbel vector quantizer over stacked raw features
-        'vq_proj': init_linear(k1, d_in,
-                               cfg.num_codebooks * cfg.codebook_size),
-        'vq_codebook': jax.random.normal(
-            k2, (cfg.num_codebooks, cfg.codebook_size, cfg.codebook_dim))
-        * 0.1,
-        'proj_q': init_linear(k3, qdim, cfg.final_dim),
-        'proj_c': init_linear(k4, cfg.encoder_output_size, cfg.final_dim),
+        # Wav2vecGumbelVectorQuantizer (quantizer.py:26-52): embeddings
+        # uniform_[0,1), weight_proj default Linear init
+        'vq_proj': _init_linear(k1, cfg.encoder_output_size, G * C),
+        'vq_codebook': jax.random.uniform(k2, (G, C, d)),
+        # trained span-mask embedding (wav2vec2_model.py:174-177)
+        'mask_emb': jax.random.uniform(k3, (cfg.encoder_output_size,)),
     }
 
 
-def _gumbel_quantize(params, x, rng, cfg: Wav2vec2Config, hard: bool = True):
-    """x (B,T,d_in) → (quantized (B,T,K*Dc), avg code probs (K,C))."""
-    logits = linear(params['vq_proj'], x).reshape(
-        x.shape[0], x.shape[1], cfg.num_codebooks, cfg.codebook_size)
-    g = -jnp.log(-jnp.log(
-        jax.random.uniform(rng, logits.shape, minval=1e-6, maxval=1 - 1e-6)))
-    y = jax.nn.softmax((logits + g) / cfg.gumbel_temperature, axis=-1)
-    if hard:
-        idx = jnp.argmax(y, axis=-1)
-        onehot = jax.nn.one_hot(idx, cfg.codebook_size, dtype=y.dtype)
-        y = onehot + y - jax.lax.stop_gradient(y)   # straight-through
-    q = jnp.einsum('btkc,kcd->btkd', y, params['vq_codebook'])
-    q = q.reshape(x.shape[0], x.shape[1], -1)
-    probs = jnp.mean(jax.nn.softmax(logits, axis=-1), axis=(0, 1))  # (K,C)
-    return q, probs
+def init_w2vbert(rng, cfg: Wav2vec2Config, bcfg: W2VBertConfig):
+    from reverb_tpu.models.modules import init_linear as _init_linear
+    k1, k2, k3 = jax.random.split(rng, 3)
+    G, C = cfg.num_codebooks, cfg.codebook_size
+    d = cfg.embedding_dim // G
+    D = cfg.encoder_output_size
+    params = {
+        'vq_proj': _init_linear(k1, D, G * C),
+        'vq_codebook': jax.random.uniform(k2, (G, C, d)),
+        # per-codebook mlm head (w2vbert_model.py:112-120)
+        'top_n_out': 0.02 * jax.random.truncated_normal(
+            k3, -2.0, 2.0, (G, D, C)),
+    }
+    if bcfg.bias:
+        params['top_n_out_bias'] = jnp.zeros((G, C))
+    return params
 
 
-def wav2vec2_loss(params, encoder_apply, feats, feats_lens, rng,
-                  cfg: Wav2vec2Config):
-    """Mask spans → encode noised features → InfoNCE against the quantized
-    targets of the masked positions (negatives sampled from the same
-    utterance) + diversity loss pushing codebook usage to uniform."""
-    B, T, F = feats.shape
+def ssl_subsample(enc_params, feats, feats_lens, ecfg, cmvn=None):
+    """_forward_subsampling (wav2vec2_model.py:302-310): global CMVN +
+    the encoder's subsampling embed. → (xs (B,T',D), pos_emb, masks)."""
+    from reverb_tpu.models.encoder import SUBSAMPLE_FNS
+    from reverb_tpu.utils.common import make_pad_mask
+    B, T, _ = feats.shape
+    masks = (~make_pad_mask(feats_lens, T))[:, None, :]
+    if cmvn is not None:
+        mean, istd = cmvn
+        feats = (feats - mean.astype(feats.dtype)) * istd.astype(feats.dtype)
+    sub_fn = SUBSAMPLE_FNS[ecfg.input_layer]
+    xs, pos_emb, masks = sub_fn(enc_params['embed'], feats, masks, ecfg, 0,
+                                None)
+    return xs, pos_emb, masks
+
+
+def ssl_encoder_blocks(enc_params, xs, masks, pos_emb, ecfg, split=None):
+    """_forward_encoder_blocks (wav2vec2_model.py:312-324 /
+    w2vbert_model.py:296-318): plain-pad-mask block stack (no chunk mask).
+    Returns (mid_out_after_`split`_blocks, final_out_after_norm); without a
+    split both are the final output."""
+    from reverb_tpu.models.encoder import conformer_layer, transformer_layer
+    from reverb_tpu.models.modules import layer_norm
+    layer_fn = (conformer_layer if ecfg.encoder_type == 'conformer'
+                else transformer_layer)
+    mid = None
+    for i, lp in enumerate(enc_params['encoders']):
+        xs, _, _ = layer_fn(lp, xs, masks, pos_emb, masks, ecfg)
+        if split is not None and i == split - 1:
+            mid = xs
+    if ecfg.normalize_before:
+        xs = layer_norm(enc_params['after_norm'], xs)
+    return (xs if mid is None else mid), xs
+
+
+def gumbel_quantize(params, x, valid_mask, rng, temperature,
+                    cfg: Wav2vec2Config, gumbels=None):
+    """Wav2vecGumbelVectorQuantizer.forward, hard=False (quantizer.py:70-113).
+
+    x: (B,T,D) UNMASKED subsampled features; valid_mask: (B,T) pad mask.
+    Returns (codevectors (B,T,embedding_dim) — the gumbel-softmax-weighted
+    codebook mix, differentiable, no straight-through —, perplexity over
+    valid frames, targets_idx (B,T,G))."""
+    from reverb_tpu.models.modules import linear as _linear
+    B, T, _ = x.shape
+    G, C = cfg.num_codebooks, cfg.codebook_size
+    logits = _linear(params['vq_proj'], x).reshape(B, T, G, C)
+    logits = logits.astype(jnp.float32)
+    if gumbels is None:
+        u = jax.random.uniform(rng, logits.shape,
+                               minval=jnp.finfo(jnp.float32).tiny, maxval=1.0)
+        gumbels = -jnp.log(-jnp.log(u))
+    probs = jax.nn.softmax((logits + gumbels) / temperature, axis=-1)
+    soft = jax.nn.softmax(logits, axis=-1)
+    vm = valid_mask[..., None, None]
+    marginal = (jnp.sum(jnp.where(vm, soft, 0.0), axis=(0, 1))
+                / jnp.maximum(jnp.sum(valid_mask), 1))          # (G,C)
+    perplexity = jnp.sum(jnp.exp(-jnp.sum(
+        marginal * jnp.log(marginal + 1e-7), axis=-1)))
+    targets_idx = jnp.argmax(probs, axis=-1)                    # (B,T,G)
+    cv = jnp.einsum('btgc,gcd->btgd', probs,
+                    params['vq_codebook'].astype(probs.dtype))
+    return cv.reshape(B, T, -1), perplexity, targets_idx
+
+
+def sample_negative_indices(rng, span_mask, num_negatives: int,
+                            neg_pos=None):
+    """Per-anchor negatives drawn from the MASKED positions of the same
+    utterance (wav2vec2_model.py:15-55): ordinal i ~ U[0, n_masked-1) with
+    the fairseq collision shift vs the anchor's own masked ordinal, then
+    remapped to frame positions.  Returns (B, T, N) frame positions
+    (garbage at unmasked anchors — their CE rows are masked out).
+    Static-shape redesign of the reference's per-utterance python loop."""
+    B, T = span_mask.shape
+    if neg_pos is not None:
+        return neg_pos
+    pos = jnp.arange(T)
+    # masked positions compacted to the front, stable
+    order = jnp.argsort(jnp.where(span_mask, pos, pos + T), axis=1)
+    rank = jnp.cumsum(span_mask, axis=1) - 1                    # (B,T)
+    cnt = jnp.sum(span_mask, axis=1)                            # (B,)
+    high = jnp.maximum(cnt - 1, 1)[:, None, None]
+    i = jax.random.randint(rng, (B, T, num_negatives), 0, high)
+    i = jnp.where(i >= rank[..., None], i + 1, i)
+    i = jnp.minimum(i, jnp.maximum(cnt, 1)[:, None, None] - 1)
+    return jnp.take_along_axis(order, i.reshape(B, -1),
+                               axis=1).reshape(B, T, num_negatives)
+
+
+def contrastive_loss(quantized, context, neg_pos, span_mask,
+                     temperature: float):
+    """_compute_contrastive_loss (wav2vec2_model.py:58-102): cosine
+    similarity of the context vector against [positive ; negatives] at
+    `temperature`, value-collision negatives squashed to -1e9, CE toward
+    the positive SUM-reduced over masked anchors."""
+    B, T, D = quantized.shape
+    N = neg_pos.shape[-1]
+    negs = jnp.take_along_axis(
+        quantized, neg_pos.reshape(B, -1)[:, :, None], axis=1)
+    negs = negs.reshape(B, T, N, D).transpose(2, 0, 1, 3)       # (N,B,T,D)
+    targets = jnp.concatenate([quantized[None], negs], axis=0)  # (N+1,B,T,D)
+    cf = context[None].astype(jnp.float32)
+    tf = targets.astype(jnp.float32)
+    num = jnp.sum(cf * tf, axis=-1)
+    den = jnp.maximum(jnp.linalg.norm(cf, axis=-1)
+                      * jnp.linalg.norm(tf, axis=-1), 1e-8)
+    logits = (num / den) / temperature                          # (N+1,B,T)
+    neg_is_pos = jnp.all(quantized[None] == negs, axis=-1)      # (N,B,T)
+    logits = jnp.concatenate(
+        [logits[:1], jnp.where(neg_is_pos, -1e9, logits[1:])], axis=0)
+    ce = -jax.nn.log_softmax(logits, axis=0)[0]                 # (B,T)
+    return jnp.sum(jnp.where(span_mask, ce, 0.0))
+
+
+def _gumbel_temperature(cfg: Wav2vec2Config, steps):
+    return jnp.maximum(
+        cfg.max_gumbel_temperature
+        * cfg.gumbel_temperature_decay ** steps,
+        cfg.min_gumbel_temperature)
+
+
+def wav2vec2_loss(params, enc_params, feats, feats_lens, rng,
+                  cfg: Wav2vec2Config, ecfg, steps=0, cmvn=None,
+                  span_mask=None, neg_pos=None, gumbels=None):
+    """Wav2vec2Model.forward (wav2vec2_model.py:220-283): subsample →
+    replace masked spans with the TRAINED mask_emb → encoder blocks →
+    InfoNCE against gumbel-quantized unmasked features (negatives from
+    masked positions), + perplexity diversity + features L2.
+
+    span_mask/neg_pos/gumbels inject fixed draws (oracle tests)."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    xs, pos_emb, masks = ssl_subsample(enc_params, feats, feats_lens, ecfg,
+                                       cmvn=cmvn)
+    unmasked_xs = xs
+    B, Tz, _ = xs.shape
+    valid = masks[:, 0, :]
+    if span_mask is None:
+        bcfg = BestRQConfig(mask_prob=cfg.mask_prob,
+                            mask_length=cfg.mask_length)
+        span_mask = make_mask(k1, B, Tz, bcfg) & valid
+    masked_xs = jnp.where(span_mask[..., None],
+                          params['mask_emb'].astype(xs.dtype), xs)
+    _, out = ssl_encoder_blocks(enc_params, masked_xs, masks, pos_emb, ecfg)
+
+    temp = _gumbel_temperature(cfg, steps)
+    quantized, perplexity, _ = gumbel_quantize(params, unmasked_xs, valid,
+                                               k2, temp, cfg,
+                                               gumbels=gumbels)
+    neg_pos = sample_negative_indices(k3, span_mask, cfg.num_negatives,
+                                      neg_pos=neg_pos)
+    closs = contrastive_loss(quantized, out, neg_pos, span_mask,
+                             cfg.contrastive_temperature)
+    sample_size = jnp.maximum(jnp.sum(span_mask), 1)
+    loss = closs
+    G, C = cfg.num_codebooks, cfg.codebook_size
+    diversity = (G * C - perplexity) / (C * G)
+    if cfg.diversity_weight != 0.0:
+        loss = loss + cfg.diversity_weight * diversity * sample_size
+    loss = loss / sample_size
+    features_pen = jnp.mean(unmasked_xs.astype(jnp.float32) ** 2)
+    if cfg.features_regularization_weight != 0.0:
+        loss = loss + cfg.features_regularization_weight * features_pen
+    # reference reports the sample_size-scaled diversity term
+    # (wav2vec2_model.py:262-268)
+    return {'loss': loss, 'loss_contrastive': closs / sample_size,
+            'loss_diversity': diversity * sample_size,
+            'code_ppl': perplexity, 'features_l2': features_pen,
+            'num_masked': jnp.sum(span_mask)}
+
+
+def w2vbert_loss(params, enc_params, feats, feats_lens, rng,
+                 cfg: Wav2vec2Config, bcfg: W2VBertConfig, ecfg, steps=0,
+                 cmvn=None, span_mask=None, neg_pos=None, gumbels=None,
+                 mask_noise=None):
+    """W2VBERTModel.forward (w2vbert_model.py:161-251): ONE encoder pass,
+    contrastive branch tapped after `contrastive_blocks`, mlm branch on the
+    final output; masked spans replaced with random N(0, 0.1) (not a
+    trained mask_emb); mlm targets are the gumbel quantizer's ids; mlm
+    weight warms up 0.1→mlm_weight over warmup_steps."""
     k1, k2, k3, k4 = jax.random.split(rng, 4)
-    Ts = T // cfg.stack_frames
-    stacked = feats[:, :Ts * cfg.stack_frames].reshape(
-        B, Ts, cfg.stack_frames * F)
-    bcfg = BestRQConfig(mask_prob=cfg.mask_prob,
-                        mask_length=cfg.mask_length,
-                        stack_frames=cfg.stack_frames)
-    mask = make_mask(k1, B, T, bcfg)                      # (B,T)
-    noise = jax.random.normal(k2, feats.shape) * 0.1
-    enc_out, enc_mask = encoder_apply(
-        jnp.where(mask[..., None], noise, feats), feats_lens)
-    Tq = min(enc_out.shape[1], Ts)
+    xs, pos_emb, masks = ssl_subsample(enc_params, feats, feats_lens, ecfg,
+                                       cmvn=cmvn)
+    unmasked_xs = xs
+    B, Tz, _ = xs.shape
+    valid = masks[:, 0, :]
+    if span_mask is None:
+        mcfg = BestRQConfig(mask_prob=cfg.mask_prob,
+                            mask_length=cfg.mask_length)
+        span_mask = make_mask(k1, B, Tz, mcfg) & valid
+    if mask_noise is None:
+        mask_noise = jax.random.normal(k2, xs.shape, jnp.float32) * 0.1
+    masked_xs = jnp.where(span_mask[..., None], mask_noise.astype(xs.dtype),
+                          xs)
+    cvec, mvec = ssl_encoder_blocks(enc_params, masked_xs, masks, pos_emb,
+                                    ecfg, split=bcfg.contrastive_blocks)
 
-    q, code_probs = _gumbel_quantize(params, stacked[:, :Tq], k3, cfg)
-    targets = linear(params['proj_q'], q)                  # (B,Tq,Df)
-    context = linear(params['proj_c'], enc_out[:, :Tq])    # (B,Tq,Df)
+    temp = _gumbel_temperature(cfg, steps)
+    quantized, perplexity, targets_idx = gumbel_quantize(
+        params, unmasked_xs, valid, k3, temp, cfg, gumbels=gumbels)
+    neg_pos = sample_negative_indices(k4, span_mask, cfg.num_negatives,
+                                      neg_pos=neg_pos)
+    closs = contrastive_loss(quantized, cvec, neg_pos, span_mask,
+                             cfg.contrastive_temperature)
+    sample_size = jnp.maximum(jnp.sum(span_mask), 1)
+    loss_c = closs
+    G, C = cfg.num_codebooks, cfg.codebook_size
+    diversity = (G * C - perplexity) / (C * G)
+    if cfg.diversity_weight != 0.0:
+        loss_c = loss_c + cfg.diversity_weight * diversity * sample_size
+    loss_c = loss_c / sample_size
+    features_pen = jnp.mean(unmasked_xs.astype(jnp.float32) ** 2)
+    if cfg.features_regularization_weight != 0.0:
+        loss_c = loss_c + cfg.features_regularization_weight * features_pen
 
-    m_sub = mask[:, :Tq * cfg.stack_frames:cfg.stack_frames][:, :Tq]
-    valid = enc_mask[:, 0, :Tq] & m_sub                    # (B,Tq)
+    # mlm branch (w2vbert_model.py:220-235): per-codebook linear heads on
+    # the final output, CE toward the quantizer ids at masked positions
+    logits = jnp.einsum('btd,gdc->bgtc', mvec.astype(jnp.float32),
+                        params['top_n_out'].astype(jnp.float32))
+    if 'top_n_out_bias' in params:
+        logits = logits + params['top_n_out_bias'][None, :, None, :]
+    logp = jax.nn.log_softmax(logits, axis=-1).transpose(0, 2, 1, 3)
+    tok_lp = jnp.take_along_axis(logp, targets_idx[..., None],
+                                 axis=-1)[..., 0]               # (B,T,G)
+    mlm_mask = (valid & span_mask).astype(jnp.float32)
+    loss_mlm = (-jnp.sum(tok_lp * mlm_mask[..., None])
+                / ((jnp.sum(mlm_mask) + 1e-5) * G))
+    num_codes = jnp.maximum(jnp.sum(span_mask) * G, 1)
+    pred = jnp.argmax(logits, axis=-1).transpose(0, 2, 1)       # (B,T,G)
+    codes_acc = jnp.sum((pred == targets_idx)
+                        * span_mask[..., None]) / num_codes
 
-    # Sample cfg.num_negatives distractor positions per anchor from the same
-    # utterance, excluding the positive (wav2vec2_model.py sampled-negative
-    # semantics; negatives whose quantized target equals the positive's are
-    # masked out of the softmax, as in the reference).
-    N = max(int(cfg.num_negatives), 1)
-    neg_idx = jax.random.randint(k4, (B, Tq, N), 0, max(Tq - 1, 1))
-    neg_idx = jnp.where(neg_idx >= jnp.arange(Tq)[None, :, None],
-                        neg_idx + 1, neg_idx) % Tq           # skip positive
-    negs = jax.vmap(lambda tg, idx: tg[idx])(targets, neg_idx)  # (B,Tq,N,Df)
-
-    def unit(v):
-        return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-8)
-
-    cn, tn, nn = unit(context), unit(targets), unit(negs)
-    pos_sim = jnp.einsum('btd,btd->bt', cn, tn)
-    neg_sim = jnp.einsum('btd,btnd->btn', cn, nn)
-    neg_is_pos = jnp.all(
-        jnp.abs(negs - targets[:, :, None]) < 1e-6, axis=-1)  # (B,Tq,N)
-    neg_invalid = ~jax.vmap(lambda v, idx: v[idx])(valid, neg_idx)
-    neg_sim = jnp.where(neg_is_pos | neg_invalid, -jnp.inf, neg_sim)
-    logits = jnp.concatenate([pos_sim[..., None], neg_sim],
-                             axis=-1) / cfg.contrastive_temperature
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    pos_lp = logp[..., 0]
-    denom = jnp.maximum(jnp.sum(valid), 1)
-    contrastive = -jnp.sum(jnp.where(valid, pos_lp, 0.0)) / denom
-    # diversity: maximize softmax-prob entropy per codebook
-    K, C = code_probs.shape
-    entropy = -jnp.sum(code_probs * jnp.log(code_probs + 1e-9), axis=-1)
-    diversity = jnp.sum((jnp.log(C) - entropy) / jnp.log(C))
-    loss = contrastive + cfg.diversity_weight * diversity
-    return {'loss': loss, 'loss_contrastive': contrastive,
-            'loss_diversity': diversity, 'num_masked': jnp.sum(valid)}
-
-
-def w2vbert_loss(params, encoder_apply, feats, feats_lens, rng,
-                 w2v_cfg: Wav2vec2Config, mlm_cfg: BestRQConfig,
-                 mlm_weight: float = 1.0, contrastive_weight: float = 1.0):
-    """W2VBERTModel: contrastive (wav2vec2) + masked-prediction (bestrq)
-    objectives over one shared encoder pass's mask."""
-    k1, k2 = jax.random.split(rng)
-    c = wav2vec2_loss(params, encoder_apply, feats, feats_lens, k1, w2v_cfg)
-    m = bestrq_loss(params, encoder_apply, feats, feats_lens, k2, mlm_cfg)
-    return {'loss': contrastive_weight * c['loss'] + mlm_weight * m['loss'],
-            'loss_contrastive': c['loss_contrastive'],
-            'loss_mlm': m['loss'], 'code_accuracy': m['code_accuracy']}
+    steps = jnp.asarray(steps, jnp.float32)
+    mlm_w = jnp.where(steps >= bcfg.warmup_steps, bcfg.mlm_weight,
+                      0.1 + 0.9 * steps / bcfg.warmup_steps)
+    loss = bcfg.contrastive_weight * loss_c + mlm_w * loss_mlm
+    return {'loss': loss, 'loss_contrastive': closs / sample_size,
+            'loss_diversity': diversity * sample_size, 'loss_mlm': loss_mlm,
+            'code_ppl': perplexity, 'codes_acc': codes_acc,
+            'features_l2': features_pen, 'num_masked': jnp.sum(span_mask)}

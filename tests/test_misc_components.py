@@ -26,10 +26,11 @@ def test_ctl_loss():
         'cat_embs': jnp.array([[1.0, 0.0], [1.0, 0.0]]),
     }
     out = ctl_compute_loss(params, cfg, batch, rng=jax.random.PRNGKey(1),
-                           ctl_weight=0.5,
-                           decoding_chunk_size=4)
+                           ctl_weight=0.5, n_negatives=4)
     assert np.isfinite(float(out['loss']))
     assert float(out['loss_ctl']) >= 0
+    assert np.isfinite(float(out['loss_full']))
+    assert np.isfinite(float(out['loss_chunk']))
 
 
 def test_ctc_activation_more():

@@ -1016,3 +1016,228 @@ def test_in_beam_context_biasing_parity(wenet, tmp_path):
                                    jnp.asarray(lens.numpy()), K)
     assert any(list(got[b].tokens) != list(plain[b].tokens) or
                abs(got[b].score - plain[b].score) > 1e-6 for b in range(B))
+
+
+def test_wav2vec2_forward_parity(wenet):
+    """Full Wav2vec2Model.forward parity (ssl/wav2vec2/wav2vec2_model.py:
+    220-283) on shared weights with injected mask / negative / gumbel draws:
+    contrastive loss, perplexity, diversity, features-L2 and the total."""
+    import torch
+    import jax.numpy as jnp
+    import wenet.ssl.wav2vec2.wav2vec2_model as wm
+    import wenet.ssl.wav2vec2.quantizer as wq
+    from wenet.transformer.encoder import ConformerEncoder
+    import jax
+    from reverb_tpu.models.asr_model import ModelConfig
+    from reverb_tpu.models.ssl import Wav2vec2Config, wav2vec2_loss
+    from tests.test_model_forward import TINY
+
+    torch.manual_seed(13)
+    G, C, N = 2, 16, 5
+    enc = ConformerEncoder(**_TINY_ENC)
+    ref = wm.Wav2vec2Model(
+        encoder=enc, embedding_dim=32, num_embeddings=C, num_codebooks=G,
+        mask_prob=0.3, mask_length=4, min_masks=2, num_negatives=N,
+        features_regularization_weight=0.01, diversity_weight=0.2,
+        contrastive_logits_temperature=0.1)
+    ref.eval()
+
+    rng = np.random.RandomState(1)
+    B, T = 2, 67
+    feats = rng.randn(B, T, 80).astype(np.float32)
+    lens = np.array([T, T - 15], np.int64)
+    Tz = ((T - 1) // 2 - 1) // 2                 # conv2d subsampling4
+    steps = 100
+
+    # shared draws
+    span = rng.rand(B, Tz) < 0.4
+    span[:, :2] = True                           # ≥2 masked per utt
+    valid_np = np.arange(Tz)[None, :] < (((lens - 1) // 2 - 1) // 2)[:, None]
+    span &= valid_np
+    cnt = span.sum(1)
+    rank = np.cumsum(span, 1) - 1
+    i = rng.randint(0, np.maximum(cnt - 1, 1)[:, None, None], (B, Tz, N))
+    i = np.where(i >= rank[..., None], i + 1, i)
+    i = np.minimum(i, np.maximum(cnt, 1)[:, None, None] - 1)
+    order = np.argsort(np.where(span, np.arange(Tz), np.arange(Tz) + Tz),
+                       axis=1, kind='stable')
+    neg_pos = np.take_along_axis(order, i.reshape(B, -1),
+                                 axis=1).reshape(B, Tz, N)
+    gumbels = rng.gumbel(size=(B, Tz, G, C)).astype(np.float32)
+
+    # inject the draws into the reference
+    orig = (wm.compute_mask_indices_v2, wm._sample_negative_indices,
+            wq.gumbel)
+    try:
+        wm.compute_mask_indices_v2 = \
+            lambda *a, **k: torch.from_numpy(span)
+        flat = torch.from_numpy(
+            (neg_pos + (np.arange(B) * Tz)[:, None, None]).reshape(B, -1))
+        wm._sample_negative_indices = lambda *a, **k: flat
+        wq.gumbel = lambda shape, dtype, device: torch.from_numpy(
+            gumbels.reshape(shape))
+        with torch.no_grad():
+            want = ref({'feats': torch.from_numpy(feats),
+                        'feats_lengths': torch.from_numpy(lens),
+                        'steps': steps}, torch.device('cpu'))
+    finally:
+        wm.compute_mask_indices_v2, wm._sample_negative_indices, \
+            wq.gumbel = orig
+
+    conf = {k: (dict(v) if isinstance(v, dict) else v)
+            for k, v in TINY.items()}
+    del conf['dataset_conf']                     # plain (non-LSL) encoder
+    conf['encoder_conf'] = dict(conf['encoder_conf'], dropout_rate=0.0,
+                                positional_dropout_rate=0.0)
+    ecfg = ModelConfig.from_config(conf).encoder
+    cfg = Wav2vec2Config(encoder_output_size=32, num_codebooks=G,
+                         codebook_size=C, embedding_dim=32, mask_prob=0.3,
+                         mask_length=4, num_negatives=N,
+                         features_regularization_weight=0.01,
+                         diversity_weight=0.2)
+    d = cfg.embedding_dim // G
+    params = {
+        'vq_proj': {'weight': jnp.asarray(
+            ref.quantizer.weight_proj.weight.detach().numpy()),
+            'bias': jnp.asarray(
+                ref.quantizer.weight_proj.bias.detach().numpy())},
+        'vq_codebook': jnp.asarray(
+            ref.quantizer.embeddings.detach().numpy().reshape(G, C, d)),
+        'mask_emb': jnp.asarray(ref.mask_emb.detach().numpy()),
+    }
+    got = wav2vec2_loss(
+        params, _to_ours(ref.encoder), jnp.asarray(feats),
+        jnp.asarray(lens.astype(np.int32)), jax.random.PRNGKey(0), cfg,
+        ecfg, steps=steps, span_mask=jnp.asarray(span),
+        neg_pos=jnp.asarray(neg_pos), gumbels=jnp.asarray(gumbels))
+
+    np.testing.assert_allclose(float(got['code_ppl']),
+                               float(want['code_ppl']), rtol=1e-4)
+    np.testing.assert_allclose(float(got['features_l2']),
+                               float(want['features_l2']), rtol=1e-4)
+    np.testing.assert_allclose(float(got['loss_contrastive']),
+                               float(want['loss_contrastive']), rtol=2e-4)
+    np.testing.assert_allclose(float(got['loss_diversity']),
+                               float(want['loss_diversity']), rtol=2e-4)
+    np.testing.assert_allclose(float(got['loss']), float(want['loss']),
+                               rtol=2e-4)
+    print(f"wav2vec2 parity: loss {float(got['loss']):.5f} "
+          f"ppl {float(got['code_ppl']):.3f}")
+
+
+def test_w2vbert_forward_parity(wenet):
+    """Full W2VBERTModel.forward parity (ssl/w2vbert/w2vbert_model.py:
+    161-251): split-stack contrastive + mlm branches, quantizer-id targets,
+    warmup-weighted total, on shared weights and injected draws."""
+    import torch
+    import jax.numpy as jnp
+    import wenet.ssl.w2vbert.w2vbert_model as wb
+    import wenet.ssl.wav2vec2.quantizer as wq
+    from wenet.transformer.encoder import ConformerEncoder
+    from reverb_tpu.models.asr_model import ModelConfig
+    import jax
+    from reverb_tpu.models.ssl import (W2VBertConfig, Wav2vec2Config,
+                                       w2vbert_loss)
+    from tests.test_model_forward import TINY
+
+    torch.manual_seed(17)
+    G, C, N = 1, 16, 4
+    enc = ConformerEncoder(**_TINY_ENC)          # 4 blocks → split 2+2
+    ref = wb.W2VBERTModel(
+        encoder=enc, embedding_dim=32, num_embeddings=C, num_codebooks=G,
+        mask_prob=0.3, mask_length=4, min_masks=2, num_negatives=N,
+        features_regularization_weight=0.01, diversity_weight=0.1,
+        contrastive_blocks=2, masked_blocks=2, contrastive_weight=1.0,
+        mlm_weight=1.0, warmup_steps=1000)
+    ref.eval()
+
+    rng = np.random.RandomState(2)
+    B, T = 2, 67
+    feats = rng.randn(B, T, 80).astype(np.float32)
+    lens = np.array([T, T - 15], np.int64)
+    Tz = ((T - 1) // 2 - 1) // 2
+    steps = 300                                  # inside warmup
+
+    span = rng.rand(B, Tz) < 0.4
+    span[:, :2] = True
+    valid_np = np.arange(Tz)[None, :] < (((lens - 1) // 2 - 1) // 2)[:, None]
+    span &= valid_np
+    cnt = span.sum(1)
+    rank = np.cumsum(span, 1) - 1
+    i = rng.randint(0, np.maximum(cnt - 1, 1)[:, None, None], (B, Tz, N))
+    i = np.where(i >= rank[..., None], i + 1, i)
+    i = np.minimum(i, np.maximum(cnt, 1)[:, None, None] - 1)
+    order = np.argsort(np.where(span, np.arange(Tz), np.arange(Tz) + Tz),
+                       axis=1, kind='stable')
+    neg_pos = np.take_along_axis(order, i.reshape(B, -1),
+                                 axis=1).reshape(B, Tz, N)
+    gumbels = rng.gumbel(size=(B, Tz, G, C)).astype(np.float32)
+    noise = (rng.randn(B, Tz, 32) * 0.1).astype(np.float32)
+
+    orig = (wb.compute_mask_indices_v2, wb._sample_negative_indices,
+            wq.gumbel, wb.W2VBERTModel._apply_mask)
+    try:
+        flat = torch.from_numpy(
+            (neg_pos + (np.arange(B) * Tz)[:, None, None]).reshape(B, -1))
+        wb._sample_negative_indices = lambda *a, **k: flat
+        wq.gumbel = lambda shape, dtype, device: torch.from_numpy(
+            gumbels.reshape(shape))
+
+        def _apply_mask(self, xs, xs_masks):
+            m = torch.from_numpy(span)
+            return torch.where(m.unsqueeze(-1), torch.from_numpy(noise),
+                               xs), m
+        wb.W2VBERTModel._apply_mask = _apply_mask
+        with torch.no_grad():
+            want = ref({'feats': torch.from_numpy(feats),
+                        'feats_lengths': torch.from_numpy(lens),
+                        'steps': steps}, torch.device('cpu'))
+    finally:
+        wb.compute_mask_indices_v2, wb._sample_negative_indices, \
+            wq.gumbel, wb.W2VBERTModel._apply_mask = orig
+
+    conf = {k: (dict(v) if isinstance(v, dict) else v)
+            for k, v in TINY.items()}
+    del conf['dataset_conf']
+    conf['encoder_conf'] = dict(conf['encoder_conf'], dropout_rate=0.0,
+                                positional_dropout_rate=0.0)
+    ecfg = ModelConfig.from_config(conf).encoder
+    cfg = Wav2vec2Config(encoder_output_size=32, num_codebooks=G,
+                         codebook_size=C, embedding_dim=32, mask_prob=0.3,
+                         mask_length=4, num_negatives=N,
+                         features_regularization_weight=0.01,
+                         diversity_weight=0.1)
+    bcfg = W2VBertConfig(contrastive_blocks=2, masked_blocks=2,
+                         contrastive_weight=1.0, mlm_weight=1.0,
+                         warmup_steps=1000)
+    d = cfg.embedding_dim // G
+    params = {
+        'vq_proj': {'weight': jnp.asarray(
+            ref.quantizer.weight_proj.weight.detach().numpy()),
+            'bias': jnp.asarray(
+                ref.quantizer.weight_proj.bias.detach().numpy())},
+        'vq_codebook': jnp.asarray(
+            ref.quantizer.embeddings.detach().numpy().reshape(G, C, d)),
+        'top_n_out': jnp.asarray(ref.encoder_top_n_out.detach().numpy()),
+        'top_n_out_bias': jnp.asarray(
+            ref.encoder_top_n_out_bias.detach().numpy()),
+    }
+    got = w2vbert_loss(
+        params, _to_ours(ref.encoder), jnp.asarray(feats),
+        jnp.asarray(lens.astype(np.int32)), jax.random.PRNGKey(0), cfg,
+        bcfg, ecfg, steps=steps, span_mask=jnp.asarray(span),
+        neg_pos=jnp.asarray(neg_pos), gumbels=jnp.asarray(gumbels),
+        mask_noise=jnp.asarray(noise))
+
+    np.testing.assert_allclose(float(got['code_ppl']),
+                               float(want['code_ppl']), rtol=1e-4)
+    np.testing.assert_allclose(float(got['loss_contrastive']),
+                               float(want['loss_contrastive']), rtol=2e-4)
+    np.testing.assert_allclose(float(got['loss_mlm']),
+                               float(want['loss_mlm']), rtol=2e-4)
+    np.testing.assert_allclose(float(got['codes_acc']),
+                               float(want['codes_acc']), rtol=1e-5)
+    np.testing.assert_allclose(float(got['loss']), float(want['loss']),
+                               rtol=2e-4)
+    print(f"w2vbert parity: loss {float(got['loss']):.5f} mlm "
+          f"{float(got['loss_mlm']):.5f}")

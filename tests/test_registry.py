@@ -132,30 +132,37 @@ def test_wav2vec2_family():
     conf = {'input_dim': 80, 'output_dim': 50, 'encoder': 'conformer',
             'encoder_conf': BASE_ENC, 'decoder': 'transformer',
             'decoder_conf': BASE_DEC, 'model': 'wav2vec2',
-            'wav2vec2_conf': {'codebook_size': 16, 'codebook_dim': 8,
-                              'num_codebooks': 2, 'final_dim': 16,
-                              'mask_prob': 0.2}}
+            'wav2vec2_conf': {'num_embeddings': 16, 'num_codebooks': 2,
+                              'mask_prob': 0.2, 'num_negatives': 10}}
     b = init_model(conf, jax.random.PRNGKey(0))
     batch = _batch()
     out = b.loss_fn(b.params, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(out['loss']))
     assert float(out['num_masked']) > 0
-    # quantizer must receive gradient (trainable VQ, unlike bestrq)
+    assert float(out['code_ppl']) > 0
+    # quantizer must receive gradient (trainable VQ, unlike bestrq); so must
+    # the trained mask embedding
     g = jax.grad(lambda p: b.loss_fn(p, batch,
                                      jax.random.PRNGKey(1))['loss'])(b.params)
     assert float(jnp.abs(g['vq_codebook']).sum()) > 0
+    assert float(jnp.abs(g['mask_emb']).sum()) > 0
 
 
 def test_w2vbert_family():
     conf = {'input_dim': 80, 'output_dim': 50, 'encoder': 'conformer',
             'encoder_conf': BASE_ENC, 'decoder': 'transformer',
             'decoder_conf': BASE_DEC, 'model': 'w2vbert',
-            'wav2vec2_conf': {'codebook_size': 16, 'codebook_dim': 8,
-                              'num_codebooks': 1, 'final_dim': 16,
-                              'mask_prob': 0.2},
-            'bestrq_conf': {'codebook_size': 32, 'codebook_dim': 8,
-                            'mask_prob': 0.2}}
+            'wav2vec2_conf': {'num_embeddings': 16, 'num_codebooks': 1,
+                              'mask_prob': 0.2, 'num_negatives': 10},
+            'w2vbert_conf': {'contrastive_blocks': 1, 'masked_blocks': 1,
+                             'warmup_steps': 10}}
     b = init_model(conf, jax.random.PRNGKey(0))
-    out = b.loss_fn(b.params, _batch(), jax.random.PRNGKey(2))
+    batch = dict(_batch(), steps=5)
+    out = b.loss_fn(b.params, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(out['loss']))
     assert 'loss_mlm' in out and 'loss_contrastive' in out
+    assert float(out['codes_acc']) >= 0
+    # mlm head gets gradient through the masked branch
+    g = jax.grad(lambda p: b.loss_fn(p, batch,
+                                     jax.random.PRNGKey(2))['loss'])(b.params)
+    assert float(jnp.abs(g['top_n_out']).sum()) > 0
