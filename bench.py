@@ -14,9 +14,13 @@ rescorer is included — it is part of the served path.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: BASELINE.json north-star ≥20× real-time per v5e chip.
+
+REVERB_BENCH_INT8=1 benches the int8-PTQ serving path (ops/quant.py)
+instead of bf16 — same mode set, quantized encoder/decoder matmuls.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -82,6 +86,11 @@ def main():
     params['ctc']['ctc_lo']['bias'] = b.at[cfg.blank_id].add(
         jnp.asarray(bias, b.dtype))
 
+    use_int8 = os.environ.get('REVERB_BENCH_INT8', '0') == '1'
+    if use_int8:
+        from reverb_tpu.ops.quant import quantize_params_int8
+        params = quantize_params_int8(params)
+
     def pipeline(wave):
         """The served path: device fbank+encoder+beam, host nbest packing,
         one batched rescoring dispatch."""
@@ -108,7 +117,8 @@ def main():
     print(json.dumps({
         'metric': 'long-form ASR throughput (xRT, fbank+encoder+CTC prefix '
                   'beam[blank-skip]+attention rescoring — the headline-WER '
-                  'mode set, flagship model, bf16)',
+                  f'mode set, flagship model, '
+                  f'{"int8 PTQ" if use_int8 else "bf16"})',
         'value': round(rtf, 2),
         'unit': 'x realtime per chip',
         'vs_baseline': round(rtf / 20.0, 2),

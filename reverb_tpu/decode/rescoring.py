@@ -218,8 +218,14 @@ def attention_rescoring(params, cfg: ModelConfig,
         best = int(np.argmax(total[b]))
         n = int(lens[b, best])
         tc = [math.exp(float(x)) for x in tok_logp[b, best, :n]]
+        # rescored-order nbest: the same hypothesis set the beam produced,
+        # re-ranked by combined (attention + ctc_weight·ctc) score
+        order = [i for i in np.argsort(-total[b]) if row_valid[b, i]]
         results.append(DecodeResult(
             tokens=pre.nbest[best], score=float(total[b, best]),
             confidence=float(confidences[b, best]),
-            times=pre.nbest_times[best], tokens_confidence=tc))
+            times=pre.nbest_times[best], tokens_confidence=tc,
+            nbest=[pre.nbest[i] for i in order],
+            nbest_scores=[float(total[b, i]) for i in order],
+            nbest_times=[pre.nbest_times[i] for i in order]))
     return results

@@ -1,0 +1,84 @@
+"""Flagship train-step timing + MFU on the attached TPU.
+
+MFU = (XLA-reported FLOPs of the compiled train step) / (step time × peak).
+Peak bf16 matmul throughput per v5e chip: 197 TFLOP/s (public spec).
+
+Run: python tools/bench_train_mfu.py  (needs the axon TPU; prints one JSON
+line like bench.py).
+"""
+
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reverb_tpu.models.asr_model import ModelConfig, init_params
+from reverb_tpu.models.presets import reverb_large
+from reverb_tpu.train.trainer import TrainConfig, build_optimizer, \
+    make_train_step
+
+PEAK_FLOPS = {'tpu v5 lite': 197e12, 'tpu v5e': 197e12,
+              'tpu v4': 275e12, 'tpu v6e': 918e12}
+
+
+def main():
+    dev = jax.devices()[0]
+    conf = reverb_large()
+    conf['dtype'] = 'bf16'
+    cfg = ModelConfig.from_config(conf)
+    tc = TrainConfig.from_config(dict(conf, grad_clip=50.0))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+    B, T, L = 16, 512, 24
+    rng = np.random.RandomState(0)
+    batch = {
+        'feats': jnp.asarray(rng.randn(B, T, 80), jnp.float32),
+        'feats_lengths': jnp.full((B,), T, jnp.int32),
+        'target': jnp.asarray(rng.randint(1, cfg.vocab_size - 2, (B, L)),
+                              jnp.int32),
+        'target_lengths': jnp.full((B,), L, jnp.int32),
+        'cat_embs': jnp.tile(jnp.array([[1.0, 0.0]], jnp.float32), (B, 1)),
+    }
+    tx, _ = build_optimizer(tc, params)
+    opt_state = tx.init(params)
+    step_fn = jax.jit(
+        make_train_step(cfg, tx, accum_grad=tc.accum_grad,
+                        grad_clip=tc.grad_clip),
+        donate_argnums=(0, 1))
+
+    lowered = step_fn.lower(params, opt_state, batch,
+                            jnp.zeros((), jnp.int32), jax.random.PRNGKey(1))
+    compiled = lowered.compile()
+    flops = compiled.cost_analysis()['flops']
+
+    key = jax.random.PRNGKey(1)
+    params, opt_state, m = step_fn(params, opt_state, batch,
+                                   jnp.zeros((), jnp.int32), key)
+    float(m['loss'])                 # sync (axon block_until_ready is lazy)
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, m = step_fn(params, opt_state, batch,
+                                       jnp.asarray(i, jnp.int32), key)
+    loss = float(m['loss'])          # materialize → all steps complete
+    dt = (time.perf_counter() - t0) / iters
+
+    kind = getattr(dev, 'device_kind', '').lower()
+    peak = next((v for k, v in PEAK_FLOPS.items() if k in kind), 197e12)
+    mfu = flops / dt / peak
+    print(json.dumps({
+        'metric': f'flagship train step ({n_params/1e6:.0f}M params, '
+                  f'B={B}x{T} frames, bf16 AMP, adam+clip)',
+        'value': round(dt * 1e3, 1), 'unit': 'ms/step',
+        'model_flops_per_step': flops,
+        'mfu': round(mfu, 3), 'device': getattr(dev, 'device_kind', '?'),
+        'loss': loss,
+    }))
+
+
+if __name__ == '__main__':
+    main()
