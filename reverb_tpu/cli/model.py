@@ -19,7 +19,8 @@ from reverb_tpu.decode.greedy import ctc_greedy_search
 from reverb_tpu.decode.prefix_beam import ctc_prefix_beam_search
 from reverb_tpu.decode.rescoring import attention_rescoring
 from reverb_tpu.decode.results import DecodeResult
-from reverb_tpu.frontend.fbank import FbankConfig, compute_fbank, num_frames
+from reverb_tpu.frontend.fbank import (FbankConfig,
+    compute_fbank_compiled, num_frames)
 from reverb_tpu.models import ctc as ctc_mod
 from reverb_tpu.models.asr_model import ModelConfig
 from reverb_tpu.models.encoder import (encoder_forward_chunk,
@@ -87,9 +88,11 @@ class StreamingASR:
             wave = self._pcm[start:]
             n_new = num_frames(len(wave), self.fbank_cfg)
             if n_new > 0:
-                new = np.asarray(compute_fbank(jnp.asarray(wave),
-                                               self.fbank_cfg,
-                                               n_frames=n_new))
+                # one compiled program per padded shape (eager op-by-op
+                # fbank costs a device round-trip PER OP — fatal over a
+                # remote-TPU link)
+                new = np.asarray(compute_fbank_compiled(
+                    wave, self.fbank_cfg, n_frames=n_new))
                 self._feat_buf = np.concatenate([self._feat_buf, new])
         # run encoder windows while enough frames are buffered
         while self._feat_buf.shape[0] - self._consumed_frames >= self.window:

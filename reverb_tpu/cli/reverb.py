@@ -34,7 +34,8 @@ from reverb_tpu.decode.api import decode as decode_modes_fn
 from reverb_tpu.decode.results import DecodeResult
 from reverb_tpu.frontend.audio import load_for_asr
 from reverb_tpu.frontend.cmvn import load_cmvn
-from reverb_tpu.frontend.fbank import FbankConfig, compute_fbank, num_frames
+from reverb_tpu.frontend.fbank import (FbankConfig,
+    compute_fbank_compiled, num_frames)
 from reverb_tpu.models.asr_model import ModelConfig, init_params
 from reverb_tpu.convert.torch_ckpt import (check_param_compat,
                                            load_reverb_checkpoint, load_npz)
@@ -140,7 +141,7 @@ class ReverbASR:
         """Full-file fbank (T, M). Audio decode on host, fbank on device."""
         wave = load_for_asr(audio_file, resample_rate)
         T = num_frames(len(wave), self.fbank)
-        feats = compute_fbank(jnp.asarray(wave), self.fbank, n_frames=T)
+        feats = compute_fbank_compiled(wave, self.fbank, n_frames=T)
         return np.asarray(feats)
 
     def feats_batcher(self, feats: np.ndarray, chunk_size: int,

@@ -200,6 +200,36 @@ def compute_fbank_batch(waves: jax.Array, cfg: FbankConfig = FbankConfig()
     return jax.vmap(lambda w: compute_fbank(w, cfg))(waves)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _compute_fbank_jit(wave, cfg: FbankConfig, n_frames: int):
+    return compute_fbank(wave, cfg, n_frames)
+
+
+def compute_fbank_compiled(wave, cfg: FbankConfig = FbankConfig(),
+                           n_frames: int | None = None,
+                           pad_to: int = 16000) -> jax.Array:
+    """Jit-compiled fbank with a bounded compile count.
+
+    `compute_fbank` called bare runs every op EAGERLY — one device dispatch
+    per op, which over a remote-TPU link costs seconds per call.  This
+    wrapper (a) jits the whole kernel into one program and (b) pads the
+    wave to a multiple of `pad_to` samples so arbitrary audio lengths hit a
+    small set of compiled shapes; the true frame count is sliced off the
+    padded result (frames [0, n) read only samples [0, len(wave)), so
+    padding zeros never affect them).
+    """
+    wave = np.asarray(wave, np.float32)
+    n = num_frames(len(wave), cfg) if n_frames is None else n_frames
+    L = max(int(-(-max(len(wave), 1) // pad_to)) * pad_to, pad_to)
+    if L != len(wave):
+        wpad = np.zeros((L,), np.float32)
+        wpad[:len(wave)] = wave
+    else:
+        wpad = wave
+    out = _compute_fbank_jit(jnp.asarray(wpad), cfg, num_frames(L, cfg))
+    return out[:n]
+
+
 @functools.lru_cache(maxsize=8)
 def dct_matrix(num_ceps: int, num_mel_bins: int) -> np.ndarray:
     """(num_mel_bins, num_ceps) kaldi DCT-II basis: ortho-normalized rows,

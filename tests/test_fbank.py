@@ -200,3 +200,22 @@ def test_native_fbank_vs_golden():
         got = native.fbank(wave)
         assert got.shape == golden.shape
         np.testing.assert_allclose(got, golden, atol=1e-3, rtol=1e-4)
+
+
+def test_compute_fbank_compiled_matches_eager():
+    """compute_fbank_compiled (jitted, wave padded to a shape bucket)
+    matches the eager kernel for lengths straddling the bucket.  Not
+    bit-exact: a different static shape changes XLA's f32 reduction order
+    in the spectrum/mel matmuls (~4e-4 log-mel — same order as the kaldi
+    oracle tolerance)."""
+    import jax.numpy as jnp
+    from reverb_tpu.frontend.fbank import (FbankConfig, compute_fbank,
+                                           compute_fbank_compiled)
+    cfg = FbankConfig()
+    rng = np.random.RandomState(0)
+    for n in (400, 10240, 16000, 16001, 30000):
+        wave = (rng.randn(n) * 1000).astype(np.float32)
+        want = np.asarray(compute_fbank(jnp.asarray(wave), cfg))
+        got = np.asarray(compute_fbank_compiled(wave, cfg))
+        assert got.shape == want.shape, n
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)

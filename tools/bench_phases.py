@@ -61,10 +61,12 @@ def main():
         jnp.asarray(bias, b.dtype))
 
     def sync(tree):
-        jax.block_until_ready(tree)
-        # axon block_until_ready can return early; fetch one value
+        # fetch ONE scalar element: forces completion (axon
+        # block_until_ready can return early) without pulling the full
+        # tensor through the remote-TPU tunnel — the real pipeline keeps
+        # these arrays on device between programs
         leaf = jax.tree.leaves(tree)[0]
-        np.asarray(jax.device_get(leaf)).ravel()[:1]
+        float(leaf[(0,) * leaf.ndim].astype(jnp.float32))
         return tree
 
     phases = {}

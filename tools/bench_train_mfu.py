@@ -18,7 +18,7 @@ import numpy as np
 from reverb_tpu.models.asr_model import ModelConfig, init_params
 from reverb_tpu.models.presets import reverb_large
 from reverb_tpu.train.trainer import TrainConfig, build_optimizer, \
-    make_train_step
+    make_train_step, train_prng_key
 
 PEAK_FLOPS = {'tpu v5 lite': 197e12, 'tpu v5e': 197e12,
               'tpu v4': 275e12, 'tpu v6e': 918e12}
@@ -51,11 +51,11 @@ def main():
         donate_argnums=(0, 1))
 
     lowered = step_fn.lower(params, opt_state, batch,
-                            jnp.zeros((), jnp.int32), jax.random.PRNGKey(1))
+                            jnp.zeros((), jnp.int32), train_prng_key(1))
     compiled = lowered.compile()
     flops = compiled.cost_analysis()['flops']
 
-    key = jax.random.PRNGKey(1)
+    key = train_prng_key(1)      # rbg on TPU (threefry masks are VPU-bound)
     params, opt_state, m = step_fn(params, opt_state, batch,
                                    jnp.zeros((), jnp.int32), key)
     float(m['loss'])                 # sync (axon block_until_ready is lazy)
