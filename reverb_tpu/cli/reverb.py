@@ -69,6 +69,8 @@ class ReverbASR:
                  quantize: str = 'none',
                  gpu: int = -1):
         del gpu  # accepted for API parity; device selection is JAX's
+        from reverb_tpu.export.aot import maybe_enable_default_cache
+        maybe_enable_default_cache()
         self.checkpoint = checkpoint
         with open(config) as f:
             self.configs = yaml.safe_load(f)

@@ -27,6 +27,30 @@ def enable_persistent_cache(cache_dir: str):
     jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 
 
+def maybe_enable_default_cache():
+    """Opt-out persistent compile cache for CLI/serving entry points.
+
+    Serving compiles are expensive (tens of seconds per program shape, and
+    the remote-TPU compile service degrades under repeated heavy load), so
+    model-loading entry points default the XLA persistent cache ON at
+    ``~/.cache/reverb/xla``.  Override the directory with
+    ``REVERB_XLA_CACHE_DIR``; set it to ``''`` or ``0`` to disable.
+    Returns the cache dir in effect, or None when disabled/unavailable.
+    """
+    d = os.environ.get('REVERB_XLA_CACHE_DIR',
+                       os.path.join(os.path.expanduser('~'),
+                                    '.cache', 'reverb', 'xla'))
+    if d in ('', '0', 'none'):
+        return None
+    try:
+        enable_persistent_cache(d)
+    except Exception as e:  # cache is an optimization, never fatal
+        import logging
+        logging.warning('persistent compile cache unavailable: %s', e)
+        return None
+    return d
+
+
 def export_serving_functions(params, model_config,
                              chunk_size: int = 16,
                              num_left_chunks: int = 16,

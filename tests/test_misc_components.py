@@ -110,6 +110,20 @@ def test_aot_export():
     assert ctc.shape[-1] == 50
 
 
+def test_default_persistent_cache_env(tmp_path, monkeypatch):
+    """maybe_enable_default_cache: env dir wins, empty env disables, and the
+    jax config actually points at the chosen directory afterwards."""
+    import os
+    from reverb_tpu.export.aot import maybe_enable_default_cache
+    monkeypatch.setenv('REVERB_XLA_CACHE_DIR', '')
+    assert maybe_enable_default_cache() is None
+    d = str(tmp_path / 'xla_cache')
+    monkeypatch.setenv('REVERB_XLA_CACHE_DIR', d)
+    assert maybe_enable_default_cache() == d
+    assert os.path.isdir(d)
+    assert jax.config.jax_compilation_cache_dir == d
+
+
 def test_stablehlo_serialized_export_roundtrip(tmp_path):
     """serialize_serving_functions writes portable .stablehlo artifacts that
     reload into callables matching the live functions exactly (the ONNX-file
