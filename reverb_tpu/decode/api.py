@@ -93,13 +93,16 @@ def _fused_rescoring_program(params, cfg: ModelConfig, feats, feats_lens,
         pb.ctc_prefix_beam_search_device_topk.__wrapped__(
             tk_logp, tk_idx, blank_lp, encoder_lens, beam_size, cfg.blank_id,
             max_hyp_len, blank_skip_threshold, keep_cap, ctx_tables)
-    lens_c = jnp.minimum(plens, max_hyp_len).astype(jnp.int32)
+    # the beam may emit a narrower prefix buffer than max_hyp_len (the scan
+    # length bounds the prefix length under blank-skip)
+    cap_L = prefixes.shape[2]
+    lens_c = jnp.minimum(plens, cap_L).astype(jnp.int32)
     # device-side length bucketing: the rescorer's cost is proportional to
     # the PADDED hyp length, and real nbests are far shorter than the static
     # max_hyp_len cap.  lax.switch compiles one branch per bucket and runs
     # only the smallest bucket that fits this batch's longest hyp — single
     # dispatch, bucketed compute.
-    buckets = [b for b in (32, 64, 128) if b < max_hyp_len] + [max_hyp_len]
+    buckets = [b for b in (32, 64, 128) if b < cap_L] + [cap_L]
     lmax = jnp.max(lens_c)
     branch_idx = sum((lmax > b).astype(jnp.int32) for b in buckets[:-1])
 
@@ -108,7 +111,7 @@ def _fused_rescoring_program(params, cfg: ModelConfig, feats, feats_lens,
             att, r_att, tl = rs._rescore_device_all.__wrapped__(
                 params, cfg, prefixes[:, :, :Lb], lens_c, encoder_out,
                 reverse_weight, cat_embs, encoder_lens)
-            pad = [(0, 0), (0, 0), (0, max_hyp_len - Lb)]
+            pad = [(0, 0), (0, 0), (0, cap_L - Lb)]
             return att, r_att, jnp.pad(tl, pad)
         return br
 

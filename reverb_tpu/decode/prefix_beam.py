@@ -34,7 +34,9 @@ import numpy as np
 
 from reverb_tpu.decode.results import DecodeResult
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = -1e30   # python float: weakly typed in jnp ops (stays f32), and
+                  # closable over inside Pallas kernels (ops/beam_scan.py —
+                  # pallas_call rejects captured array constants)
 # rolling-hash multipliers (odd → bijective mod 2^32)
 _MULT1 = np.uint32(0x9E3779B1)
 _MULT2 = np.uint32(0x85EBCA77)
@@ -115,8 +117,32 @@ def _child_hash(h1, h2, u):
     return (h1 * _MULT1 + uu, h2 * _MULT2 + uu)
 
 
+def _iter_topk(totals, K: int):
+    """Exact top-k indices by K rounds of (max, first-argmax, mask) — the
+    same values/tie order as `lax.top_k` (ties resolve to the lower index),
+    built only from elementwise ops + lane reductions so it lowers inside a
+    Pallas kernel (Mosaic has no sort).  Returns (values, indices)."""
+    n = totals.shape[-1]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    picked = jnp.zeros(totals.shape, bool)
+    neg_inf = jnp.array(-jnp.inf, totals.dtype)
+    vals, idxs = [], []
+    for _ in range(K):
+        cand = jnp.where(picked, neg_inf, totals)
+        mx = jnp.max(cand, axis=-1)
+        # first (lowest-index) unpicked maximum — `picked` is tracked
+        # separately from the values so genuine -inf entries stay pickable
+        # in index order, exactly like lax.top_k
+        amx = jnp.min(jnp.where(~picked & (cand == mx[..., None]), pos, n),
+                      axis=-1).astype(jnp.int32)
+        vals.append(mx)
+        idxs.append(amx)
+        picked = picked | (pos == amx[..., None])
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int,
-          ctx_tables=None):
+          ctx_tables=None, top_k_fn=jax.lax.top_k):
     """One frame update. inputs = (topk_logp (K2,), topk_idx (K2,), t, valid,
     blank_acc, has_skip).  Returns (new_state, StepEmit).
 
@@ -124,7 +150,10 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int,
     context biasing (search.py:169-218): extends advance the per-beam trie
     state and add the bonus to the PRUNING totals; keeps carry state/bonus
     unchanged (the trie state is a pure function of the prefix, so a merged
-    keep+extend entry gets the same state from either path)."""
+    keep+extend entry gets the same state from either path).
+
+    top_k_fn: the second-beam-prune top-k; `_iter_topk` when running inside
+    the Pallas kernel (ops/beam_scan.py), identical values + tie order."""
     topk_logp, topk_idx, t, valid, blank_acc, has_skip = inputs
     beam_ix = jnp.arange(K, dtype=jnp.int32)
     orig_state = state      # frozen steps must be TRUE no-ops (no fold)
@@ -193,10 +222,17 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int,
              (~dead)[None] & live_keep[:, None, None])   # (K, K, K2)
     matched_to_ext = jnp.any(match, axis=(1, 2))         # keep i absorbed?
     has_m = jnp.any(match, axis=0)                       # (K, K2)
-    m_idx = jnp.argmax(match, axis=0).astype(jnp.int32)  # (K, K2) keep index
+    # keep prefixes are pairwise distinct, so each extend column matches AT
+    # MOST one keep row — a masked sum selects it exactly (no argmax+gather;
+    # also required for the Pallas lowering, which has no argmax)
+    m_idx = jnp.sum(jnp.where(
+        match, jnp.arange(K, dtype=jnp.int32)[:, None, None], 0),
+        axis=0)                                          # (K, K2) keep index
 
     def at_m(v):
-        return jnp.where(has_m, _take1(v, m_idx), NEG_INF)
+        sel = jnp.sum(jnp.where(match, v[:, None, None], jnp.zeros((), v.dtype)),
+                      axis=0)
+        return jnp.where(has_m, sel, NEG_INF)
 
     mrg_s = at_m(keep_s)
     mrg_ns = _log_add(ext_ns, at_m(keep_ns))
@@ -225,7 +261,7 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int,
 
     # ---- second beam prune over K·K2 extend + K keep candidates ----
     totals = jnp.concatenate([ext_prune.reshape(-1), keep_prune])
-    top_total, top_idx = jax.lax.top_k(totals, K)
+    top_total, top_idx = top_k_fn(totals, K)
     del top_total
     is_ext = top_idx < K * K2
     j = jnp.where(is_ext, top_idx // K2, 0)              # extend parent
@@ -385,6 +421,59 @@ def _search_one(ctc_topk_logp, ctc_topk_idx, num_t, K: int, blank_id: int,
     return prefixes, state.plen[order], total[order], times
 
 
+def _use_beam_kernel() -> bool:
+    """Pallas whole-scan kernel eligibility (ops/beam_scan.py): gated like
+    the other Pallas kernels; REVERB_TPU_NO_BEAM_KERNEL=1 disables just
+    this one (falls back to the lax.scan formulation)."""
+    import os
+    if os.environ.get('REVERB_TPU_NO_BEAM_KERNEL', '') not in ('', '0'):
+        return False
+    from reverb_tpu.ops.flash_attention import use_pallas_enabled
+    return use_pallas_enabled()
+
+
+def _search_batched(topk_logp, topk_idx, num_t, K: int, blank_id: int,
+                    L: int, ts=None, blank_acc=None, has_skip=None,
+                    tail_acc=None, ctx_tables=None, interpret=None):
+    """Batched search over (B,T,K2) inputs: the Pallas whole-scan kernel
+    when eligible (no context biasing), else the vmapped lax.scan path.
+    `ts`/`blank_acc`/`has_skip` are (B,T) (from `_compress_blanks`), or None
+    for the dense path.  Returns (prefixes, plens, scores, times)."""
+    if ctx_tables is None and (interpret or _use_beam_kernel()):
+        from reverb_tpu.ops.beam_scan import beam_scan_forward
+        if interpret is None:
+            interpret = jax.default_backend() != 'tpu'
+        interpret = bool(interpret)
+        B, T, _ = topk_logp.shape
+        valid = jnp.arange(T, dtype=jnp.int32)[None, :] < num_t[:, None]
+        if ts is None:
+            ts = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+            blank_acc = jnp.zeros((B, T), jnp.float32)
+            has_skip = jnp.zeros((B, T), bool)
+        final, em = beam_scan_forward(topk_logp, topk_idx, ts, valid,
+                                      blank_acc, has_skip, K, blank_id,
+                                      interpret)
+        total = _log_add(final['s'], final['ns'])
+        if tail_acc is not None:
+            total = total + tail_acc[:, None]
+        order = jnp.argsort(-total, axis=-1).astype(jnp.int32)
+        sel_ns = jnp.take_along_axis(~(final['v_s'] > final['v_ns']), order,
+                                     axis=-1)
+        from reverb_tpu.ops.beam_scan import beam_backtrace
+        prefixes, times = beam_backtrace(em, order, sel_ns, L, interpret)
+        plens = jnp.take_along_axis(final['plen'], order, axis=-1)
+        return (prefixes, plens, jnp.take_along_axis(total, order, axis=-1),
+                times)
+    if ts is None:
+        fn = jax.vmap(lambda lp, ix, n: _search_one(
+            lp, ix, n, K, blank_id, L, ctx_tables=ctx_tables))
+        return fn(topk_logp, topk_idx, num_t)
+    fn = jax.vmap(lambda lp, ix, n, tss, acc, hs, tail: _search_one(
+        lp, ix, n, K, blank_id, L, tss, acc, hs, tail,
+        ctx_tables=ctx_tables))
+    return fn(topk_logp, topk_idx, num_t, ts, blank_acc, has_skip, tail_acc)
+
+
 def _compress_blanks(p_blank, ctc_lens, threshold: float, keep_cap: int):
     """Select frames with p(blank) ≤ threshold; fold each skipped run's
     blank log-mass into the next kept frame (exact for the keep entries; the
@@ -441,14 +530,16 @@ def ctc_prefix_beam_search_device_topk(topk_logp, topk_idx, blank_logp,
     topk_idx = topk_idx.astype(jnp.int32)
     if blank_skip_threshold > 0.0:
         cap = keep_cap or T
+        # a prefix grows by at most one token per kept frame, so the scan
+        # length bounds the prefix length — shrinking L shrinks the (B,K,L)
+        # result buffers the host fetches (the tunnel fetch is a measurable
+        # share of the serving beam phase)
+        L = min(L, cap)
         ts, n_keep, blank_acc, has_skip, tail_acc = _compress_blanks(
             blank_logp.astype(jnp.float32), ctc_lens,
             blank_skip_threshold, cap)
         g_logp = jnp.take_along_axis(topk_logp, ts[..., None], axis=1)
         g_idx = jnp.take_along_axis(topk_idx, ts[..., None], axis=1)
-        fn = jax.vmap(lambda lp, ix, n, tss, acc, hs, tail: _search_one(
-            lp, ix, n, beam_size, blank_id, L, tss, acc, hs, tail,
-            ctx_tables=ctx_tables))
         # scan-length bucketing: the sequential scan always runs the STATIC
         # cap steps; on real speech (~75% blank-top frames) only ~cap/2 are
         # kept, so run the half-length branch when the batch's max kept
@@ -458,17 +549,18 @@ def ctc_prefix_beam_search_device_topk(topk_logp, topk_idx, blank_logp,
         if half >= 16:
             def _br(Tb):
                 def br(_):
-                    return fn(g_logp[:, :Tb], g_idx[:, :Tb],
-                              jnp.minimum(n_keep, Tb), ts[:, :Tb],
-                              blank_acc[:, :Tb], has_skip[:, :Tb], tail_acc)
+                    return _search_batched(
+                        g_logp[:, :Tb], g_idx[:, :Tb],
+                        jnp.minimum(n_keep, Tb), beam_size, blank_id, L,
+                        ts[:, :Tb], blank_acc[:, :Tb], has_skip[:, :Tb],
+                        tail_acc, ctx_tables)
                 return br
             idx = (jnp.max(n_keep) > half).astype(jnp.int32)
             return jax.lax.switch(idx, [_br(half), _br(cap)], 0)
-        return fn(g_logp, g_idx, n_keep, ts, blank_acc, has_skip, tail_acc)
-    fn = jax.vmap(lambda lp, ix, n: _search_one(lp, ix, n, beam_size,
-                                                blank_id, L,
-                                                ctx_tables=ctx_tables))
-    return fn(topk_logp, topk_idx, ctc_lens)
+        return _search_batched(g_logp, g_idx, n_keep, beam_size, blank_id, L,
+                               ts, blank_acc, has_skip, tail_acc, ctx_tables)
+    return _search_batched(topk_logp, topk_idx, ctc_lens, beam_size,
+                           blank_id, L, ctx_tables=ctx_tables)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
