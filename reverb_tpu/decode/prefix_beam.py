@@ -429,7 +429,10 @@ def _use_beam_kernel() -> bool:
     if os.environ.get('REVERB_TPU_NO_BEAM_KERNEL', '') not in ('', '0'):
         return False
     from reverb_tpu.ops.flash_attention import use_pallas_enabled
-    return use_pallas_enabled()
+    if not use_pallas_enabled():
+        return False
+    from reverb_tpu.ops.beam_scan import kernel_available
+    return kernel_available()
 
 
 def _search_batched(topk_logp, topk_idx, num_t, K: int, blank_id: int,

@@ -85,6 +85,39 @@ def _kernel(logp_ref, idx_ref, ts_ref, valid_ref, bacc_ref, hskip_ref,
     fin_plen_ref[...] = new_state.plen
 
 
+_KERNEL_OK = None
+
+
+def kernel_available() -> bool:
+    """One-time probe: compile+run both kernels on tiny shapes on the real
+    backend.  A Mosaic lowering regression then degrades to the lax.scan
+    path instead of crashing the serving pipeline (the kernels are
+    interpret-verified in CI, but TPU lowering support can differ)."""
+    global _KERNEL_OK
+    if _KERNEL_OK is None:
+        try:
+            B, T, K2, K = 2, 4, 3, 3
+            logp = jnp.zeros((B, T, K2), jnp.float32)
+            idx = jnp.zeros((B, T, K2), jnp.int32)
+            ts = jnp.zeros((B, T), jnp.int32)
+            on = jnp.ones((B, T), bool)
+            acc = jnp.zeros((B, T), jnp.float32)
+            final, em = beam_scan_forward(logp, idx, ts, on, acc,
+                                          jnp.zeros((B, T), bool), K, 0,
+                                          False)
+            order = jnp.zeros((B, K), jnp.int32)
+            pre, tim = beam_backtrace(em, order, jnp.zeros((B, K), bool),
+                                      T, False)
+            jax.block_until_ready((final['plen'], pre, tim))
+            _KERNEL_OK = True
+        except Exception as e:      # noqa: BLE001 — any lowering failure
+            import logging
+            logging.warning('beam_scan Pallas kernel unavailable '
+                            '(falling back to lax.scan): %s', e)
+            _KERNEL_OK = False
+    return _KERNEL_OK
+
+
 def _bt_kernel(order_ref, selns_ref, pfx_parent_ref, pfx_tok_ref,
                pfx_wpos_ref, s_src_beam_ref, s_src_is_ns_ref,
                ns_src_beam_ref, ns_src_is_ns_ref, ns_wpos_ref, wval_ref,
