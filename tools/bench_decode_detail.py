@@ -77,11 +77,25 @@ def main():
     d = {}
     keep_cap = tk_logp.shape[1] // 2
 
-    # beam: device program alone, then host unpack alone
-    beam_dev, beam_out = _t(lambda: sync(pb.ctc_prefix_beam_search_device_topk(
-        tk_logp, tk_idx, blank_lp, encoder_lens, BEAM, cfg.blank_id, 0,
-        SKIP, keep_cap, None)))
+    # beam: device program alone (Pallas kernel vs lax.scan), then host
+    # unpack alone
+    import os
+
+    def run_beam():
+        return sync(pb.ctc_prefix_beam_search_device_topk(
+            tk_logp, tk_idx, blank_lp, encoder_lens, BEAM, cfg.blank_id, 0,
+            SKIP, keep_cap, None))
+
+    beam_dev, beam_out = _t(run_beam)
     d['beam_device'] = round(beam_dev, 4)
+    d['beam_kernel_used'] = bool(pb._use_beam_kernel())
+    if d['beam_kernel_used']:
+        os.environ['REVERB_TPU_NO_BEAM_KERNEL'] = '1'
+        pb.ctc_prefix_beam_search_device_topk.clear_cache()
+        beam_scan, _ = _t(run_beam)
+        d['beam_device_lax_scan'] = round(beam_scan, 4)
+        os.environ['REVERB_TPU_NO_BEAM_KERNEL'] = ''
+        pb.ctc_prefix_beam_search_device_topk.clear_cache()
     d['beam_host_unpack'], prefix = _t(
         lambda: pb._pack_results(*beam_out))
     d['beam_host_unpack'] = round(d['beam_host_unpack'], 4)
