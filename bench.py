@@ -30,6 +30,12 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    # persistent XLA compile cache: repeat bench runs (and the round-end
+    # driver) reload compiled programs instead of re-stressing the remote
+    # compile service
+    from reverb_tpu.export.aot import maybe_enable_default_cache
+    maybe_enable_default_cache()
+
     from reverb_tpu.decode.api import decode
     from reverb_tpu.frontend.fbank import FbankConfig, compute_fbank_batch
     from reverb_tpu.models.asr_model import ModelConfig, init_params
