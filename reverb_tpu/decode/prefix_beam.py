@@ -513,12 +513,13 @@ def _compress_blanks(p_blank, ctc_lens, threshold: float, keep_cap: int):
     return ts, n_keep_c, blank_acc, has_skip, tail_acc
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 10))
 def ctc_prefix_beam_search_device_topk(topk_logp, topk_idx, blank_logp,
                                        ctc_lens, beam_size: int,
                                        blank_id: int = 0, max_tokens: int = 0,
                                        blank_skip_threshold: float = 0.0,
-                                       keep_cap: int = 0, ctx_tables=None):
+                                       keep_cap: int = 0, ctx_tables=None,
+                                       compact_out: bool = False):
     """Batched device-side search from precomputed per-frame top-k.
 
     topk_logp (B,T,K2) f32 / topk_idx (B,T,K2) i32: each frame's top-k CTC
@@ -552,25 +553,40 @@ def ctc_prefix_beam_search_device_topk(topk_logp, topk_idx, blank_logp,
         if half >= 16:
             def _br(Tb):
                 def br(_):
-                    return _search_batched(
+                    return _compact(_search_batched(
                         g_logp[:, :Tb], g_idx[:, :Tb],
                         jnp.minimum(n_keep, Tb), beam_size, blank_id, L,
                         ts[:, :Tb], blank_acc[:, :Tb], has_skip[:, :Tb],
-                        tail_acc, ctx_tables)
+                        tail_acc, ctx_tables), compact_out)
                 return br
             idx = (jnp.max(n_keep) > half).astype(jnp.int32)
             return jax.lax.switch(idx, [_br(half), _br(cap)], 0)
-        return _search_batched(g_logp, g_idx, n_keep, beam_size, blank_id, L,
-                               ts, blank_acc, has_skip, tail_acc, ctx_tables)
-    return _search_batched(topk_logp, topk_idx, ctc_lens, beam_size,
-                           blank_id, L, ctx_tables=ctx_tables)
+        return _compact(_search_batched(
+            g_logp, g_idx, n_keep, beam_size, blank_id, L,
+            ts, blank_acc, has_skip, tail_acc, ctx_tables), compact_out)
+    return _compact(_search_batched(topk_logp, topk_idx, ctc_lens, beam_size,
+                                    blank_id, L, ctx_tables=ctx_tables),
+                    compact_out)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _compact(out, compact_out: bool):
+    """Halve the host-fetched (B,K,L) token/time buffers: int16 is exact for
+    token ids < 32768 and chunk frame indices (callers gate on vocab size —
+    see ctc_prefix_beam_search_topk).  Over a remote-TPU link the result
+    fetch is a measurable share of the serving beam phase."""
+    if not compact_out:
+        return out
+    prefixes, plens, scores, times = out
+    return (prefixes.astype(jnp.int16), plens, scores,
+            times.astype(jnp.int16))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 8))
 def ctc_prefix_beam_search_device(ctc_probs, ctc_lens, beam_size: int,
                                   blank_id: int = 0, max_tokens: int = 0,
                                   blank_skip_threshold: float = 0.0,
-                                  keep_cap: int = 0, ctx_tables=None):
+                                  keep_cap: int = 0, ctx_tables=None,
+                                  compact_out: bool = False):
     """Batched device-side search.
 
     ctc_probs: (B, T, V) log-probs; ctc_lens: (B,).
@@ -584,9 +600,10 @@ def ctc_prefix_beam_search_device(ctc_probs, ctc_lens, beam_size: int,
     # blocked exact top-k: lax.top_k's whole-row sort was 45% of the
     # long-form pipeline at V=10k (ops/topk.py)
     topk_logp, topk_idx = topk_lastdim(ctc_probs, beam_size)   # (B,T,K2)
-    return ctc_prefix_beam_search_device_topk(
+    return ctc_prefix_beam_search_device_topk.__wrapped__(
         topk_logp, topk_idx, ctc_probs[:, :, blank_id], ctc_lens, beam_size,
-        blank_id, max_tokens, blank_skip_threshold, keep_cap, ctx_tables)
+        blank_id, max_tokens, blank_skip_threshold, keep_cap, ctx_tables,
+        compact_out)
 
 
 def _graph_tables(context_graph, vocab_size: int):
@@ -611,8 +628,13 @@ def ctc_prefix_beam_search(ctc_probs, ctc_lens, beam_size: int,
     out = ctc_prefix_beam_search_device(
         ctc_probs, ctc_lens, beam_size, blank_id, 0,
         blank_skip_threshold, keep_cap,
-        _graph_tables(context_graph, ctc_probs.shape[-1]))
+        _graph_tables(context_graph, ctc_probs.shape[-1]),
+        _compact_safe(ctc_probs.shape[-1], ctc_probs.shape[1]))
     return _pack_results(*out)
+
+
+def _compact_safe(vocab_size: int, T: int) -> bool:
+    return 0 < vocab_size < 32768 and T < 32768
 
 
 def ctc_prefix_beam_search_topk(topk_logp, topk_idx, blank_logp, ctc_lens,
@@ -628,7 +650,8 @@ def ctc_prefix_beam_search_topk(topk_logp, topk_idx, blank_logp, ctc_lens,
         ctx_tables = _graph_tables(context_graph, vocab_size)
     out = ctc_prefix_beam_search_device_topk(
         topk_logp, topk_idx, blank_logp, ctc_lens, beam_size, blank_id, 0,
-        blank_skip_threshold, keep_cap, ctx_tables)
+        blank_skip_threshold, keep_cap, ctx_tables,
+        _compact_safe(vocab_size, topk_logp.shape[1]) if vocab_size else False)
     return _pack_results(*out)
 
 
