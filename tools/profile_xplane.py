@@ -114,17 +114,64 @@ def _trace_rescore(logdir: str):
     jax.profiler.stop_trace()
 
 
+def _trace_train(logdir: str):
+    import time
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from reverb_tpu.models.asr_model import ModelConfig, init_params
+    from reverb_tpu.models.presets import reverb_large
+    from reverb_tpu.train.trainer import (TrainConfig, build_optimizer,
+                                          make_train_step, train_prng_key)
+    conf = reverb_large()
+    conf['dtype'] = 'bf16'
+    cfg = ModelConfig.from_config(conf)
+    tc = TrainConfig.from_config(dict(conf, grad_clip=50.0))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    B, T, L = 16, 512, 24
+    rng = np.random.RandomState(0)
+    batch = {
+        'feats': jnp.asarray(rng.randn(B, T, 80), jnp.float32),
+        'feats_lengths': jnp.full((B,), T, jnp.int32),
+        'target': jnp.asarray(rng.randint(1, cfg.vocab_size - 2, (B, L)),
+                              jnp.int32),
+        'target_lengths': jnp.full((B,), L, jnp.int32),
+        'cat_embs': jnp.tile(jnp.array([[1.0, 0.0]], jnp.float32), (B, 1)),
+    }
+    tx, _ = build_optimizer(tc, params)
+    opt_state = tx.init(params)
+    step_fn = jax.jit(make_train_step(cfg, tx, accum_grad=tc.accum_grad,
+                                      grad_clip=tc.grad_clip),
+                      donate_argnums=(0, 1))
+    key = train_prng_key(1)
+    step = jnp.zeros((), jnp.int32)
+    params, opt_state, m = step_fn(params, opt_state, batch, step, key)
+    float(m['loss'])
+    t0 = time.perf_counter()
+    params, opt_state, m = step_fn(params, opt_state, batch, step, key)
+    float(m['loss'])
+    print('train step once:', time.perf_counter() - t0)
+    import jax as _jax
+    _jax.profiler.start_trace(logdir)
+    params, opt_state, m = step_fn(params, opt_state, batch, step, key)
+    float(m['loss'])
+    _jax.profiler.stop_trace()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('logdir', nargs='?', default='/tmp/xprof')
     ap.add_argument('--beam', action='store_true')
     ap.add_argument('--rescore', action='store_true')
+    ap.add_argument('--train', action='store_true')
     ap.add_argument('--top', type=int, default=40)
     args = ap.parse_args()
     if args.beam:
         _trace_beam(args.logdir)
     if args.rescore:
         _trace_rescore(args.logdir)
+    if args.train:
+        _trace_train(args.logdir)
     summarize(args.logdir, args.top)
 
 
