@@ -141,7 +141,8 @@ def rel_pos_mha(p, query, key, value, mask, pos_emb, h: int,
     if _fa.flash_attention_eligible(mask, rate, rng, cache):
         kv_lens = mask[:, 0, :k.shape[2]].sum(-1)
         ctx = _fa.rel_pos_flash_attention(q, k, v, pos, p['pos_bias_u'],
-                                          p['pos_bias_v'], kv_lens)
+                                          p['pos_bias_v'], kv_lens,
+                                          rate=rate, rng=rng)
         out = linear(p['linear_out'], _merge_heads(ctx))
         return out, new_cache
 
