@@ -90,6 +90,31 @@ def test_flash_dropout_keep_fraction():
     assert not np.allclose(np.asarray(out_drop), np.asarray(out_full))
 
 
+def test_flash_dropout_full_train_step_subprocess():
+    """Full compute_loss train step with attention dropout engaged, fused vs
+    unfused, same rng. Runs in a subprocess on ONE cpu device because the
+    dropout kernel path is gated to single-device processes and the main
+    suite forces 8 virtual devices."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          'flash_dropout_worker.py')
+    env = {k: v for k, v in os.environ.items() if k != 'XLA_FLAGS'}
+    out = subprocess.run([sys.executable, worker], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    # identical bernoulli draw => identical loss up to kernel reduction order
+    np.testing.assert_allclose(res['loss_flash'], res['loss_xla'],
+                               rtol=1e-5)
+    # grads accumulate f32 reduction-order noise through the whole model;
+    # a wrong mask/scaling would show up as O(1) relative error
+    assert res['max_rel_grad'] < 0.05, res
+
+
 def test_dropout_eligibility_gate():
     """rate>0 takes the kernel only on single-device processes (a pallas op
     under GSPMD has no partitioning rule) and can be env-disabled."""
