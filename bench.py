@@ -48,7 +48,7 @@ def main():
         'reverb_tpu.models.presets', fromlist=['reverb_small']).reverb_small()
     cfg = ModelConfig.from_config(conf)
     import dataclasses
-    cfg = dataclasses.replace(cfg, compute_dtype=jnp.bfloat16)
+    cfg = cfg.with_compute_dtype(jnp.bfloat16)
     params = init_params(jax.random.PRNGKey(0), cfg)
     if on_tpu:
         # bf16 params: inference-precision deployment default

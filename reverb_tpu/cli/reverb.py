@@ -91,9 +91,8 @@ class ReverbASR:
 
         self.model_config = ModelConfig.from_config(self.configs)
         if compute_dtype == 'bfloat16':
-            import dataclasses
-            self.model_config = dataclasses.replace(
-                self.model_config, compute_dtype=jnp.bfloat16)
+            self.model_config = self.model_config.with_compute_dtype(
+                jnp.bfloat16)
 
         self.params = self._load_params()
         if quantize == 'int8':

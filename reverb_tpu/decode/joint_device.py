@@ -70,6 +70,8 @@ def _decoder_rows(p_dec, dcfg, n_blocks, mem_kv, mem_mask, buf, steps, cache,
     K, Lb = buf.shape
     x = embedding(p_dec['embed']['0'], buf)
     x, _ = emb.abs_position_encoding(x, 0, 0.0, None)
+    if dcfg.compute_dtype is not None:
+        x = x.astype(dcfg.compute_dtype)
     pos = jnp.arange(Lb)
     tgt_mask = (pos[None, :] <= steps[:, None])[:, None, :]      # (K,1,Lb)
     idx = steps[:, None, None]

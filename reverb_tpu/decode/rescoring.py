@@ -170,6 +170,35 @@ def _rescore_device_all(params, cfg: ModelConfig, hyps_pad, hyps_lens,
         hyps_pad, hyps_lens, encoder_outs, enc_lens)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 5))
+def _rescore_reduce_all(params, cfg: ModelConfig, hyps_pad, hyps_lens,
+                        encoder_outs, reverse_weight: float, ctc_scores,
+                        row_valid, ctc_weight, cat_embs=None, enc_lens=None):
+    """Whole-batch rescoring with the score combination reduced ON DEVICE.
+
+    The host only needs (a) the (B,N) combined totals for ranking/output and
+    (b) the winning row's per-token log-probs — fetching the full (B,N,L)
+    tok_logp costs N× more bytes through the remote-TPU tunnel than the
+    winner row.  hyps_pad may arrive int16 (halves the upload; exact — token
+    ids fit when vocab < 32768).  Returns
+    (total (B,N) f32 with -inf on invalid rows, best (B,) int32,
+     conf_best (B,), tc_best (B,L))."""
+    att, r_att, tok_logp = _rescore_device_all.__wrapped__(
+        params, cfg, hyps_pad.astype(jnp.int32), hyps_lens, encoder_outs,
+        reverse_weight, cat_embs, enc_lens)
+    if reverse_weight > 0.0:
+        score = att * (1.0 - reverse_weight) + r_att * reverse_weight
+    else:
+        score = att
+    conf = jnp.exp(score / (hyps_lens + 1).astype(jnp.float32))
+    total = jnp.where(row_valid, score + ctc_scores * ctc_weight, -jnp.inf)
+    best = jnp.argmax(total, axis=1).astype(jnp.int32)
+    tc_best = jnp.take_along_axis(tok_logp, best[:, None, None],
+                                  axis=1)[:, 0]
+    conf_best = jnp.take_along_axis(conf, best[:, None], axis=1)[:, 0]
+    return total, best, conf_best, tc_best
+
+
 def attention_rescoring(params, cfg: ModelConfig,
                         ctc_prefix_results: List[DecodeResult],
                         encoder_outs, encoder_lens,
@@ -186,45 +215,45 @@ def attention_rescoring(params, cfg: ModelConfig,
         return [DecodeResult(tokens=[], times=[], tokens_confidence=[])
                 for _ in ctc_prefix_results]
     Lb = _bucket(Lmax)   # static-shape bucket: bounded compile count
-    hyps_pad = np.zeros((B, Nmax, Lb), dtype=np.int32)
+    # int16 hyp upload when ids provably fit: halves the (B,N,L) transfer
+    hyp_dtype = np.int16 if cfg.vocab_size < 2 ** 15 else np.int32
+    hyps_pad = np.zeros((B, Nmax, Lb), dtype=hyp_dtype)
     lens = np.zeros((B, Nmax), dtype=np.int32)
     row_valid = np.zeros((B, Nmax), dtype=bool)
-    ctc_scores = np.full((B, Nmax), -1e30, dtype=np.float64)
+    ctc_scores = np.full((B, Nmax), -1e30, dtype=np.float32)
     for b, pre in enumerate(ctc_prefix_results):
         for i, h in enumerate(pre.nbest):
             hyps_pad[b, i, :len(h)] = h
             lens[b, i] = len(h)
             row_valid[b, i] = True
             ctc_scores[b, i] = pre.nbest_scores[i]
-    att, r_att, tok_logp = _rescore_device_all(
+    total, best, conf_best, tc_best = _rescore_reduce_all(
         params, cfg, jnp.asarray(hyps_pad), jnp.asarray(lens),
         jnp.asarray(encoder_outs), reverse_weight,
+        jnp.asarray(ctc_scores), jnp.asarray(row_valid),
+        jnp.asarray(ctc_weight, jnp.float32),
         jnp.asarray(cat_embs) if cat_embs is not None else None,
         jnp.asarray(encoder_lens.astype(np.int32)))
-    att = np.asarray(att, np.float64)
-    r_att = np.asarray(r_att, np.float64)
-    tok_logp = np.asarray(tok_logp)
-    score = att * (1 - reverse_weight) + r_att * reverse_weight if \
-        reverse_weight > 0 else att
-    confidences = np.exp(score / (lens + 1))
-    total = score + ctc_scores * ctc_weight
-    total = np.where(row_valid, total, -np.inf)
+    total = np.asarray(total, np.float64)
+    best = np.asarray(best)
+    conf_best = np.asarray(conf_best, np.float64)
+    tc_best = np.asarray(tc_best)
     results = []
     for b, pre in enumerate(ctc_prefix_results):
         if not row_valid[b].any() or lens[b].max() == 0:
             results.append(DecodeResult(tokens=[], times=[],
                                         tokens_confidence=[]))
             continue
-        best = int(np.argmax(total[b]))
-        n = int(lens[b, best])
-        tc = [math.exp(float(x)) for x in tok_logp[b, best, :n]]
+        k = int(best[b])
+        n = int(lens[b, k])
+        tc = [math.exp(float(x)) for x in tc_best[b, :n]]
         # rescored-order nbest: the same hypothesis set the beam produced,
         # re-ranked by combined (attention + ctc_weight·ctc) score
         order = [i for i in np.argsort(-total[b]) if row_valid[b, i]]
         results.append(DecodeResult(
-            tokens=pre.nbest[best], score=float(total[b, best]),
-            confidence=float(confidences[b, best]),
-            times=pre.nbest_times[best], tokens_confidence=tc,
+            tokens=pre.nbest[k], score=float(total[b, k]),
+            confidence=float(conf_best[b]),
+            times=pre.nbest_times[k], tokens_confidence=tc,
             nbest=[pre.nbest[i] for i in order],
             nbest_scores=[float(total[b, i]) for i in order],
             nbest_times=[pre.nbest_times[i] for i in order]))

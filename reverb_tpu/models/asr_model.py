@@ -89,12 +89,20 @@ class ModelConfig:
             num_langs=num_langs,
             **enc_kwargs)
 
+        # AMP parity (train_utils.py:598-626): dtype bf16/fp16 → bf16 compute
+        # on TPU (f32 master params; per-op weight casts inside linear/conv)
+        dtype = str(configs.get('dtype', 'fp32')).lower()
+        compute_dtype = jnp.bfloat16 if dtype in ('bf16', 'bfloat16',
+                                                  'fp16', 'float16') \
+            else jnp.float32
+
         dec_type = configs.get('decoder', 'bitransformer')
         dec_conf = dict(configs.get('decoder_conf', {}))
         dec_fields = {f.name for f in dataclasses.fields(DecoderConfig)}
         dec_num_langs = num_langs if 'lsl' in dec_type or 'language' in dec_type \
             else dec_conf.pop('num_langs', 0)
         dec_kwargs = {k: v for k, v in dec_conf.items() if k in dec_fields}
+        dec_kwargs.setdefault('compute_dtype', compute_dtype)
         decoder = DecoderConfig(
             vocab_size=vocab_size,
             encoder_output_size=encoder.output_size,
@@ -112,12 +120,6 @@ class ModelConfig:
             sos = special.get('<sos>', sos)
             eos = special.get('<eos>', eos)
         focal = configs.get('focal_ctc', {}) or {}
-        # AMP parity (train_utils.py:598-626): dtype bf16/fp16 → bf16 compute
-        # on TPU (f32 master params; per-op weight casts inside linear/conv)
-        dtype = str(configs.get('dtype', 'fp32')).lower()
-        compute_dtype = jnp.bfloat16 if dtype in ('bf16', 'bfloat16',
-                                                  'fp16', 'float16') \
-            else jnp.float32
         return ModelConfig(
             compute_dtype=compute_dtype,
             vocab_size=vocab_size,
@@ -139,6 +141,15 @@ class ModelConfig:
             focal_gamma=focal.get('gamma', 2.0),
             lexicon_path=model_conf.get('lexicon_path'),
             token_path=model_conf.get('token_path'))
+
+    def with_compute_dtype(self, dtype) -> 'ModelConfig':
+        """Replace the activation dtype everywhere it is consulted — the
+        top-level config (encoder input cast) AND the nested decoder config
+        (the decoder stack's dtype is set from the f32 embedding otherwise)."""
+        return dataclasses.replace(
+            self, compute_dtype=dtype,
+            decoder=dataclasses.replace(self.decoder, compute_dtype=dtype)
+            if self.decoder is not None else None)
 
 
 # ------------------------------ init ------------------------------

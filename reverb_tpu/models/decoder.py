@@ -51,6 +51,11 @@ class DecoderConfig:
     decoder_type: str = 'bitransformer'   # 'transformer' | 'bitransformer'
     tie_word_embedding: bool = False
     gradient_checkpointing: bool = False
+    # activation dtype for the decoder stack (AMP / bf16 serving).  The
+    # stack's dtype is otherwise set by the f32 embedding table — which
+    # silently ran every decoder matmul in f32 even when the encoder was
+    # bf16 (weights are cast to x.dtype inside modules.linear).
+    compute_dtype: Optional[type] = None
 
 
 def _layer_is_lsl(cfg: DecoderConfig, i: int, n_blocks: int) -> bool:
@@ -146,6 +151,8 @@ def _single_decoder_forward(p, memory, memory_mask, ys_in_pad, ys_in_lens,
     x = embedding(p['embed']['0'], tgt)
     x, _ = emb.abs_position_encoding(x, 0, cfg.positional_dropout_rate,
                                      rngs.next() if rngs else None)
+    if cfg.compute_dtype is not None:
+        x = x.astype(cfg.compute_dtype)
     for i, lp in enumerate(p['decoders']):
         if cfg.gradient_checkpointing and rngs is not None:
             # per-layer dropout key passed explicitly so remat replay
@@ -214,6 +221,8 @@ def decoder_forward_one_step(params, memory, memory_mask, tgt_buf, step,
     B, Lmax = tgt_buf.shape
     x = embedding(p['embed']['0'], tgt_buf)
     x, _ = emb.abs_position_encoding(x, 0, 0.0, None)
+    if cfg.compute_dtype is not None:
+        x = x.astype(cfg.compute_dtype)
     pos = jnp.arange(Lmax)
     valid = (pos[None, :] <= step)                       # (1, Lmax)
     tgt_mask = jnp.broadcast_to(valid, (B, Lmax))[:, None, :]   # (B,1,Lmax)

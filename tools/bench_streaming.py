@@ -37,7 +37,7 @@ def main():
     conf = reverb_large() if on_tpu else reverb_small()
     cfg = ModelConfig.from_config(conf)
     if on_tpu:
-        cfg = dataclasses.replace(cfg, compute_dtype=jnp.bfloat16)
+        cfg = cfg.with_compute_dtype(jnp.bfloat16)
     params = init_params(jax.random.PRNGKey(0), cfg)
     if on_tpu:
         params = jax.tree.map(

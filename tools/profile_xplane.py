@@ -90,7 +90,7 @@ def _trace_rescore(logdir: str):
     from reverb_tpu.models.asr_model import ModelConfig, init_params
     from reverb_tpu.models.presets import reverb_large
     cfg = ModelConfig.from_config(reverb_large())
-    cfg = dataclasses.replace(cfg, compute_dtype=jnp.bfloat16)
+    cfg = cfg.with_compute_dtype(jnp.bfloat16)
     params = init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
