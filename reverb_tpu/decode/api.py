@@ -16,8 +16,8 @@ import jax.numpy as jnp
 
 from reverb_tpu.decode.attention_beam import attention_beam_search
 from reverb_tpu.decode.greedy import ctc_greedy_search
-from reverb_tpu.decode.prefix_beam import (ctc_prefix_beam_search,
-                                            ctc_prefix_beam_search_topk)
+from reverb_tpu.decode.prefix_beam import (ctc_prefix_beam_search_raw,
+                                            ctc_prefix_beam_search_topk_raw)
 from reverb_tpu.decode.rescoring import attention_rescoring
 from reverb_tpu.decode.results import DecodeResult
 from reverb_tpu.models import ctc as ctc_mod
@@ -254,12 +254,12 @@ def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
     if need_prefix:
         # context biasing is IN-BEAM, as in the reference (search.py:169-218)
         if ctc_probs is not None:
-            prefix_results = ctc_prefix_beam_search(
+            prefix_results, beam_raw = ctc_prefix_beam_search_raw(
                 ctc_probs, encoder_lens, beam_size, cfg.blank_id,
                 blank_skip_threshold=blank_skip_threshold,
                 context_graph=context_graph)
         else:
-            prefix_results = ctc_prefix_beam_search_topk(
+            prefix_results, beam_raw = ctc_prefix_beam_search_topk_raw(
                 tk_logp, tk_idx, blank_lp, encoder_lens, beam_size,
                 cfg.blank_id, blank_skip_threshold=blank_skip_threshold,
                 context_graph=context_graph, vocab_size=cfg.vocab_size)
@@ -277,7 +277,8 @@ def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
             resc_lens = jnp.sum(resc_mask[:, 0, :], axis=-1)
         results['attention_rescoring'] = attention_rescoring(
             params, cfg, prefix_results, resc_out, resc_lens,
-            ctc_weight, reverse_weight, cat_embs=cat)
+            ctc_weight, reverse_weight, cat_embs=cat,
+            device_nbest=beam_raw)
     if 'onmt_attention_decoding' in methods:
         from reverb_tpu.decode.onmt_beam import onmt_attention_decoding
         results['onmt_attention_decoding'] = onmt_attention_decoding(

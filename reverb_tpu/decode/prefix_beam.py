@@ -619,30 +619,43 @@ def _graph_tables(context_graph, vocab_size: int):
     return cached
 
 
-def ctc_prefix_beam_search(ctc_probs, ctc_lens, beam_size: int,
-                           blank_id: int = 0,
-                           blank_skip_threshold: float = 0.0,
-                           context_graph=None) -> List[DecodeResult]:
-    """Host wrapper producing DecodeResults with nbest (search.py:235-247)."""
+def ctc_prefix_beam_search_raw(ctc_probs, ctc_lens, beam_size: int,
+                               blank_id: int = 0,
+                               blank_skip_threshold: float = 0.0,
+                               context_graph=None):
+    """Like `ctc_prefix_beam_search` but also returns the raw device tuple
+    (prefixes, plens, scores, times) so the caller can wire it straight
+    into the rescorer without re-uploading the packed host lists."""
     keep_cap = (ctc_probs.shape[1] // 2) if blank_skip_threshold > 0 else 0
     out = ctc_prefix_beam_search_device(
         ctc_probs, ctc_lens, beam_size, blank_id, 0,
         blank_skip_threshold, keep_cap,
         _graph_tables(context_graph, ctc_probs.shape[-1]),
         _compact_safe(ctc_probs.shape[-1], ctc_probs.shape[1]))
-    return _pack_results(*out)
+    return _pack_results(*out), out
+
+
+def ctc_prefix_beam_search(ctc_probs, ctc_lens, beam_size: int,
+                           blank_id: int = 0,
+                           blank_skip_threshold: float = 0.0,
+                           context_graph=None) -> List[DecodeResult]:
+    """Host wrapper producing DecodeResults with nbest (search.py:235-247)."""
+    return ctc_prefix_beam_search_raw(
+        ctc_probs, ctc_lens, beam_size, blank_id, blank_skip_threshold,
+        context_graph)[0]
 
 
 def _compact_safe(vocab_size: int, T: int) -> bool:
     return 0 < vocab_size < 32768 and T < 32768
 
 
-def ctc_prefix_beam_search_topk(topk_logp, topk_idx, blank_logp, ctc_lens,
-                                beam_size: int, blank_id: int = 0,
-                                blank_skip_threshold: float = 0.0,
-                                context_graph=None, vocab_size: int = 0
-                                ) -> List[DecodeResult]:
-    """Host wrapper over the deferred-normalization top-k device search."""
+def ctc_prefix_beam_search_topk_raw(topk_logp, topk_idx, blank_logp,
+                                    ctc_lens, beam_size: int,
+                                    blank_id: int = 0,
+                                    blank_skip_threshold: float = 0.0,
+                                    context_graph=None, vocab_size: int = 0):
+    """Top-k host wrapper that also returns the raw device tuple
+    (prefixes, plens, scores, times) — see `ctc_prefix_beam_search_raw`."""
     keep_cap = (topk_logp.shape[1] // 2) if blank_skip_threshold > 0 else 0
     ctx_tables = None
     if context_graph is not None:
@@ -652,7 +665,18 @@ def ctc_prefix_beam_search_topk(topk_logp, topk_idx, blank_logp, ctc_lens,
         topk_logp, topk_idx, blank_logp, ctc_lens, beam_size, blank_id, 0,
         blank_skip_threshold, keep_cap, ctx_tables,
         _compact_safe(vocab_size, topk_logp.shape[1]) if vocab_size else False)
-    return _pack_results(*out)
+    return _pack_results(*out), out
+
+
+def ctc_prefix_beam_search_topk(topk_logp, topk_idx, blank_logp, ctc_lens,
+                                beam_size: int, blank_id: int = 0,
+                                blank_skip_threshold: float = 0.0,
+                                context_graph=None, vocab_size: int = 0
+                                ) -> List[DecodeResult]:
+    """Host wrapper over the deferred-normalization top-k device search."""
+    return ctc_prefix_beam_search_topk_raw(
+        topk_logp, topk_idx, blank_logp, ctc_lens, beam_size, blank_id,
+        blank_skip_threshold, context_graph, vocab_size)[0]
 
 
 def _pack_results(prefixes, plens, scores, times) -> List[DecodeResult]:

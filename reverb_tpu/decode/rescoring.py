@@ -199,13 +199,40 @@ def _rescore_reduce_all(params, cfg: ModelConfig, hyps_pad, hyps_lens,
     return total, best, conf_best, tc_best
 
 
+@functools.partial(jax.jit, static_argnums=(1, 6, 8))
+def _rescore_reduce_raw(params, cfg: ModelConfig, prefixes, plens, scores,
+                        encoder_outs, reverse_weight: float, ctc_weight,
+                        Lb: int, cat_embs=None, enc_lens=None):
+    """`_rescore_reduce_all` fed directly from the device beam outputs
+    (prefix_beam raw tuple) — no host fetch/re-upload of the nbest.
+
+    prefixes (B,K,cap_L) int16/int32, plens (B,K), scores (B,K) with
+    NEG_INF sentinel rows; Lb: static bucket (host knows the packed Lmax
+    from the beam fetch it does anyway).  Beam rows are kept sorted by the
+    search (sentinel rows trail), so row k here is row k of the packed
+    nbest."""
+    from reverb_tpu.decode.prefix_beam import NEG_INF
+    valid = scores > NEG_INF / 2
+    lens = jnp.where(valid, jnp.minimum(plens, Lb), 0).astype(jnp.int32)
+    return _rescore_reduce_all.__wrapped__(
+        params, cfg, prefixes[:, :, :Lb], lens, encoder_outs,
+        reverse_weight, scores.astype(jnp.float32), valid, ctc_weight,
+        cat_embs, enc_lens)
+
+
 def attention_rescoring(params, cfg: ModelConfig,
                         ctc_prefix_results: List[DecodeResult],
                         encoder_outs, encoder_lens,
                         ctc_weight: float = 0.0,
                         reverse_weight: float = 0.0,
-                        cat_embs=None) -> List[DecodeResult]:
-    """Rescore every utterance's nbest in ONE batched decoder pass."""
+                        cat_embs=None, device_nbest=None) -> List[DecodeResult]:
+    """Rescore every utterance's nbest in ONE batched decoder pass.
+
+    device_nbest: the prefix beam's raw device tuple
+    (prefixes, plens, scores, times) when the caller still holds it
+    (decode/api.py does) — the nbest is then wired beam→rescorer on device
+    instead of being re-uploaded from the packed host lists (≈0.8 MB per
+    batch through a remote-TPU tunnel)."""
     encoder_lens = np.asarray(encoder_lens)
     B = len(ctc_prefix_results)
     Nmax = max((len(p.nbest) for p in ctc_prefix_results), default=0)
@@ -214,6 +241,19 @@ def attention_rescoring(params, cfg: ModelConfig,
     if Lmax == 0 or Nmax == 0:
         return [DecodeResult(tokens=[], times=[], tokens_confidence=[])
                 for _ in ctc_prefix_results]
+    if device_nbest is not None:
+        prefixes, plens, scores, _ = device_nbest
+        Lb = min(_bucket(Lmax), prefixes.shape[2])
+        total, best, conf_best, tc_best = _rescore_reduce_raw(
+            params, cfg, prefixes, plens, scores, jnp.asarray(encoder_outs),
+            reverse_weight, jnp.asarray(ctc_weight, jnp.float32), Lb,
+            jnp.asarray(cat_embs) if cat_embs is not None else None,
+            jnp.asarray(encoder_lens.astype(np.int32)))
+        return _pack_rescored(ctc_prefix_results,
+                              np.asarray(total, np.float64),
+                              np.asarray(best),
+                              np.asarray(conf_best, np.float64),
+                              np.asarray(tc_best))
     Lb = _bucket(Lmax)   # static-shape bucket: bounded compile count
     # int16 hyp upload when ids provably fit: halves the (B,N,L) transfer
     hyp_dtype = np.int16 if cfg.vocab_size < 2 ** 15 else np.int32
@@ -234,22 +274,30 @@ def attention_rescoring(params, cfg: ModelConfig,
         jnp.asarray(ctc_weight, jnp.float32),
         jnp.asarray(cat_embs) if cat_embs is not None else None,
         jnp.asarray(encoder_lens.astype(np.int32)))
-    total = np.asarray(total, np.float64)
-    best = np.asarray(best)
-    conf_best = np.asarray(conf_best, np.float64)
-    tc_best = np.asarray(tc_best)
+    return _pack_rescored(ctc_prefix_results, np.asarray(total, np.float64),
+                          np.asarray(best), np.asarray(conf_best, np.float64),
+                          np.asarray(tc_best))
+
+
+def _pack_rescored(ctc_prefix_results, total, best, conf_best, tc_best
+                   ) -> List[DecodeResult]:
+    """Package the device reduction into DecodeResults.  Row i of `total`
+    is nbest entry i of the utterance (in the device-handoff path the beam
+    keeps its rows score-sorted, sentinel rows trailing, so the raw row
+    index and the packed nbest index coincide)."""
     results = []
     for b, pre in enumerate(ctc_prefix_results):
-        if not row_valid[b].any() or lens[b].max() == 0:
+        nvalid = len(pre.nbest)
+        if nvalid == 0 or max((len(h) for h in pre.nbest), default=0) == 0:
             results.append(DecodeResult(tokens=[], times=[],
                                         tokens_confidence=[]))
             continue
         k = int(best[b])
-        n = int(lens[b, k])
+        n = len(pre.nbest[k])
         tc = [math.exp(float(x)) for x in tc_best[b, :n]]
         # rescored-order nbest: the same hypothesis set the beam produced,
         # re-ranked by combined (attention + ctc_weight·ctc) score
-        order = [i for i in np.argsort(-total[b]) if row_valid[b, i]]
+        order = [i for i in np.argsort(-total[b]) if i < nvalid]
         results.append(DecodeResult(
             tokens=pre.nbest[k], score=float(total[b, k]),
             confidence=float(conf_best[b]),

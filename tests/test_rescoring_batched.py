@@ -114,3 +114,41 @@ def test_padded_rows_never_win():
     assert got[0].tokens == [1, 2, 3]
     assert got[1].tokens in ([4, 5], [6])
     assert got[2].tokens == [7, 8]
+
+
+def test_device_nbest_handoff_matches_host_packing():
+    """decode/api.py hands the beam's raw device tuple straight to the
+    rescorer (no nbest re-upload); results must match the host-packed
+    path field for field — including utterances whose beam has fewer
+    valid rows than K (NEG_INF sentinel rows)."""
+    from reverb_tpu.decode.prefix_beam import ctc_prefix_beam_search_raw
+
+    cfg, params, enc, enc_lens = _setup()
+    rng = np.random.RandomState(7)
+    # utterance 1 has ZERO frames: the beam state stays initial (one valid
+    # empty prefix + NEG_INF sentinel rows) — the raw↔packed row mapping
+    # must survive sentinel rows
+    B, T, V = 3, 12, 10
+    logp = jax.nn.log_softmax(
+        jnp.asarray(rng.randn(B, T, V) * 2.0, jnp.float32), axis=-1)
+    ctc_lens = jnp.asarray([12, 0, 9], jnp.int32)
+    pre, raw = ctc_prefix_beam_search_raw(logp, ctc_lens, beam_size=8)
+    assert any(len(p.nbest) < 8 for p in pre)   # sentinel rows exercised
+
+    kw = dict(ctc_weight=0.35, reverse_weight=0.3)
+    host = attention_rescoring(params, cfg, pre, enc, np.asarray(enc_lens),
+                               **kw)
+    dev = attention_rescoring(params, cfg, pre, enc, np.asarray(enc_lens),
+                              device_nbest=raw, **kw)
+    for h, d in zip(host, dev):
+        assert d.tokens == h.tokens
+        assert d.nbest == h.nbest
+        assert d.times == h.times and d.nbest_times == h.nbest_times
+        if h.nbest_scores is None:      # empty-utterance guard result
+            assert d.nbest_scores is None and d.tokens_confidence == []
+            continue
+        np.testing.assert_allclose(d.score, h.score, rtol=1e-5)
+        np.testing.assert_allclose(d.confidence, h.confidence, rtol=1e-5)
+        np.testing.assert_allclose(d.nbest_scores, h.nbest_scores, rtol=1e-5)
+        np.testing.assert_allclose(d.tokens_confidence, h.tokens_confidence,
+                                   rtol=1e-4)
