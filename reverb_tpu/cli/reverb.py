@@ -24,6 +24,7 @@ from itertools import chain
 from pathlib import Path
 from typing import Generator, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import yaml
@@ -140,16 +141,27 @@ class ReverbASR:
     def compute_feats(self, audio_file: str, resample_rate: int = 16000
                       ) -> np.ndarray:
         """Full-file fbank (T, M). Audio decode on host, fbank on device."""
+        return np.asarray(self._compute_feats_device(audio_file,
+                                                     resample_rate))
+
+    def _compute_feats_device(self, audio_file: str,
+                              resample_rate: int = 16000):
+        """Device-resident full-file fbank: the serving path never fetches
+        the (T, M) feature matrix — it is chunked/padded on device and fed
+        straight to the decoder programs (a ~11-min file otherwise pays a
+        ~21 MB fetch + ~21 MB re-upload through a remote-TPU link)."""
         wave = load_for_asr(audio_file, resample_rate)
         T = num_frames(len(wave), self.fbank)
-        feats = compute_fbank_compiled(wave, self.fbank, n_frames=T)
-        return np.asarray(feats)
+        return compute_fbank_compiled(wave, self.fbank, n_frames=T)
 
     def feats_batcher(self, feats: np.ndarray, chunk_size: int,
                       batch_size: int
                       ) -> Generator[Tuple[np.ndarray, np.ndarray], None, None]:
         """Split (T, M) features into (B, chunk_size, M) batches, zero-padding
-        the final chunk (cli/reverb.py:142-174)."""
+        the final chunk (cli/reverb.py:142-174).  Accepts a numpy OR a
+        device array — device feats are sliced/padded/reshaped on device
+        (values identical; the arrays never round-trip through the host)."""
+        xp = jnp if isinstance(feats, jax.Array) else np
         T, M = feats.shape
         per_batch = chunk_size * batch_size
         n_batches = max(math.ceil(T / per_batch), 1)
@@ -161,7 +173,7 @@ class ReverbASR:
             pad = bs * chunk_size - part.shape[0]
             if pad > 0:
                 lens[-1] = chunk_size - pad
-                part = np.pad(part, ((0, pad), (0, 0)))
+                part = xp.pad(part, ((0, pad), (0, 0)))
             yield part.reshape(bs, chunk_size, M), lens
 
     # ------------------------------ transcribe ------------------------------
@@ -182,7 +194,7 @@ class ReverbASR:
                          timings_adjustment: float = 230,
                          blank_skip_threshold: float = 0.0,
                          context_graph=None) -> List[str]:
-        feats = self.compute_feats(audio_file)
+        feats = self._compute_feats_device(audio_file)
         if not batch_size:
             # Auto-batch: run all of a file's chunks through the encoder in
             # one device program (capped to bound HBM) instead of the

@@ -91,3 +91,21 @@ def test_auto_batch_matches_batch1(model_dir, wav):
                                  format='ctm', chunk_size=32, batch_size=1,
                                  beam_size=4)
     assert auto == one
+
+
+def test_feats_batcher_device_matches_numpy(model_dir):
+    """feats_batcher must produce identical batches from a device array and
+    from its host copy (transcribe_modes feeds it device-resident fbank)."""
+    import jax.numpy as jnp
+
+    from reverb_tpu.cli.reverb import load_model
+    model = load_model(str(model_dir))
+    rng = np.random.RandomState(0)
+    feats = rng.randn(537, 16).astype(np.float32)
+    a = list(model.feats_batcher(feats, chunk_size=100, batch_size=3))
+    b = list(model.feats_batcher(jnp.asarray(feats), chunk_size=100,
+                                 batch_size=3))
+    assert len(a) == len(b)
+    for (fa, la), (fb, lb) in zip(a, b):
+        np.testing.assert_array_equal(fa, np.asarray(fb))
+        np.testing.assert_array_equal(la, lb)
