@@ -28,12 +28,25 @@ def get_args(argv=None):
     p.add_argument('--context_path', type=str, default=None)
     p.add_argument('--context_score', type=float, default=6.0)
     p.add_argument('--mode', default='ctc_prefix_beam_search')
+    p.add_argument('--paraformer', action='store_true',
+                   help='use the NAR Ali-Paraformer runtime '
+                        '(cli/paraformer_model.py)')
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = get_args(argv)
     from reverb_tpu.cli.reverb import load_model
+
+    if args.paraformer:
+        # transcribe.py:66-70 — the paraformer branch returns a result dict
+        from reverb_tpu.cli.paraformer_model import \
+            load_model as load_paraformer
+        model = load_paraformer(args.model_dir)
+        result = model.transcribe(args.audio_file,
+                                  tokens_info=args.show_tokens_info)
+        print(json.dumps(result, ensure_ascii=False))
+        return result
 
     if args.model_dir:
         model = load_model(args.model_dir)

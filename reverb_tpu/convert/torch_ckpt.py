@@ -106,6 +106,39 @@ def load_reverb_checkpoint(path: str):
     return nest_state_dict(flat)
 
 
+def fixup_paraformer_predictor(tree):
+    """Reshape a generically-converted wenet-paraformer `predictor` subtree
+    to our layout: the reference nests the Cif head under
+    `predictor.predictor.*` (paraformer.py:56) and stores the tp BiLSTM as
+    flat torch-LSTM keys — flatten the former, split the latter into
+    fwd/bwd {w_ih, w_hh, b} (bias = b_ih + b_hh)."""
+    pred = tree.get('predictor')
+    if not isinstance(pred, dict):
+        return tree
+    inner = pred.pop('predictor', None)
+    if isinstance(inner, dict):
+        pred.update(inner)
+    bl = pred.get('tp_blstm')
+    if isinstance(bl, dict) and 'weight_ih_l0' in bl:
+        pred['tp_blstm'] = {
+            'fwd': {'w_ih': bl['weight_ih_l0'],
+                    'w_hh': bl['weight_hh_l0'],
+                    'b': bl['bias_ih_l0'] + bl['bias_hh_l0']},
+            'bwd': {'w_ih': bl['weight_ih_l0_reverse'],
+                    'w_hh': bl['weight_hh_l0_reverse'],
+                    'b': (bl['bias_ih_l0_reverse']
+                          + bl['bias_hh_l0_reverse'])},
+        }
+    return tree
+
+
+def load_paraformer_checkpoint(path: str):
+    """wenet-converted Ali-Paraformer .pt (the output of the reference's
+    convert_paraformer_to_wenet_config_and_ckpt.py) → params pytree for
+    models/sanm.py forwards."""
+    return fixup_paraformer_predictor(load_reverb_checkpoint(path))
+
+
 def check_param_compat(loaded, initialized) -> list:
     """Compare a converted tree to an init_params tree; returns mismatches."""
     a = flatten_params(loaded)

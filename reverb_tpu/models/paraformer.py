@@ -28,27 +28,139 @@ from reverb_tpu.utils.common import make_pad_mask
 
 @dataclasses.dataclass(frozen=True)
 class CifConfig:
+    """Cif / Predictor hyper-parameters (cif.py:24-54, paraformer.py:37-66).
+
+    Defaults follow the reference classes (residual=True, cnn_groups=0 ⇒
+    depthwise conv); converted Ali-Paraformer configs always pass
+    cnn_groups=1, residual=False explicitly
+    (convert_paraformer_to_wenet_config_and_ckpt.py:111-112)."""
     idim: int = 256
+    l_order: int = 1
+    r_order: int = 1
     threshold: float = 1.0
     smooth_factor: float = 1.0
     noise_threshold: float = 0.0
     tail_threshold: float = 0.45
+    residual: bool = True
+    cnn_groups: int = 0
+    # accurate-timestamp (tp) branch — Predictor, paraformer.py:60-102
+    smooth_factor2: float = 0.25
+    noise_threshold2: float = 0.01
+    upsample_times: int = 3
+
+
+def _cif_groups(cfg: CifConfig) -> int:
+    return cfg.idim if cfg.cnn_groups == 0 else cfg.cnn_groups
 
 
 def init_cif(rng, cfg: CifConfig):
     k1, k2 = jax.random.split(rng)
-    return {'cif_conv1d': init_conv1d(k1, cfg.idim, cfg.idim, 3),
+    k = cfg.l_order + cfg.r_order + 1
+    return {'cif_conv1d': init_conv1d(k1, cfg.idim, cfg.idim, k,
+                                      groups=_cif_groups(cfg)),
             'cif_output': init_linear(k2, cfg.idim, 1)}
 
 
+def init_predictor_tp(rng, cfg: CifConfig):
+    """The V3 timestamp branch: ConvTranspose1d upsample ×u → BiLSTM →
+    linear (paraformer.py:64-74).  Checkpoint keys: predictor.tp_*."""
+    from reverb_tpu.diar.models import init_lstm
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    u = cfg.upsample_times
+    bound = 1.0 / (cfg.idim * u) ** 0.5
+    return {
+        # torch ConvTranspose1d weight layout: (in, out, k)
+        'tp_upsample_cnn': {
+            'weight': jax.random.uniform(k1, (cfg.idim, cfg.idim, u),
+                                         jnp.float32, -bound, bound),
+            'bias': jnp.zeros((cfg.idim,), jnp.float32)},
+        'tp_blstm': {'fwd': init_lstm(k2, cfg.idim, cfg.idim),
+                     'bwd': init_lstm(k3, cfg.idim, cfg.idim)},
+        'tp_output': init_linear(k4, cfg.idim * 2, 1),
+    }
+
+
 def cif_alphas(params, encoder_out, encoder_mask, cfg: CifConfig):
-    """Per-frame firing weights α (B, T)."""
-    x = encoder_out.transpose(0, 2, 1)
-    x = conv1d(params['cif_conv1d'], x, padding=1)
-    x = jax.nn.relu(x).transpose(0, 2, 1)
-    alphas = jax.nn.sigmoid(linear(params['cif_output'], x))[..., 0]
+    """Per-frame firing weights α (B, T) — Cif.forward head (cif.py:55-86):
+    pad(l,r) → conv1d(groups) → [+residual] → relu → linear → sigmoid →
+    relu(α·smooth − noise) → mask."""
+    x = encoder_out.transpose(0, 2, 1)                      # (B, D, T)
+    q = jnp.pad(x, ((0, 0), (0, 0), (cfg.l_order, cfg.r_order)))
+    y = conv1d(params['cif_conv1d'], q, groups=_cif_groups(cfg))
+    if cfg.residual:
+        y = y + x
+    y = jax.nn.relu(y).transpose(0, 2, 1)
+    alphas = jax.nn.sigmoid(linear(params['cif_output'], y))[..., 0]
     alphas = jax.nn.relu(alphas * cfg.smooth_factor - cfg.noise_threshold)
     return jnp.where(encoder_mask[:, 0, :], alphas, 0.0)
+
+
+def cif_tail_process(hidden, alphas, mask, tail_threshold: float):
+    """Inference tail handling (cif.py:110-142): append one column carrying
+    `tail_threshold` at each row's first padded position (or the appended
+    column when unpadded), extend hidden with a zero frame, token count =
+    floor(Σα).  Returns (hidden (B,T+1,D), alphas (B,T+1), token_num (B,))."""
+    B, T, D = hidden.shape
+    m = mask.astype(alphas.dtype)                           # (B, T)
+    zeros_c = jnp.zeros((B, 1), alphas.dtype)
+    mask_1 = jnp.concatenate([m, zeros_c], axis=1)
+    mask_2 = jnp.concatenate([jnp.ones((B, 1), alphas.dtype), m], axis=1)
+    tail = (mask_2 - mask_1) * tail_threshold
+    alphas = jnp.concatenate([alphas, zeros_c], axis=1) + tail
+    hidden = jnp.concatenate(
+        [hidden, jnp.zeros((B, 1, D), hidden.dtype)], axis=1)
+    token_num = jnp.floor(jnp.sum(alphas, axis=-1))
+    return hidden, alphas, token_num
+
+
+def cif_fires(alphas, threshold: float):
+    """`cif_without_hidden` (cif.py:225-247): the running integration value
+    per frame, with a reset of −threshold after each fire.  (B,T) → (B,T)."""
+    B = alphas.shape[0]
+
+    def step(integ, a):
+        integ = integ + a
+        out = integ
+        integ = jnp.where(integ >= threshold, integ - threshold, integ)
+        return integ, out
+
+    _, fires = jax.lax.scan(step, jnp.zeros((B,), alphas.dtype),
+                            alphas.transpose(1, 0))
+    return fires.transpose(1, 0)
+
+
+def cif_peaks_from_tp(tp_alphas, token_nums, threshold: float = 1.0):
+    """`forward_cif_peaks` (paraformer.py:319-326): scale the tp α so each
+    row sums to the main head's token count, then integrate-and-fire."""
+    total = jnp.sum(tp_alphas, axis=-1)
+    scale = tp_alphas / (total / jnp.maximum(
+        token_nums.astype(tp_alphas.dtype), 1e-6))[:, None]
+    return cif_fires(scale, threshold - 1e-4)
+
+
+def _conv_transpose1d_samek(p, x):
+    """ConvTranspose1d with stride == kernel (the tp upsampler): strides
+    don't overlap, so the transpose conv is one einsum + interleave.
+    x (B, T, Din) → (B, T·k, Dout); torch weight layout (Din, Dout, k)."""
+    w = p['weight'].astype(x.dtype)
+    y = jnp.einsum('btc,cok->btko', x, w)                   # (B,T,k,Dout)
+    B, T, k, Dout = y.shape
+    y = y.reshape(B, T * k, Dout)
+    if p.get('bias') is not None:
+        y = y + p['bias'].astype(x.dtype)
+    return y
+
+
+def tp_alphas_forward(params, hidden, encoder_mask, cfg: CifConfig):
+    """Timestamp-branch α at ×upsample_times the encoder frame rate
+    (paraformer.py:86-101)."""
+    from reverb_tpu.diar.models import bilstm_forward
+    x = _conv_transpose1d_samek(params['tp_upsample_cnn'], hidden)
+    h = bilstm_forward(params['tp_blstm'], x)
+    tp = jax.nn.sigmoid(linear(params['tp_output'], h))[..., 0]
+    tp = jax.nn.relu(tp * cfg.smooth_factor2 - cfg.noise_threshold2)
+    m = jnp.repeat(encoder_mask[:, 0, :], cfg.upsample_times, axis=1)
+    return tp * m.astype(tp.dtype)
 
 
 def cif_fire(encoder_out, alphas, max_tokens: int, threshold: float = 1.0):
@@ -61,11 +173,15 @@ def cif_fire(encoder_out, alphas, max_tokens: int, threshold: float = 1.0):
         integ, frac_emb, out, n_fired = carry
         a = alphas[:, t]                                   # (B,)
         h = encoder_out[:, t]                              # (B, D)
+        # reference cif() arithmetic (cif.py:250-280): the fired frame is
+        # topped up with `distribution_completion = 1 − integrate_old` and
+        # the integrator resets by −1.0 (the compare uses `threshold`, the
+        # subtraction is hard-coded 1.0 — reproduced exactly)
+        completion = 1.0 - integ
         new_integ = integ + a
         fire = new_integ >= threshold
-        # weight split at the firing boundary
-        remain = jnp.where(fire, new_integ - threshold, 0.0)
-        used = a - remain
+        used = jnp.where(fire, completion, a)
+        remain = a - used
         emb_fired = frac_emb + used[:, None] * h
         write = (jnp.arange(max_tokens)[None, :] ==
                  jnp.clip(n_fired, 0, max_tokens - 1)[:, None])
@@ -73,7 +189,7 @@ def cif_fire(encoder_out, alphas, max_tokens: int, threshold: float = 1.0):
                         out)
         frac_emb = jnp.where(fire[:, None], remain[:, None] * h,
                              frac_emb + a[:, None] * h)
-        integ = jnp.where(fire, remain, new_integ)
+        integ = jnp.where(fire, new_integ - 1.0, new_integ)
         n_fired = n_fired + fire.astype(jnp.int32)
         return (integ, frac_emb, out, n_fired), None
 

@@ -251,17 +251,11 @@ def _transducer_bundle(configs, rng, cmvn) -> ModelBundle:
                        params, loss)
 
 
-def _sanm_paraformer_bundle(configs, rng, cmvn) -> ModelBundle:
-    """Ali-Paraformer (paraformer/paraformer.py:105-293): LFR → SanmEncoder →
-    CIF predictor → glancing sampler → SanmDecoder; loss = CE + quantity L1
-    (+ optional CTC).  The tp (timestamp-predictor) branch is descoped — its
-    quantity term duplicates the main one for non-timestamped training."""
-    from reverb_tpu.models.paraformer import (CifConfig, cif_alphas, cif_fire)
-    from reverb_tpu.models.sanm import (SanmConfig, init_sanm_decoder,
-                                        init_sanm_encoder,
-                                        sanm_decoder_forward,
-                                        sanm_encoder_forward)
-    from reverb_tpu.utils.common import make_pad_mask
+def sanm_configs(configs):
+    """(SanmConfig, CifConfig) from a wenet-converted paraformer config.yaml
+    — shared by the training bundle and the serving CLI wrapper."""
+    from reverb_tpu.models.paraformer import CifConfig
+    from reverb_tpu.models.sanm import SanmConfig
 
     enc_conf = dict(configs.get('encoder_conf', {}) or {})
     dec_conf = dict(configs.get('decoder_conf', {}) or {})
@@ -280,14 +274,32 @@ def _sanm_paraformer_bundle(configs, rng, cmvn) -> ModelBundle:
         sanm_shift=enc_conf.get('sanm_shfit', enc_conf.get('sanm_shift', 0)),
         dropout_rate=enc_conf.get('dropout_rate', 0.1),
         lfr_m=m, lfr_n=int(lfr_conf.get('lfr_n', 6)))
+    cif_kwargs = _dataclass_kwargs(
+        CifConfig, dict(configs.get('cif_conf',
+                                    configs.get('predictor_conf', {})) or {}))
+    cif_kwargs['idim'] = scfg.output_size
+    return scfg, CifConfig(**cif_kwargs)
+
+
+def _sanm_paraformer_bundle(configs, rng, cmvn) -> ModelBundle:
+    """Ali-Paraformer (paraformer/paraformer.py:105-293): LFR → SanmEncoder →
+    CIF predictor → glancing sampler → SanmDecoder; loss = CE + quantity L1
+    (+ optional CTC).  The tp (timestamp-predictor) branch is inference-only
+    here (decode/paraformer_search.py); its quantity term duplicates the
+    main one for non-timestamped training."""
+    from reverb_tpu.models.paraformer import cif_alphas, cif_fire
+    from reverb_tpu.models.sanm import (init_sanm_decoder,
+                                        init_sanm_encoder,
+                                        sanm_decoder_forward,
+                                        sanm_encoder_forward)
+    from reverb_tpu.utils.common import make_pad_mask
+
+    scfg, cif = sanm_configs(configs)
+    vocab = scfg.vocab_size
     model_conf = configs.get('model_conf', {}) or {}
     w_ctc = model_conf.get('ctc_weight', 0.0)
     sampling_ratio = model_conf.get('sampling_ratio', 0.75)
     use_sampler = model_conf.get('sampler', True)
-    cif_kwargs = _dataclass_kwargs(CifConfig,
-                                   dict(configs.get('cif_conf', {}) or {}))
-    cif_kwargs['idim'] = scfg.output_size
-    cif = CifConfig(**cif_kwargs)
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     from reverb_tpu.models.paraformer import init_cif
     params = {'encoder': init_sanm_encoder(k1, scfg),

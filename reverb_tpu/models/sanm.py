@@ -299,15 +299,43 @@ def sanm_decoder_forward(params, memory, memory_mask, sematic_embeds,
     return linear(params['output_layer'], x)
 
 
-def sanm_greedy_decode(params, feats, feats_lens, cfg: SanmConfig,
-                       cif_cfg, max_tokens: int = 200, cmvn=None):
-    """NAR inference (paraformer.py:296-330): encoder → CIF fire with raw α →
-    decoder → per-position argmax; returns (tokens (B,U), n_fired (B,))."""
-    from reverb_tpu.models.paraformer import cif_alphas, cif_fire
+def sanm_forward_paraformer(params, feats, feats_lens, cfg: SanmConfig,
+                            cif_cfg, max_tokens: int = 512, cmvn=None):
+    """`Paraformer.forward_paraformer` (paraformer.py:296-356): encoder →
+    CIF predictor with inference tail handling → NAR decoder → log-softmax.
+
+    Returns (decoder_out (B,U,V) log-probs, decoder_out_lens (B,) int32,
+    tp_alphas (B, T·u) — zeros when the checkpoint has no timestamp
+    branch)."""
+    from reverb_tpu.models.paraformer import (cif_alphas, cif_fire,
+                                              cif_tail_process,
+                                              tp_alphas_forward)
     enc, mask = sanm_encoder_forward(params['encoder'], feats, feats_lens,
                                      cfg, cmvn=cmvn)
     alphas = cif_alphas(params['predictor'], enc, mask, cif_cfg)
-    fired, n_fired = cif_fire(enc, alphas, max_tokens, cif_cfg.threshold)
+    hidden = enc
+    if cif_cfg.tail_threshold > 0.0:
+        hidden, alphas, token_num = cif_tail_process(
+            enc, alphas, mask[:, 0, :], cif_cfg.tail_threshold)
+    else:
+        token_num = jnp.floor(jnp.sum(alphas, axis=-1))
+    token_num = jnp.minimum(token_num.astype(jnp.int32), max_tokens)
+    fired, _ = cif_fire(hidden, alphas, max_tokens, cif_cfg.threshold)
     logits = sanm_decoder_forward(params['decoder'], enc, mask, fired,
-                                  n_fired, cfg)
-    return jnp.argmax(logits, axis=-1), n_fired
+                                  token_num, cfg)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    if 'tp_output' in params['predictor']:
+        tp = tp_alphas_forward(params['predictor'], enc, mask, cif_cfg)
+    else:
+        tp = jnp.zeros((enc.shape[0],
+                        enc.shape[1] * cif_cfg.upsample_times), jnp.float32)
+    return logp, token_num, tp
+
+
+def sanm_greedy_decode(params, feats, feats_lens, cfg: SanmConfig,
+                       cif_cfg, max_tokens: int = 200, cmvn=None):
+    """NAR inference: per-position argmax over `sanm_forward_paraformer`;
+    returns (tokens (B,U), decoder_out_lens (B,))."""
+    logp, token_num, _ = sanm_forward_paraformer(
+        params, feats, feats_lens, cfg, cif_cfg, max_tokens, cmvn)
+    return jnp.argmax(logp, axis=-1), token_num
