@@ -56,6 +56,9 @@ def get_args(argv=None):
                         help='int8: post-training-quantized serving path')
     parser.add_argument('--compute_dtype', default='float32',
                         choices=['float32', 'bfloat16'])
+    parser.add_argument('--data_parallel', type=int, default=0,
+                        help='shard the chunk batch over the first N devices '
+                             '(data-parallel serving; 0 = single device)')
     parser.add_argument('--log_level', default='INFO')
     return parser.parse_args(argv)
 
@@ -74,14 +77,16 @@ def main(argv=None):
             'One of either --model or (--checkpoint and --config) must be set.')
     if model_set:
         model = load_model(args.model, compute_dtype=args.compute_dtype,
-                           quantize=args.quantize)
+                           quantize=args.quantize,
+                           data_parallel=args.data_parallel)
     else:
         model = ReverbASR(args.config, args.checkpoint,
                           cmvn_path=args.cmvn_path,
                           tokenizer_symbols=args.tokenizer_symbols,
                           bpe_path=args.bpe_path,
                           compute_dtype=args.compute_dtype,
-                          quantize=args.quantize)
+                          quantize=args.quantize,
+                          data_parallel=args.data_parallel)
 
     files = {}
     for mode in args.modes:

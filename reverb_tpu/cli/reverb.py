@@ -68,6 +68,7 @@ class ReverbASR:
                  bpe_path: Optional[str] = None,
                  compute_dtype: str = 'float32',
                  quantize: str = 'none',
+                 data_parallel: int = 0,
                  gpu: int = -1):
         del gpu  # accepted for API parity; device selection is JAX's
         from reverb_tpu.export.aot import maybe_enable_default_cache
@@ -101,6 +102,28 @@ class ReverbASR:
             # activations on the MXU int8 pipe (ops/quant.py)
             from reverb_tpu.ops.quant import quantize_params_int8
             self.params = quantize_params_int8(self.params)
+        self.mesh = None
+        if data_parallel and data_parallel > 1:
+            # Data-parallel serving: every decode program is row-independent
+            # over the chunk batch, so sharding the (B, chunk, 80) batch
+            # along a ('data',) mesh lets GSPMD partition the whole serving
+            # pipeline — N chips decode one long-form file ~N× faster with
+            # no algorithm changes. The reference has no multi-GPU serving
+            # (cli/reverb.py runs on one device).
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            devs = jax.devices()
+            if data_parallel > len(devs):
+                raise ValueError(
+                    f'data_parallel={data_parallel} but only {len(devs)} '
+                    f'devices are visible')
+            self.mesh = Mesh(np.asarray(devs[:data_parallel]), ('data',))
+            self.params = jax.device_put(
+                self.params, NamedSharding(self.mesh, PartitionSpec()))
+            # Pallas serving kernels (flash attention, beam scan) have no
+            # GSPMD partitioning rule; the XLA formulations of the same ops
+            # partition cleanly over 'data'.
+            from reverb_tpu.ops import set_use_pallas
+            set_use_pallas(False)
         self.test_conf = self.configs.get('dataset_conf', {}) or {}
         fbank_conf = self.test_conf.get('fbank_conf', {}) or {}
         self.fbank = FbankConfig(
@@ -176,6 +199,22 @@ class ReverbASR:
                 part = xp.pad(part, ((0, pad), (0, 0)))
             yield part.reshape(bs, chunk_size, M), lens
 
+    def _shard_batch(self, feats_batch, feats_lens):
+        """Pad the chunk batch to a multiple of the mesh size (extra rows are
+        zero-length chunks, dropped from the results) and place it sharded
+        along 'data'; row independence makes the padded rows dead weight on
+        exactly one device each."""
+        from jax.sharding import NamedSharding, PartitionSpec
+        dp = self.mesh.devices.size
+        pad = -feats_batch.shape[0] % dp
+        if pad:
+            xp = jnp if isinstance(feats_batch, jax.Array) else np
+            feats_batch = xp.pad(feats_batch, ((0, pad), (0, 0), (0, 0)))
+            feats_lens = np.pad(feats_lens, (0, pad))
+        spec = NamedSharding(self.mesh, PartitionSpec('data'))
+        return (jax.device_put(feats_batch, spec),
+                jax.device_put(jnp.asarray(feats_lens), spec))
+
     # ------------------------------ transcribe ------------------------------
 
     def transcribe_modes(self, audio_file, modes: List[str],
@@ -200,12 +239,20 @@ class ReverbASR:
             # one device program (capped to bound HBM) instead of the
             # reference's one-chunk-at-a-time loop (cli/reverb.py:142-174).
             # CTM output is unchanged vs batch_size=1 (test_e2e_cli.py).
-            batch_size = min(max(math.ceil(feats.shape[0] / chunk_size), 1), 8)
+            # Under a serving mesh the HBM cap is per-device, so it scales
+            # with the mesh.
+            cap = 8 * (self.mesh.devices.size if self.mesh is not None else 1)
+            batch_size = min(max(math.ceil(feats.shape[0] / chunk_size), 1),
+                             cap)
         cat_embs = np.asarray([verbatimicity, 1.0 - verbatimicity],
                               dtype=np.float32)
         results = []
         for feats_batch, feats_lens in self.feats_batcher(
                 feats, chunk_size, batch_size):
+            n_real = feats_batch.shape[0]
+            if self.mesh is not None:
+                feats_batch, feats_lens = self._shard_batch(
+                    feats_batch, feats_lens)
             hyps = decode_modes_fn(
                 self.params, self.model_config, modes, feats_batch, feats_lens,
                 beam_size=beam_size,
@@ -218,6 +265,8 @@ class ReverbASR:
                 cat_embs=cat_embs,
                 blank_skip_threshold=blank_skip_threshold,
                 context_graph=context_graph)
+            if self.mesh is not None:
+                hyps = {m: v[:n_real] for m, v in hyps.items()}
             results.append(hyps)
         outputs = []
         for mode in modes:
