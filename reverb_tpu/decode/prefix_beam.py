@@ -84,8 +84,23 @@ def _take1(v, idx):
     n = v.shape[0]
     m = idx[..., None] == jnp.arange(n, dtype=idx.dtype)
     if v.dtype == jnp.bool_:
-        return jnp.any(m & v, axis=-1)
+        # or-reduce in i32: an i1 `any` lowers through an i8 truncation
+        # Mosaic rejects
+        return jnp.max((m & v).astype(jnp.int32), axis=-1) != 0
+    if jnp.issubdtype(v.dtype, jnp.unsignedinteger):
+        # Mosaic has no unsigned reductions; the one-hot sum is a pure
+        # bit-pattern selection, so route it through the signed view (exact)
+        signed = jnp.dtype(v.dtype).name.replace('u', '')
+        return jnp.sum(jnp.where(m, v.view(signed), 0).astype(signed),
+                       axis=-1).view(v.dtype)
     return jnp.sum(jnp.where(m, v, jnp.zeros((), v.dtype)), axis=-1)
+
+def _kvec(b, K: int):
+    """Scalar bool → (K,) bool through an i32 broadcast.  Mosaic cannot
+    insert a minor dim on an i1 vector (vmapping a scalar-cond `jnp.where`
+    over the batch does exactly that), so broadcast in i32 and compare."""
+    return (b.astype(jnp.int32) + jnp.zeros((K,), jnp.int32)) != 0
+
 
 def _log_add(a, b):
     mx = jnp.maximum(a, b)
@@ -117,6 +132,68 @@ def _child_hash(h1, h2, u):
     return (h1 * _MULT1 + uu, h2 * _MULT2 + uu)
 
 
+def _take2(a, ri, ci):
+    """a[ri, ci] for a (R,C) array and (N,) int index vectors, reshape-free
+    (Mosaic cannot collapse (R,C)→(R·C,)): a static loop of row selects +
+    a one-hot column sum.  Exact for every dtype incl. -inf entries (pure
+    selects, no masked arithmetic on the values)."""
+    R, C = a.shape
+    rows = jnp.zeros((ri.shape[0], C), a.dtype)
+    for r in range(R):                       # R = beam width, static + tiny
+        rows = jnp.where(ri[:, None] == r, a[r][None, :], rows)
+    m = ci[:, None] == jnp.arange(C, dtype=ci.dtype)[None, :]
+    return jnp.sum(jnp.where(m, rows, jnp.zeros((), a.dtype)), axis=1)
+
+
+def _topk2d_xla(cand, K: int):
+    """Default second-beam-prune top-k: flat row-major lax.top_k over the
+    (K, K2+1) candidate matrix (ties → lowest flat index)."""
+    return jax.lax.top_k(cand.reshape(-1), K)
+
+
+def _iter_topk2d(cand, K: int):
+    """`_topk2d_xla`'s exact values/indices/tie order, built only from
+    elementwise ops + single-axis reductions so it lowers inside the Pallas
+    kernel: Mosaic has no sort, no argmax, and no (R,C)→(R·C,) reshape.
+    Each round takes the global max, locates its first row-major position
+    (first row whose row-max attains it, first unpicked column there), and
+    masks it out.  Returns flat row-major (values, indices)."""
+    R, C = cand.shape
+    rpos = jnp.arange(R, dtype=jnp.int32)[:, None]       # (R,1)
+    cpos = jnp.arange(C, dtype=jnp.int32)[None, :]       # (1,C)
+    flatpos = rpos * C + cpos                            # (R,C)
+    picked = jnp.zeros((R, C), bool)
+    neg_inf = jnp.array(-jnp.inf, cand.dtype)
+    vals, idxs = [], []
+    for _ in range(K):
+        masked = jnp.where(picked, neg_inf, cand)
+        rowmx = jnp.max(masked, axis=1)                  # (R,)
+        gmx = jnp.max(rowmx, axis=-1)                    # scalar
+        row = jnp.min(jnp.where(rowmx == gmx, rpos[:, 0], R), axis=-1)
+        # scalars meeting 2-D arrays are expanded EXPLICITLY ([None,None]):
+        # under the in-kernel vmap they are rank-1 vectors, and Mosaic's
+        # layout inference can only add one implicit dim to a vector.
+        # Confine to the selected row additively (an i1 row-mask broadcast
+        # would not lower); -inf rows stay -inf, which only collides with
+        # gmx when gmx itself is -inf — and then the first row is all -inf,
+        # so the min below still lands in it, matching flat order
+        # scalar → (R,1) via a REAL add: Mosaic can't broadcast sublanes
+        # and lanes in one op, and a pure broadcast chain gets re-fused by
+        # canonicalization back into exactly that; an add through a (R,)
+        # zeros intermediate survives
+        def _rr(x):
+            return (x + jnp.zeros((R,), x.dtype))[:, None]
+        row_r = _rr(row)
+        rowgate = jnp.where(rpos == row_r, 0.0, neg_inf).astype(cand.dtype)
+        hit = ((masked + rowgate) == _rr(gmx)) & ~picked
+        idx = jnp.min(jnp.min(jnp.where(hit, flatpos, R * C), axis=1),
+                      axis=-1)
+        vals.append(gmx)
+        idxs.append(idx)
+        picked = picked | (flatpos == _rr(idx))
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def _iter_topk(totals, K: int):
     """Exact top-k indices by K rounds of (max, first-argmax, mask) — the
     same values/tie order as `lax.top_k` (ties resolve to the lower index),
@@ -142,7 +219,7 @@ def _iter_topk(totals, K: int):
 
 
 def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int,
-          ctx_tables=None, top_k_fn=jax.lax.top_k):
+          ctx_tables=None, top_k_fn=_topk2d_xla):
     """One frame update. inputs = (topk_logp (K2,), topk_idx (K2,), t, valid,
     blank_acc, has_skip).  Returns (new_state, StepEmit).
 
@@ -152,11 +229,17 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int,
     unchanged (the trie state is a pure function of the prefix, so a merged
     keep+extend entry gets the same state from either path).
 
-    top_k_fn: the second-beam-prune top-k; `_iter_topk` when running inside
-    the Pallas kernel (ops/beam_scan.py), identical values + tie order."""
+    top_k_fn: the second-beam-prune top-k over the (K, K2+1) candidate
+    matrix returning flat row-major (values, indices); `_iter_topk2d` when
+    running inside the Pallas kernel (ops/beam_scan.py), identical values +
+    tie order to the default `_topk2d_xla`."""
     topk_logp, topk_idx, t, valid, blank_acc, has_skip = inputs
     beam_ix = jnp.arange(K, dtype=jnp.int32)
     orig_state = state      # frozen steps must be TRUE no-ops (no fold)
+    # per-utterance scalar conditions pre-broadcast to (K,) via i32 (see
+    # _kvec: Mosaic rejects i1 minor-dim inserts inside the Pallas kernel)
+    validk = _kvec(valid, K)
+    hskipk = _kvec(has_skip, K)
 
     # pre-fold viterbi bank selection (needed to compose the fold's bank
     # remap into the emitted backpointers)
@@ -167,20 +250,21 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int,
     col_s = _log_add(state.s, state.ns) + blank_acc
     col_v_s = jnp.maximum(state.v_s, state.v_ns) + blank_acc
     state = state._replace(
-        s=jnp.where(has_skip, col_s, state.s),
-        ns=jnp.where(has_skip, NEG_INF, state.ns),
-        v_s=jnp.where(has_skip, col_v_s, state.v_s),
-        v_ns=jnp.where(has_skip, NEG_INF, state.v_ns))
+        s=jnp.where(hskipk, col_s, state.s),
+        ns=jnp.where(hskipk, NEG_INF, state.ns),
+        v_s=jnp.where(hskipk, col_v_s, state.v_s),
+        v_ns=jnp.where(hskipk, NEG_INF, state.v_ns))
     # post-fold bank k's s-row refers to pre-fold bank:
     #   has_skip → the pre-fold viterbi winner; else the pre-fold s-row
-    s_bank_pre_is_ns = jnp.where(has_skip, pre_sel_ns, False)  # (K,)
+    s_bank_pre_is_ns = hskipk & pre_sel_ns                   # (K,)
 
     viterbi = jnp.maximum(state.v_s, state.v_ns)
     score = _log_add(state.s, state.ns)
     post_sel_ns = ~(state.v_s > state.v_ns)                  # (K,) bool
-    # (beam, post-vit bank) → pre-fold bank
-    vit_pre_is_ns = jnp.where(post_sel_ns, True,
-                              s_bank_pre_is_ns)              # (K,)
+    # (beam, post-vit bank) → pre-fold bank.  Bool-valued selects are
+    # written as logical ops throughout this function: Mosaic lowers a
+    # select with i1 operands through an i8 truncation it then rejects.
+    vit_pre_is_ns = post_sel_ns | s_bank_pre_is_ns           # (K,)
 
     # ---- keep entries (one per beam): blank / repeated-last updates ----
     is_blank_col = topk_idx == blank_id
@@ -188,8 +272,9 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int,
     eq_last = state.last[:, None] == topk_idx[None, :]          # (K,K2)
     p_last = jnp.max(jnp.where(eq_last, topk_logp[None, :], NEG_INF), axis=1)
 
-    keep_s = jnp.where(p_blank <= NEG_INF, NEG_INF, score + p_blank)
-    keep_v_s = jnp.where(p_blank <= NEG_INF, NEG_INF, viterbi + p_blank)
+    pb_dead = _kvec(p_blank <= NEG_INF, K)
+    keep_s = jnp.where(pb_dead, NEG_INF, score + p_blank)
+    keep_v_s = jnp.where(pb_dead, NEG_INF, viterbi + p_blank)
     keep_ns = jnp.where(p_last <= NEG_INF, NEG_INF, state.ns + p_last)
     # De-facto reference semantics (search.py:177-183 assigns the typo'd
     # `vs_ns` attr): a keep entry's viterbi ns-score is NEVER updated, so it
@@ -217,26 +302,39 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int,
 
     # ---- merge each keep entry into its (unique) matching extend entry ----
     live_keep = score > NEG_INF
-    match = ((state.h1[:, None, None] == eh1[None]) &
-             (state.h2[:, None, None] == eh2[None]) &
-             (~dead)[None] & live_keep[:, None, None])   # (K, K, K2)
-    matched_to_ext = jnp.any(match, axis=(1, 2))         # keep i absorbed?
-    has_m = jnp.any(match, axis=0)                       # (K, K2)
-    # keep prefixes are pairwise distinct, so each extend column matches AT
-    # MOST one keep row — a masked sum selects it exactly (no argmax+gather;
-    # also required for the Pallas lowering, which has no argmax)
-    m_idx = jnp.sum(jnp.where(
-        match, jnp.arange(K, dtype=jnp.int32)[:, None, None], 0),
-        axis=0)                                          # (K, K2) keep index
-
-    def at_m(v):
-        sel = jnp.sum(jnp.where(match, v[:, None, None], jnp.zeros((), v.dtype)),
-                      axis=0)
-        return jnp.where(has_m, sel, NEG_INF)
-
-    mrg_s = at_m(keep_s)
-    mrg_ns = _log_add(ext_ns, at_m(keep_ns))
-    mrg_v_s = at_m(keep_v_s)
+    # cross-product merge as a STATIC loop over the K keep rows: the
+    # (K,K,K2) match tensor would batch to rank-4 under the in-kernel vmap
+    # and a (K,K2)→(K·K2,) flatten doesn't lower in Mosaic — neither is
+    # needed.  Keep prefixes are pairwise distinct, so each extend cell
+    # matches at most one keep row and plain selects accumulate exactly.
+    has_m32 = jnp.zeros((K, K2), jnp.int32)
+    m_idx = jnp.zeros((K, K2), jnp.int32)
+    mrg_s = jnp.full((K, K2), NEG_INF)
+    mrg_keep_ns = jnp.full((K, K2), NEG_INF)
+    mrg_v_s = jnp.full((K, K2), NEG_INF)
+    matched32 = []
+    for i in range(K):
+        # scalar conditions enter in i32 (i1 broadcasts don't lower), and
+        # scalars are expanded [None,None] before meeting 2-D arrays (under
+        # the in-kernel vmap they are rank-1 vectors, and Mosaic layouts
+        # add at most one implicit dim)
+        def _r(x):
+            # scalar → (K,1) via a REAL add: a pure broadcast chain is
+            # re-fused by canonicalization into a 2-axis broadcast Mosaic
+            # can't lower; an add through a (K,) zeros intermediate isn't
+            return (x + jnp.zeros((K,), x.dtype))[:, None]
+        mi32 = ((_r(state.h1[i]) == eh1) & (_r(state.h2[i]) == eh2) &
+                ~dead).astype(jnp.int32) * _r(live_keep[i].astype(jnp.int32))
+        mib = mi32 != 0                                  # (K, K2)
+        has_m32 = has_m32 | mi32
+        m_idx = m_idx + mi32 * i
+        mrg_s = jnp.where(mib, _r(keep_s[i]), mrg_s)
+        mrg_keep_ns = jnp.where(mib, _r(keep_ns[i]), mrg_keep_ns)
+        mrg_v_s = jnp.where(mib, _r(keep_v_s[i]), mrg_v_s)
+        matched32.append(jnp.max(jnp.max(mi32, axis=-1), axis=-1))
+    has_m = has_m32 != 0
+    matched_to_ext = jnp.stack(matched32) != 0           # keep i absorbed?
+    mrg_ns = _log_add(ext_ns, mrg_keep_ns)
     mrg_v_ns = ext_v_ns            # keep_v_ns is -inf (typo semantics)
     vwin_is_keep = jnp.zeros_like(has_m)
     ext_total = _log_add(mrg_s, mrg_ns)
@@ -260,18 +358,25 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int,
         ext_prune, keep_prune = ext_total, keep_total
 
     # ---- second beam prune over K·K2 extend + K keep candidates ----
-    totals = jnp.concatenate([ext_prune.reshape(-1), keep_prune])
-    top_total, top_idx = top_k_fn(totals, K)
+    # candidates stay 2D — row k holds beam k's K2 extends plus its keep
+    # entry in the last column; top_idx is row-major over (K, K2+1).  Both
+    # the XLA and kernel top-k implement this same contract, so the scan
+    # and Pallas paths stay bit-identical.
+    cand = jnp.concatenate([ext_prune, keep_prune[:, None]], axis=1)
+    top_total, top_idx = top_k_fn(cand, K)
     del top_total
-    is_ext = top_idx < K * K2
-    j = jnp.where(is_ext, top_idx // K2, 0)              # extend parent
-    keep_i = jnp.clip(top_idx - K * K2, 0, K - 1)        # keep parent
-    parent = jnp.where(is_ext, j, keep_i)
-    uu = jnp.where(is_ext, top_idx % K2, 0)
+    C = K2 + 1
+    col = top_idx % C
+    is_ext = col < K2
+    parent = top_idx // C          # candidate row = parent beam, both kinds
+    keep_i = parent
+    uu = jnp.where(is_ext, col, 0)
     tok = _take1(topk_idx, uu).astype(jnp.int32)
 
-    ext_sel = jnp.clip(top_idx, 0, K * K2 - 1)
-    flat = lambda a: _take1(a.reshape(-1), ext_sel)
+    def flat(a):
+        if a.dtype == jnp.bool_:   # i1 gathers go via i32 (no i1 selects)
+            return _take2(a.astype(jnp.int32), parent, uu) != 0
+        return _take2(a, parent, uu)
 
     new_s = jnp.where(is_ext, flat(mrg_s), _take1(keep_s, keep_i))
     new_ns = jnp.where(is_ext, flat(mrg_ns), _take1(keep_ns, keep_i))
@@ -305,11 +410,11 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int,
     #    viterbi winner), appending t at plen[parent]
     #  - keep winner / merged-keep viterbi winner: parent's ns-bank, with the
     #    last written slot overwritten by t when the repeat fired
-    w_keep = jnp.where(is_ext, flat(vwin_is_keep), True)
+    w_keep = ~is_ext | flat(vwin_is_keep)
     ext_win = is_ext & ~w_keep
     rep_tok = flat(u_eq_last)
-    ext_src_is_ns = jnp.where(rep_tok, _take1(s_bank_pre_is_ns, parent),
-                              _take1(vit_pre_is_ns, parent))
+    ext_src_is_ns = ((rep_tok & _take1(s_bank_pre_is_ns, parent)) |
+                     (~rep_tok & _take1(vit_pre_is_ns, parent)))
     tns_parent = jnp.where(is_ext, m_sel, keep_i)
     # the repeat branch's time overwrite is gated on the parent's v_ns
     # being live (search.py:177 `if next_score1.v_ns < prefix.v_ns + prob`
@@ -321,7 +426,7 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int,
                           jnp.maximum(_take1(state.plen, tns_parent) - 1, 0),
                           -1)
     ns_src_beam = jnp.where(ext_win, parent, tns_parent)
-    ns_src_is_ns = jnp.where(ext_win, ext_src_is_ns, True)
+    ns_src_is_ns = ~ext_win | ext_src_is_ns
     ns_wpos = jnp.where(ext_win, plen_parent, keep_wpos)
 
     pfx_wpos = jnp.where(is_ext, plen_parent, -1)
@@ -330,17 +435,17 @@ def _step(state: BeamState, inputs, K: int, K2: int, blank_id: int,
                           h2=new_h2, s=new_s, ns=new_ns, v_s=new_v_s,
                           v_ns=new_v_ns, ctx=new_ctx, cum=new_cum)
     # freeze state past the utterance's true length; identity emits
-    merged = jax.tree.map(lambda new, old: jnp.where(valid, new, old),
+    merged = jax.tree.map(lambda new, old: jnp.where(validk, new, old),
                           new_state, orig_state)
     emit = StepEmit(
-        pfx_parent=jnp.where(valid, parent, beam_ix),
+        pfx_parent=jnp.where(validk, parent, beam_ix),
         pfx_tok=tok,
-        pfx_wpos=jnp.where(valid, pfx_wpos, -1),
-        s_src_beam=jnp.where(valid, s_src_beam, beam_ix),
-        s_src_is_ns=jnp.where(valid, s_src_is_ns, False),
-        ns_src_beam=jnp.where(valid, ns_src_beam, beam_ix),
-        ns_src_is_ns=jnp.where(valid, ns_src_is_ns, True),
-        ns_wpos=jnp.where(valid, ns_wpos, -1),
+        pfx_wpos=jnp.where(validk, pfx_wpos, -1),
+        s_src_beam=jnp.where(validk, s_src_beam, beam_ix),
+        s_src_is_ns=validk & s_src_is_ns,
+        ns_src_beam=jnp.where(validk, ns_src_beam, beam_ix),
+        ns_src_is_ns=~validk | ns_src_is_ns,
+        ns_wpos=jnp.where(validk, ns_wpos, -1),
         wval=t.astype(jnp.int32),
     )
     return merged, emit

@@ -37,10 +37,14 @@ def _kernel(logp_ref, idx_ref, ts_ref, valid_ref, bacc_ref, hskip_ref,
             fin_s_ref, fin_ns_ref, fin_vs_ref, fin_vns_ref, fin_plen_ref,
             plen_s, last_s, h1_s, h2_s, s_s, ns_s, vs_s, vns_s, ctx_s, cum_s,
             *, K: int, K2: int, blank_id: int):
+    # per-frame arrays are TIME-LEADING ((T,B,K2)/(T,1,B)): the grid walks
+    # dim 0, so every block keeps its LAST TWO dims equal to the array's —
+    # Mosaic requires the last two block dims be full-size or (8,128)-
+    # divisible, which a (B,1,K) block over (B,T,K) violates whenever T >= 8
     from reverb_tpu.decode.prefix_beam import (BeamState, _init_state,
-                                               _iter_topk, _step)
+                                               _iter_topk2d, _step)
     t = pl.program_id(0)
-    B = logp_ref.shape[0]
+    B = logp_ref.shape[1]
 
     @pl.when(t == 0)
     def _init():
@@ -54,10 +58,10 @@ def _kernel(logp_ref, idx_ref, ts_ref, valid_ref, bacc_ref, hskip_ref,
     state = BeamState(plen=plen_s[...], last=last_s[...], h1=h1_s[...],
                       h2=h2_s[...], s=s_s[...], ns=ns_s[...], v_s=vs_s[...],
                       v_ns=vns_s[...], ctx=ctx_s[...], cum=cum_s[...])
-    inputs = (logp_ref[:, 0, :], idx_ref[:, 0, :], ts_ref[:, 0],
-              valid_ref[:, 0] != 0, bacc_ref[:, 0], hskip_ref[:, 0] != 0)
+    inputs = (logp_ref[0], idx_ref[0], ts_ref[0, 0],
+              valid_ref[0, 0] != 0, bacc_ref[0, 0], hskip_ref[0, 0] != 0)
     step = functools.partial(_step, K=K, K2=K2, blank_id=blank_id,
-                             ctx_tables=None, top_k_fn=_iter_topk)
+                             ctx_tables=None, top_k_fn=_iter_topk2d)
     new_state, emit = jax.vmap(step)(state, inputs)
 
     for ref, v in ((plen_s, new_state.plen), (last_s, new_state.last),
@@ -67,15 +71,15 @@ def _kernel(logp_ref, idx_ref, ts_ref, valid_ref, bacc_ref, hskip_ref,
                    (ctx_s, new_state.ctx), (cum_s, new_state.cum)):
         ref[...] = v
 
-    pfx_parent_ref[:, 0, :] = emit.pfx_parent
-    pfx_tok_ref[:, 0, :] = emit.pfx_tok
-    pfx_wpos_ref[:, 0, :] = emit.pfx_wpos
-    s_src_beam_ref[:, 0, :] = emit.s_src_beam
-    s_src_is_ns_ref[:, 0, :] = emit.s_src_is_ns.astype(jnp.int32)
-    ns_src_beam_ref[:, 0, :] = emit.ns_src_beam
-    ns_src_is_ns_ref[:, 0, :] = emit.ns_src_is_ns.astype(jnp.int32)
-    ns_wpos_ref[:, 0, :] = emit.ns_wpos
-    wval_ref[:, 0] = emit.wval
+    pfx_parent_ref[0] = emit.pfx_parent
+    pfx_tok_ref[0] = emit.pfx_tok
+    pfx_wpos_ref[0] = emit.pfx_wpos
+    s_src_beam_ref[0] = emit.s_src_beam
+    s_src_is_ns_ref[0] = emit.s_src_is_ns.astype(jnp.int32)
+    ns_src_beam_ref[0] = emit.ns_src_beam
+    ns_src_is_ns_ref[0] = emit.ns_src_is_ns.astype(jnp.int32)
+    ns_wpos_ref[0] = emit.ns_wpos
+    wval_ref[0, 0] = emit.wval
     # final-state outputs use a constant index map: the block stays resident
     # and the last grid step's write is what lands in HBM
     fin_s_ref[...] = new_state.s
@@ -96,7 +100,10 @@ def kernel_available() -> bool:
     global _KERNEL_OK
     if _KERNEL_OK is None:
         try:
-            B, T, K2, K = 2, 4, 3, 3
+            # T >= 8: sub-tile frame counts lower even for illegal block
+            # shapes (the whole dim fits one tile), so a tiny-T probe would
+            # pass while production shapes fail the (8,128) divisibility rule
+            B, T, K2, K = 2, 16, 3, 3
             logp = jnp.zeros((B, T, K2), jnp.float32)
             idx = jnp.zeros((B, T, K2), jnp.int32)
             ts = jnp.zeros((B, T), jnp.int32)
@@ -152,17 +159,17 @@ def _bt_kernel(order_ref, selns_ref, pfx_parent_ref, pfx_tok_ref,
         return p_pos, p_tok, nxt_p, wpos, nxt_tb, nxt_ns
 
     p_pos, p_tok, nxt_p, wpos, nxt_tb, nxt_ns = jax.vmap(back)(
-        cur_p, cur_tb, cur_ns, pfx_wpos_ref[:, 0, :], pfx_tok_ref[:, 0, :],
-        pfx_parent_ref[:, 0, :], ns_wpos_ref[:, 0, :],
-        ns_src_beam_ref[:, 0, :], s_src_beam_ref[:, 0, :],
-        ns_src_is_ns_ref[:, 0, :], s_src_is_ns_ref[:, 0, :])
+        cur_p, cur_tb, cur_ns, pfx_wpos_ref[0], pfx_tok_ref[0],
+        pfx_parent_ref[0], ns_wpos_ref[0],
+        ns_src_beam_ref[0], s_src_beam_ref[0],
+        ns_src_is_ns_ref[0], s_src_is_ns_ref[0])
     curp_s[...] = nxt_p
     curtb_s[...] = nxt_tb
     curns_s[...] = nxt_ns.astype(jnp.int32)
-    p_pos_ref[:, 0, :] = p_pos
-    p_tok_ref[:, 0, :] = p_tok
-    wpos_ref[:, 0, :] = wpos
-    wval_out_ref[:, 0, :] = jnp.broadcast_to(wval_ref[:, 0][:, None], (B, K))
+    p_pos_ref[0] = p_pos
+    p_tok_ref[0] = p_tok
+    wpos_ref[0] = wpos
+    wval_out_ref[0] = jnp.broadcast_to(wval_ref[0, 0][:, None], (B, K))
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -170,11 +177,13 @@ def beam_backtrace(emits: dict, order, final_sel_ns, L: int,
                    interpret: bool = False):
     """Batched prefix/timestamp reconstruction from the forward kernel's
     emits: reverse-grid Pallas walk + one XLA scatter.  order (B,K) int32,
-    final_sel_ns (B,K) bool.  Returns (prefixes (B,K,L), times (B,K,L))."""
-    B, T, K = emits['pfx_parent'].shape
+    final_sel_ns (B,K) bool.  emits are time-leading ((T,B,K), wval
+    (T,1,B)) as beam_scan_forward produces them.  Returns
+    (prefixes (B,K,L), times (B,K,L))."""
+    T, B, K = emits['pfx_parent'].shape
     i32 = jnp.int32
-    rev3 = pl.BlockSpec((B, 1, K), lambda t: (0, T - 1 - t, 0))
-    rev1 = pl.BlockSpec((B, 1), lambda t: (0, T - 1 - t))
+    rev3 = pl.BlockSpec((1, B, K), lambda t: (T - 1 - t, 0, 0))
+    rev1 = pl.BlockSpec((1, 1, B), lambda t: (T - 1 - t, 0, 0))
     const = pl.BlockSpec((B, K), lambda t: (0, 0))
     names = ['pfx_parent', 'pfx_tok', 'pfx_wpos', 's_src_beam',
              's_src_is_ns', 'ns_src_beam', 'ns_src_is_ns', 'ns_wpos']
@@ -183,13 +192,13 @@ def beam_backtrace(emits: dict, order, final_sel_ns, L: int,
         grid=(T,),
         in_specs=[const, const] + [rev3] * 8 + [rev1],
         out_specs=[rev3] * 4,
-        out_shape=[jax.ShapeDtypeStruct((B, T, K), i32) for _ in range(4)],
+        out_shape=[jax.ShapeDtypeStruct((T, B, K), i32) for _ in range(4)],
         scratch_shapes=[pltpu.VMEM((B, K), i32) for _ in range(3)],
         interpret=interpret,
     )(order.astype(i32), final_sel_ns.astype(i32),
       *[emits[n] for n in names], emits['wval'])
     p_pos, p_tok, wpos, wval = outs
-    bb = jnp.arange(B, dtype=i32)[:, None, None]
+    bb = jnp.arange(B, dtype=i32)[None, :, None]
     kk = jnp.arange(K, dtype=i32)[None, None, :]
     p_pos_ob = jnp.where(p_pos >= 0, p_pos, L)
     prefixes = jnp.zeros((B, K, L), i32).at[bb, kk, p_pos_ob].max(
@@ -208,36 +217,46 @@ def beam_scan_forward(topk_logp, topk_idx, ts, valid, blank_acc, has_skip,
 
     topk_logp/topk_idx: (B,T,K2); ts/blank_acc: (B,T); valid/has_skip (B,T)
     bool.  Returns (final {s,ns,v_s,v_ns,plen} (B,K), emits — a StepEmit of
-    (B,T,K) arrays with wval (B,T), bools as int32)."""
+    TIME-LEADING (T,B,K) arrays with wval (T,1,B), bools as int32).
+
+    The kernels keep per-frame arrays time-leading so the sequential grid
+    iterates dim 0 and every block's last two dims stay full-size (Mosaic's
+    divisibility rule rejects a (B,1,K) block over (B,T,K) once T >= 8)."""
     B, T, K2 = topk_logp.shape
     f32, i32 = jnp.float32, jnp.int32
     grid = (T,)
-    bk = pl.BlockSpec((B, 1, K), lambda t: (0, t, 0))
-    b1 = pl.BlockSpec((B, 1), lambda t: (0, t))
+    tk = pl.BlockSpec((1, B, K), lambda t: (t, 0, 0))
+    t1 = pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0))
     bfin = pl.BlockSpec((B, K), lambda t: (0, 0))
-    out_shapes = ([jax.ShapeDtypeStruct((B, T, K), i32) for _ in range(4)]
-                  + [jax.ShapeDtypeStruct((B, T, K), i32)]    # s_src_is_ns
-                  + [jax.ShapeDtypeStruct((B, T, K), i32) for _ in range(2)]
-                  + [jax.ShapeDtypeStruct((B, T, K), i32)]    # ns_wpos
-                  + [jax.ShapeDtypeStruct((B, T), i32)]       # wval
+    out_shapes = ([jax.ShapeDtypeStruct((T, B, K), i32) for _ in range(4)]
+                  + [jax.ShapeDtypeStruct((T, B, K), i32)]    # s_src_is_ns
+                  + [jax.ShapeDtypeStruct((T, B, K), i32) for _ in range(2)]
+                  + [jax.ShapeDtypeStruct((T, B, K), i32)]    # ns_wpos
+                  + [jax.ShapeDtypeStruct((T, 1, B), i32)]    # wval
                   + [jax.ShapeDtypeStruct((B, K), f32) for _ in range(4)]
                   + [jax.ShapeDtypeStruct((B, K), i32)])      # plen
-    out_specs = [bk] * 8 + [b1] + [bfin] * 5
+    out_specs = [tk] * 8 + [t1] + [bfin] * 5
     scratch = [pltpu.VMEM((B, K), d) for d in
                (i32, i32, jnp.uint32, jnp.uint32, f32, f32, f32, f32,
                 i32, f32)]
+
+    def tl2(x):     # (B,T) → (T,1,B)
+        return jnp.transpose(x)[:, None, :]
+
     outs = pl.pallas_call(
         functools.partial(_kernel, K=K, K2=K2, blank_id=blank_id),
         grid=grid,
-        in_specs=[pl.BlockSpec((B, 1, K2), lambda t: (0, t, 0)),
-                  pl.BlockSpec((B, 1, K2), lambda t: (0, t, 0)),
-                  b1, b1, b1, b1],
+        in_specs=[pl.BlockSpec((1, B, K2), lambda t: (t, 0, 0)),
+                  pl.BlockSpec((1, B, K2), lambda t: (t, 0, 0)),
+                  t1, t1, t1, t1],
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(topk_logp.astype(f32), topk_idx.astype(i32), ts.astype(i32),
-      valid.astype(i32), blank_acc.astype(f32), has_skip.astype(i32))
+    )(jnp.transpose(topk_logp, (1, 0, 2)).astype(f32),
+      jnp.transpose(topk_idx, (1, 0, 2)).astype(i32), tl2(ts.astype(i32)),
+      tl2(valid.astype(i32)), tl2(blank_acc.astype(f32)),
+      tl2(has_skip.astype(i32)))
     (pfx_parent, pfx_tok, pfx_wpos, s_src_beam, s_src_is_ns, ns_src_beam,
      ns_src_is_ns, ns_wpos, wval, fs, fns, fvs, fvns, fplen) = outs
     final = {'s': fs, 'ns': fns, 'v_s': fvs, 'v_ns': fvns, 'plen': fplen}
