@@ -29,123 +29,135 @@ import numpy as np
 from reverb_tpu.decode.results import DecodeResult
 
 # ------------------------------ text beautify ------------------------------
+#
+# Behavioral parity with asr/wenet/paraformer/search.py:10-110, re-expressed
+# as a unit-class predicate pair + an explicit token-class dispatch loop (the
+# reference interleaves everything in one stateful loop of is_all_* calls).
+# Reference quirks deliberately kept, pinned by
+# test_timestamps_and_beautify_parity:
+#   - the whole-list language checks compare each *cleaned whole token*
+#     lexicographically against the CJK range (digits and '@' count as CJK),
+#     while the mixed-stream per-token check walks the token's *characters*;
+#   - a unit that cleans to '' is neither CJK nor Latin;
+#   - a '@@' BPE run keeps accumulating across CJK/other tokens and a
+#     trailing unterminated run is dropped.
+
+_DROPPED_TOKENS = frozenset(('<sos>', '<eos>', '<blank>'))
+_CLEAN_SUBSTRINGS = (' ', '</s>', '<s>', '<unk>', '<OOV>')
+
+# token classes for the mixed-stream dispatch
+_CJK, _LATIN, _BPE_PIECE, _OTHER = range(4)
 
 
-def _is_chinese(ch: str) -> bool:
-    # search.py:10-13 — NOTE: applied to the WHOLE token string
-    # (lexicographic compare), and counts digits and '@' as "chinese"
-    return ('一' <= ch <= '鿿' or '0' <= ch <= '9'
-            or ch == '@')
+def _cleaned(unit: str) -> str:
+    for junk in _CLEAN_SUBSTRINGS:
+        unit = unit.replace(junk, '')
+    return unit
 
 
-def _clean_tokens(word: Union[List[Any], str]) -> List[str]:
-    word_lists = []
-    for i in word:
-        cur = i.replace(' ', '')
-        cur = cur.replace('</s>', '')
-        cur = cur.replace('<s>', '')
-        cur = cur.replace('<unk>', '')
-        cur = cur.replace('<OOV>', '')
-        word_lists.append(cur)
-    return word_lists
+def _unit_is_cjk(s: str) -> bool:
+    # lexicographic whole-string compare; digits and '@' included (quirk)
+    return bool(s) and ('一' <= s <= '鿿' or '0' <= s <= '9' or s == '@')
 
 
-def _is_all_chinese(word: Union[List[Any], str]) -> bool:
-    # search.py:16-32
-    word_lists = _clean_tokens(word)
-    if len(word_lists) == 0:
-        return False
-    for ch in word_lists:
-        if _is_chinese(ch) is False:
-            return False
-    return True
+def _unit_is_alpha(s: str) -> bool:
+    if s == "'":
+        return True
+    return s.isalpha() and not _unit_is_cjk(s)
 
 
-def _is_all_alpha(word: Union[List[Any], str]) -> bool:
-    # search.py:35-54
-    word_lists = _clean_tokens(word)
-    if len(word_lists) == 0:
-        return False
-    for ch in word_lists:
-        if ch.isalpha() is False and ch != "'":
-            return False
-        elif ch.isalpha() is True and _is_chinese(ch) is True:
-            return False
-    return True
+def _all_cjk(units) -> bool:
+    """True when every cleaned unit is CJK-ish.  `units` may be a token list
+    (whole-token compare) or a single token (per-character walk)."""
+    return bool(units) and all(_unit_is_cjk(_cleaned(u)) for u in units)
+
+
+def _all_alpha(units) -> bool:
+    return bool(units) and all(_unit_is_alpha(_cleaned(u)) for u in units)
+
+
+def _mixed_token_class(token: str) -> int:
+    # reference order: per-char CJK test wins over the '@@' piece test, so
+    # a token like '@@' (chars all CJK-ish) is CJK, not a BPE piece
+    if _all_cjk(token):
+        return _CJK
+    if '@@' in token:
+        return _BPE_PIECE
+    if _all_alpha(token):
+        return _LATIN
+    return _OTHER
 
 
 def paraformer_beautify_result(tokens: List[str]) -> str:
-    """search.py:57-110 — join tokens with language-aware spacing."""
-    middle_lists = []
-    word_lists = []
-    word_item = ''
+    """search.py:57-110 behavior — language-aware token joining.
 
-    for token in tokens:
-        if token in ['<sos>', '<eos>', '<blank>']:
-            continue
-        middle_lists.append(token)
+    All-CJK streams concatenate (spaces stripped per token); all-Latin
+    streams join '@@' BPE words with single spaces; mixed streams space
+    Latin words apart but glue a CJK token directly after a Latin word."""
+    kept = [t for t in tokens if t not in _DROPPED_TOKENS]
 
-    if _is_all_chinese(middle_lists):
-        for ch in middle_lists:
-            word_lists.append(ch.replace(' ', ''))
-    elif _is_all_alpha(middle_lists):
-        for ch in middle_lists:
-            if '@@' in ch:
-                word_item += ch.replace('@@', '')
+    if _all_cjk(kept):
+        return ''.join(t.replace(' ', '') for t in kept).strip()
+
+    if _all_alpha(kept):
+        words, piece = [], ''
+        for tok in kept:
+            if '@@' in tok:
+                piece += tok.replace('@@', '')
             else:
-                word_item += ch
-                word_lists.append(word_item)
-                word_lists.append(' ')
-                word_item = ''
-    else:
-        alpha_blank = False
-        for ch in middle_lists:
-            if _is_all_chinese(ch):
-                if alpha_blank is True:
-                    word_lists.pop()
-                word_lists.append(ch)
-                alpha_blank = False
-            elif '@@' in ch:
-                word_item += ch.replace('@@', '')
-                alpha_blank = False
-            elif _is_all_alpha(ch):
-                word_item += ch
-                word_lists.append(word_item)
-                word_lists.append(' ')
-                word_item = ''
-                alpha_blank = True
-            else:
-                word_lists.append(ch)
-                alpha_blank = False
-    return ''.join(word_lists).strip()
+                words.append(piece + tok)
+                piece = ''
+        return ' '.join(words).strip()
+
+    out: List[str] = []
+    piece = ''
+    latin_space_pending = False  # last emission was a Latin word + ' '
+    for tok in kept:
+        cls = _mixed_token_class(tok)
+        if cls == _BPE_PIECE:
+            piece += tok.replace('@@', '')
+        elif cls == _LATIN:
+            out.append(piece + tok)
+            out.append(' ')
+            piece = ''
+        elif cls == _CJK:
+            if latin_space_pending:
+                out.pop()  # glue CJK directly after the Latin word
+            out.append(tok)
+        else:
+            out.append(tok)
+        latin_space_pending = cls == _LATIN
+    return ''.join(out).strip()
 
 
 # ------------------------------ timestamps ------------------------------
 
+_CIF_START_END_THRESHOLD = 5   # frames of tail gap that earn a new segment
+_CIF_MAX_TOKEN_DURATION = 14   # frames; longer intervals are clamped
+_CIF_FORCE_TIME_SHIFT = -0.5   # fire frame → acoustic onset correction
+
 
 def gen_timestamps_from_peak(cif_peaks: List[float], num_frames: int,
                              frame_rate: float = 0.02) -> List[List[float]]:
-    """search.py:113-135 — fire frames → per-token [start, end] seconds."""
-    START_END_THRESHOLD = 5
-    MAX_TOKEN_DURATION = 14
-    force_time_shift = -0.5
-    fire_place = [peak + force_time_shift for peak in cif_peaks]
-    times = []
-    for i in range(len(fire_place) - 1):
-        if MAX_TOKEN_DURATION < 0 or \
-                fire_place[i + 1] - fire_place[i] <= MAX_TOKEN_DURATION:
-            times.append([fire_place[i] * frame_rate,
-                          fire_place[i + 1] * frame_rate])
-        else:
-            split = fire_place[i] + MAX_TOKEN_DURATION
-            times.append([fire_place[i] * frame_rate, split * frame_rate])
-    if num_frames - fire_place[-1] > START_END_THRESHOLD:
-        end = (num_frames + fire_place[-1]) * 0.5
-        times[-1][1] = end * frame_rate
-        times.append([end * frame_rate, num_frames * frame_rate])
+    """CIF fire frames → per-token [start, end] seconds.
+
+    Behavioral parity with search.py:113-135: each token spans fire[i] to
+    fire[i+1] clamped to MAX_TOKEN_DURATION; a long silent tail becomes its
+    own final segment split at the midpoint, a short one extends the last
+    token to the end of audio."""
+    fires = [float(p) + _CIF_FORCE_TIME_SHIFT for p in cif_peaks]
+    starts = list(fires[:-1])
+    ends = [b if b - a <= _CIF_MAX_TOKEN_DURATION
+            else a + _CIF_MAX_TOKEN_DURATION
+            for a, b in zip(fires[:-1], fires[1:])]
+    if num_frames - fires[-1] > _CIF_START_END_THRESHOLD:
+        mid = (num_frames + fires[-1]) * 0.5
+        ends[-1] = mid
+        starts.append(mid)
+        ends.append(float(num_frames))
     else:
-        times[-1][1] = num_frames * frame_rate
-    return times
+        ends[-1] = float(num_frames)
+    return [[s * frame_rate, e * frame_rate] for s, e in zip(starts, ends)]
 
 
 # ------------------------------ greedy ------------------------------
