@@ -100,22 +100,31 @@ def kernel_available() -> bool:
     global _KERNEL_OK
     if _KERNEL_OK is None:
         try:
-            # T >= 8: sub-tile frame counts lower even for illegal block
-            # shapes (the whole dim fits one tile), so a tiny-T probe would
-            # pass while production shapes fail the (8,128) divisibility rule
+            # the probe may first be reached while TRACING an enclosing jit:
+            # its ops must not bind to the ambient trace (that would defer
+            # lowering into the enclosing program's compile, so the
+            # except-clause could never fire and _KERNEL_OK=True would be
+            # stamped for a broken kernel).  The AOT path (numpy inputs,
+            # explicit lower+compile+run) is insulated from any active
+            # trace.  T >= 8: sub-tile frame counts lower even for illegal
+            # block shapes (the whole dim fits one tile), so a tiny-T probe
+            # would pass while production shapes fail the (8,128)
+            # divisibility rule.
+            import numpy as np
             B, T, K2, K = 2, 16, 3, 3
-            logp = jnp.zeros((B, T, K2), jnp.float32)
-            idx = jnp.zeros((B, T, K2), jnp.int32)
-            ts = jnp.zeros((B, T), jnp.int32)
-            on = jnp.ones((B, T), bool)
-            acc = jnp.zeros((B, T), jnp.float32)
-            final, em = beam_scan_forward(logp, idx, ts, on, acc,
-                                          jnp.zeros((B, T), bool), K, 0,
-                                          False)
-            order = jnp.zeros((B, K), jnp.int32)
-            pre, tim = beam_backtrace(em, order, jnp.zeros((B, K), bool),
-                                      T, False)
-            jax.block_until_ready((final['plen'], pre, tim))
+
+            def probe(logp, idx, ts, on, acc, z, order, live):
+                final, em = beam_scan_forward(logp, idx, ts, on, acc, z,
+                                              K, 0, False)
+                pre, tim = beam_backtrace(em, order, live, T, False)
+                return final['plen'], pre, tim
+            args = (np.zeros((B, T, K2), np.float32),
+                    np.zeros((B, T, K2), np.int32),
+                    np.zeros((B, T), np.int32), np.ones((B, T), bool),
+                    np.zeros((B, T), np.float32), np.zeros((B, T), bool),
+                    np.zeros((B, K), np.int32), np.zeros((B, K), bool))
+            compiled = jax.jit(probe).lower(*args).compile()
+            jax.block_until_ready(compiled(*args))
             _KERNEL_OK = True
         except Exception as e:      # noqa: BLE001 — any lowering failure
             import logging

@@ -297,8 +297,8 @@ def _attn_bwd_kernel(lens_ref, q_ref, u_ref, vb_ref, k_ref, p_ref, v_ref,
     dp_blk = jax.lax.dot_general(
         ds, qv.astype(jnp.float32), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    du_blk = jnp.sum(dqu, axis=0, keepdims=True)             # (1, dk)
-    dvb_blk = jnp.sum(dqv, axis=0, keepdims=True)
+    du_blk = jnp.sum(dqu, axis=0, keepdims=True)[None]       # (1, 1, dk)
+    dvb_blk = jnp.sum(dqv, axis=0, keepdims=True)[None]
 
     @pl.when(j == 0)
     def _init():
@@ -349,7 +349,10 @@ def _flash_bwd(q, u, vb, k, p, v, kv_lens, mask, g, H, *, block_q: int,
                          memory_space=pltpu.VMEM)
     accspec = pl.BlockSpec((1, Tk_pad, dk), lambda i, j, *_: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    rowspec = pl.BlockSpec((1, dk), lambda i, j, *_: (i, 0),
+    # (BH, 1, dk) with a (1, 1, dk) block: last-two block dims equal the
+    # array dims, which Mosaic requires (a 2-D (1, dk) block over (BH, dk)
+    # violates the divisible-by-8 sublane rule whenever BH > 1)
+    rowspec = pl.BlockSpec((1, 1, dk), lambda i, j, *_: (i, 0, 0),
                            memory_space=pltpu.VMEM)
 
     in_specs = [qspec, hspec, hspec, kspec, pspec, kspec, qspec]
@@ -377,8 +380,8 @@ def _flash_bwd(q, u, vb, k, p, v, kv_lens, mask, g, H, *, block_q: int,
                    jax.ShapeDtypeStruct((BH, Tk_pad, dk), f32),
                    jax.ShapeDtypeStruct((BH, Tk_pad, dk), f32),
                    jax.ShapeDtypeStruct((BH, Tk_pad, dk), f32),
-                   jax.ShapeDtypeStruct((BH, dk), f32),
-                   jax.ShapeDtypeStruct((BH, dk), f32)],
+                   jax.ShapeDtypeStruct((BH, 1, dk), f32),
+                   jax.ShapeDtypeStruct((BH, 1, dk), f32)],
         interpret=interpret,
     )(kv_lens, *operands)
     dq, dkk, dv, dp_rows, du_rows, dvb_rows = outs
@@ -404,12 +407,23 @@ def _bwd_kernel_available(interpret: bool) -> bool:
         return True
     if _BWD_OK is None:
         try:
-            z = jnp.zeros((2, 4, 8), jnp.float32)
-            hb = jnp.zeros((2, 8), jnp.float32)
-            outs = _flash_bwd(z, hb, hb, z, jnp.zeros((2, 4, 8)), z,
-                              jnp.full((2,), 4, jnp.int32), None, z, 2,
-                              block_q=128, interpret=False, rate=0.0)
-            jax.block_until_ready(outs)
+            # the bwd rule is typically first traced inside an enclosing jit
+            # (grad of the train step), so the probe must not let its ops
+            # bind to the ambient trace — that would defer lowering into the
+            # enclosing program's compile, no error could surface here, and
+            # a broken kernel would be stamped available.  The AOT path
+            # (numpy inputs, explicit lower+compile+run) is insulated from
+            # any active trace.
+            import numpy as np
+            z = np.zeros((2, 4, 8), np.float32)
+            hb = np.zeros((2, 8), np.float32)
+            lens = np.full((2,), 4, np.int32)
+
+            def probe(z, hb, lens):
+                return _flash_bwd(z, hb, hb, z, z, z, lens, None, z, 2,
+                                  block_q=128, interpret=False, rate=0.0)
+            compiled = jax.jit(probe).lower(z, hb, lens).compile()
+            jax.block_until_ready(compiled(z, hb, lens))
             _BWD_OK = True
         except Exception as e:      # noqa: BLE001
             import logging

@@ -130,3 +130,31 @@ def test_topk_lastdim_matches_lax_topk():
         v2, i2 = topk_lastdim(jnp.asarray(x), k, block=block)
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_kernel_probes_detect_failure_inside_trace(monkeypatch):
+    """A kernel probe first reached while TRACING an enclosing jit must
+    still execute (ensure_compile_time_eval + an own jit) so a lowering
+    failure is caught and stamped unavailable — previously the probe ops
+    bound to the ambient trace, no lowering ran, no error could surface,
+    and the broken kernel crashed the enclosing program's compile instead
+    of falling back.  On the CPU test backend interpret=False IS a real
+    lowering failure, so this drives the genuine probe code path."""
+    import jax
+    import jax.numpy as jnp
+    from reverb_tpu.ops import beam_scan as bs
+    from reverb_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(fa, '_BWD_OK', None)
+    monkeypatch.setattr(bs, '_KERNEL_OK', None)
+
+    probed = {}
+
+    def probe_in_trace(x):
+        probed['flash'] = fa._bwd_kernel_available(False)
+        probed['beam'] = bs.kernel_available()
+        return x
+
+    jax.jit(probe_in_trace)(jnp.ones(2))
+    assert probed['flash'] is False
+    assert probed['beam'] is False
