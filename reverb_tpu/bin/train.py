@@ -128,7 +128,12 @@ def main(argv=None):
         loss_fn = bundle.loss_fn
         logging.info('training registry model %r', bundle.kind)
     else:
-        params = init_params(jax.random.PRNGKey(args.seed), cfg)
+        # GlobalCMVN stats live IN the params from construction
+        # (init_model.py:102-104): trained checkpoints must normalize with
+        # the same stats the serving CLI applies
+        from reverb_tpu.frontend.cmvn import load_cmvn_from_configs
+        params = init_params(jax.random.PRNGKey(args.seed), cfg,
+                             cmvn=load_cmvn_from_configs(configs))
 
     if configs.get('ts_conf'):
         # teacher-student distillation (init_model.py:125-135,
@@ -173,6 +178,10 @@ def main(argv=None):
                      start_epoch, start_step)
 
     mesh = make_mesh(model=args.num_devices_model)
+    # keep Pallas kernels (flash attention fwd/bwd) live under the mesh:
+    # they shard_map themselves over ('data','model') when shapes divide
+    from reverb_tpu.ops.pallas_mesh import set_pallas_mesh
+    set_pallas_mesh(mesh)
     p_shard = param_shardings(params, mesh)
     o_shard = opt_state_shardings(opt_state, params, mesh)
     params = jax.device_put(params, p_shard)

@@ -49,3 +49,18 @@ def load_cmvn(path, is_json: bool = True):
 def apply_cmvn(x, mean, istd):
     """(x - mean) * istd, broadcasting over leading dims."""
     return (x - jnp.asarray(mean)) * jnp.asarray(istd)
+
+
+def load_cmvn_from_configs(configs):
+    """(mean, istd) from a reference-schema config dict, or None when no
+    global CMVN is configured (init_model.py:102-104 loads the GlobalCMVN
+    buffer into the model at construction, so training normalizes with the
+    same stats serving does — a model trained without them is silently
+    incompatible with every CLI decode)."""
+    if configs.get('cmvn') != 'global_cmvn':
+        return None
+    conf = configs.get('cmvn_conf', {}) or {}
+    path = conf.get('cmvn_file')
+    if not path:
+        return None
+    return load_cmvn(path, conf.get('is_json_cmvn', True))

@@ -597,6 +597,13 @@ def init_model(configs: Dict, rng=None, cmvn: Optional[tuple] = None
     is covered k2-free by `model: k2_model` (models/k2_model.py); HLG
     decoding by reverb_tpu.decode.hlg."""
     rng = rng if rng is not None else jax.random.PRNGKey(777)
+    if cmvn is None:
+        # init_model.py:102-104: the GlobalCMVN buffer is part of the model
+        # from construction — training MUST normalize with the same stats
+        # serving loads, or every trained checkpoint decodes garbage through
+        # the CLI (caught by tools/train_smoke.py)
+        from reverb_tpu.frontend.cmvn import load_cmvn_from_configs
+        cmvn = load_cmvn_from_configs(configs)
     kind = configs.get('model', 'asr_model')
     enc = configs.get('encoder', 'conformer')
     if kind == 'asr_model' and enc in _ALT_ENCODERS:

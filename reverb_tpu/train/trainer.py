@@ -87,6 +87,11 @@ def trainable_mask(params, tc: TrainConfig):
 
     def decide(path, leaf):
         s = _path_str(path)
+        # buffers, not weights (torch registers these as non-trainable):
+        # CMVN stats must stay exactly what the serving CLI loads from
+        # cmvn_file, or train/serve normalization silently diverges
+        if 'global_cmvn' in s:
+            return False
         for prefix in tc.freeze_modules:
             if s.startswith(prefix):
                 return False
@@ -127,12 +132,14 @@ def build_optimizer(tc: TrainConfig, params=None):
     # clip_by_global_norm in the chain would read all grads a second time —
     # measured 12 ms/step on the flagship)
     tx = base
-    if params is not None and (tc.freeze_modules or tc.restrict_learning):
+    if params is not None:
         # zero the FINAL updates of frozen params (so adamw weight decay
-        # can't touch them either)
+        # can't touch them either); always applied — buffers like the CMVN
+        # stats are frozen even with no user freeze rules
         mask = trainable_mask(params, tc)
         frozen = jax.tree.map(lambda b: not b, mask)
-        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen))
+        if not jax.tree.all(mask):
+            tx = optax.chain(tx, optax.masked(optax.set_to_zero(), frozen))
     return tx, schedule
 
 

@@ -61,6 +61,20 @@ def test_train_main(tmp_path):
     assert (model_dir / 'epoch_0.npz').exists()
     assert (model_dir / 'epoch_1.npz').exists()
     assert (model_dir / 'train.yaml').exists()
+
+    # GlobalCMVN stats must be IN the trained checkpoint (init_model.py:
+    # 102-104): a model trained without them normalizes differently from
+    # the serving CLI (which injects the stats from cmvn_file) and decodes
+    # garbage — the exact silent train/serve mismatch train_smoke caught
+    from reverb_tpu.convert.torch_ckpt import load_npz
+    from reverb_tpu.frontend.cmvn import load_cmvn
+    trained, _ = load_npz(model_dir / 'epoch_0.npz')
+    assert 'global_cmvn' in trained['encoder']
+    mean, istd = load_cmvn(str(model_src / 'global_cmvn'), True)
+    np.testing.assert_allclose(trained['encoder']['global_cmvn']['mean'],
+                               mean, rtol=1e-6)
+    np.testing.assert_allclose(trained['encoder']['global_cmvn']['istd'],
+                               istd, rtol=1e-6)
     with open(model_dir / 'epoch_1.yaml') as f:
         info = yaml.safe_load(f)
     assert np.isfinite(info['cv_loss'])
