@@ -19,6 +19,8 @@ from reverb_tpu.decode.greedy import ctc_greedy_search
 from reverb_tpu.decode.prefix_beam import ctc_prefix_beam_search
 from reverb_tpu.decode.rescoring import attention_rescoring
 from reverb_tpu.decode.results import DecodeResult
+from reverb_tpu.decode.streaming_beam import IncrementalBeam, \
+    IncrementalGreedy
 from reverb_tpu.frontend.fbank import (FbankConfig,
     compute_fbank_compiled, num_frames)
 from reverb_tpu.models import ctc as ctc_mod
@@ -35,7 +37,8 @@ class StreamingASR:
     accumulated encoder output)."""
 
     def __init__(self, reverb_model, decoding_chunk_size: int = 16,
-                 num_left_chunks: int = 16, verbatimicity: float = 1.0):
+                 num_left_chunks: int = 16, verbatimicity: float = 1.0,
+                 beam_size: int = 10):
         self.model = reverb_model
         self.cfg: ModelConfig = reverb_model.model_config
         self.params = reverb_model.params
@@ -58,6 +61,13 @@ class StreamingASR:
         self._ctc = jax.jit(
             lambda enc: ctc_mod.ctc_logprobs(self.params['ctc'], enc,
                                              0.0, self.cfg.blank_id))
+        # per-hop CTC log-probs + argmax for the incremental decoders (one
+        # compiled program per chunk shape; top1 is the only host fetch)
+        self._ctc_hop = jax.jit(
+            lambda enc: (lambda lp: (lp, jnp.argmax(lp, axis=-1)))(
+                ctc_mod.ctc_logprobs(self.params['ctc'], enc, 0.0,
+                                     self.cfg.blank_id)))
+        self.beam_size = beam_size
         self.reset()
 
     def reset(self):
@@ -69,6 +79,10 @@ class StreamingASR:
         self._consumed_samples = 0
         self._offset = 0
         self._enc_chunks: List[np.ndarray] = []
+        # hop-resumable decoders: per-hop decode cost is O(hop), not
+        # O(stream) (decode/streaming_beam.py)
+        self._inc_beam = IncrementalBeam(self.beam_size, self.cfg.blank_id)
+        self._inc_greedy = IncrementalGreedy(self.cfg.blank_id)
 
     # ------------------------------ input ------------------------------
 
@@ -104,6 +118,10 @@ class StreamingASR:
             self._enc_chunks.append(np.asarray(ys[0]))
             self._offset += ys.shape[1]
             self._consumed_frames = s + self.stride
+            # advance the incremental decoders over just this hop's frames
+            lp, top1 = self._ctc_hop(ys)
+            self._inc_beam.accept(lp[0])
+            self._inc_greedy.accept(top1[0])
 
     @property
     def _consumed_frames(self):
@@ -116,19 +134,32 @@ class StreamingASR:
     # ------------------------------ output ------------------------------
 
     def decode(self, mode: str = 'ctc_prefix_beam_search',
-               beam_size: int = 10, ctc_weight: float = 0.1,
+               beam_size: Optional[int] = None, ctc_weight: float = 0.1,
                reverse_weight: float = 0.0) -> DecodeResult:
+        """Current-hypothesis decode.  Greedy and prefix-beam read the
+        hop-resumable decoder state — O(1) / O(K·L) per call, no work
+        proportional to the stream.  A beam_size different from the
+        session's re-decodes from scratch (the carried beam is per-width).
+        attention_rescoring necessarily touches the full encoder output
+        (the decoder cross-attends to all of it) but reuses the carried
+        beam for its nbest."""
         if not self._enc_chunks:
             return DecodeResult(tokens=[])
+        if mode == 'ctc_greedy_search':
+            return self._inc_greedy.result()
+        from_scratch = beam_size is not None and beam_size != self.beam_size
+        if mode == 'ctc_prefix_beam_search' and not from_scratch:
+            return self._inc_beam.finalize()
         enc = jnp.asarray(np.concatenate(self._enc_chunks)[None])
         lens = jnp.array([enc.shape[1]], jnp.int32)
-        ctc_probs = self._ctc(enc)
-        if mode == 'ctc_greedy_search':
-            return ctc_greedy_search(ctc_probs, lens, self.cfg.blank_id)[0]
-        prefix = ctc_prefix_beam_search(ctc_probs, lens, beam_size,
-                                        self.cfg.blank_id)
-        if mode == 'ctc_prefix_beam_search':
-            return prefix[0]
+        if from_scratch:
+            ctc_probs = self._ctc(enc)
+            prefix = ctc_prefix_beam_search(ctc_probs, lens,
+                                            beam_size, self.cfg.blank_id)
+            if mode == 'ctc_prefix_beam_search':
+                return prefix[0]
+        else:
+            prefix = [self._inc_beam.finalize()]
         assert mode == 'attention_rescoring', mode
         return attention_rescoring(self.params, self.cfg, prefix, enc, lens,
                                    ctc_weight, reverse_weight,
