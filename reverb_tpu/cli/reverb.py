@@ -120,10 +120,13 @@ class ReverbASR:
             self.params = jax.device_put(
                 self.params, NamedSharding(self.mesh, PartitionSpec()))
             # Pallas serving kernels (flash attention, beam scan) have no
-            # GSPMD partitioning rule; the XLA formulations of the same ops
-            # partition cleanly over 'data'.
-            from reverb_tpu.ops import set_use_pallas
-            set_use_pallas(False)
+            # GSPMD partitioning rule of their own; registering the concrete
+            # mesh lets them shard_map themselves over 'data' so every chip
+            # runs the unchanged single-chip kernel on its local rows
+            # (ops/pallas_mesh.py).  Shapes that don't divide the mesh fall
+            # back to the XLA formulations automatically.
+            from reverb_tpu.ops.pallas_mesh import set_pallas_mesh
+            set_pallas_mesh(self.mesh)
         self.test_conf = self.configs.get('dataset_conf', {}) or {}
         fbank_conf = self.test_conf.get('fbank_conf', {}) or {}
         self.fbank = FbankConfig(

@@ -526,6 +526,32 @@ def _search_one(ctc_topk_logp, ctc_topk_idx, num_t, K: int, blank_id: int,
     return prefixes, state.plen[order], total[order], times
 
 
+def _beam_mesh_plan(B: int):
+    """Tri-state mesh decision for the single-launch kernel:
+      None          — no multi-device mesh in play: launch whole-batch
+      (mesh, dspec) — registered mesh shards the batch: shard_map it
+      False         — a multi-device mesh is active but can't shard this
+                      batch (not registered / B doesn't divide): the kernel
+                      has no GSPMD rule, so the caller MUST take the XLA
+                      scan formulation instead."""
+    import jax as _jax
+    from reverb_tpu.ops.pallas_mesh import (axis_size, get_pallas_mesh,
+                                            spec_entry)
+    am = _jax.sharding.get_abstract_mesh()
+    n_mesh = 1
+    for _, sz in getattr(am, 'shape_tuple', ()) or ():
+        n_mesh *= sz
+    reg = get_pallas_mesh()
+    if reg is not None:
+        mesh, da, _ = reg
+        d_sz = axis_size(mesh, da)
+        if d_sz > 1 and B % d_sz == 0:
+            return mesh, spec_entry(mesh, da)
+    if n_mesh > 1:
+        return False
+    return None
+
+
 def _use_beam_kernel() -> bool:
     """Pallas whole-scan kernel eligibility (ops/beam_scan.py): gated like
     the other Pallas kernels; REVERB_TPU_NO_BEAM_KERNEL=1 disables just
@@ -547,31 +573,59 @@ def _search_batched(topk_logp, topk_idx, num_t, K: int, blank_id: int,
     when eligible (no context biasing), else the vmapped lax.scan path.
     `ts`/`blank_acc`/`has_skip` are (B,T) (from `_compress_blanks`), or None
     for the dense path.  Returns (prefixes, plens, scores, times)."""
-    if ctx_tables is None and (interpret or _use_beam_kernel()):
-        from reverb_tpu.ops.beam_scan import beam_scan_forward
+    B = topk_logp.shape[0]
+    mesh_plan = _beam_mesh_plan(B)
+    if ctx_tables is None and mesh_plan is not False and \
+            (interpret or _use_beam_kernel()):
+        from reverb_tpu.ops.beam_scan import (beam_backtrace,
+                                              beam_scan_forward)
         if interpret is None:
             interpret = jax.default_backend() != 'tpu'
         interpret = bool(interpret)
-        B, T, _ = topk_logp.shape
+        T = topk_logp.shape[1]
         valid = jnp.arange(T, dtype=jnp.int32)[None, :] < num_t[:, None]
         if ts is None:
             ts = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
             blank_acc = jnp.zeros((B, T), jnp.float32)
             has_skip = jnp.zeros((B, T), bool)
-        final, em = beam_scan_forward(topk_logp, topk_idx, ts, valid,
-                                      blank_acc, has_skip, K, blank_id,
-                                      interpret)
-        total = _log_add(final['s'], final['ns'])
-        if tail_acc is not None:
-            total = total + tail_acc[:, None]
-        order = jnp.argsort(-total, axis=-1).astype(jnp.int32)
-        sel_ns = jnp.take_along_axis(~(final['v_s'] > final['v_ns']), order,
-                                     axis=-1)
-        from reverb_tpu.ops.beam_scan import beam_backtrace
-        prefixes, times = beam_backtrace(em, order, sel_ns, L, interpret)
-        plens = jnp.take_along_axis(final['plen'], order, axis=-1)
-        return (prefixes, plens, jnp.take_along_axis(total, order, axis=-1),
-                times)
+        tail = jnp.zeros((B,), jnp.float32) if tail_acc is None else tail_acc
+
+        def kernel_body(topk_logp, topk_idx, ts, valid, blank_acc, has_skip,
+                        tail):
+            """Per-shard (or whole-batch) single-launch kernel + finalize —
+            every op is row-independent over the batch."""
+            final, em = beam_scan_forward(topk_logp, topk_idx, ts, valid,
+                                          blank_acc, has_skip, K, blank_id,
+                                          interpret)
+            total = _log_add(final['s'], final['ns']) + tail[:, None]
+            order = jnp.argsort(-total, axis=-1).astype(jnp.int32)
+            sel_ns = jnp.take_along_axis(~(final['v_s'] > final['v_ns']),
+                                         order, axis=-1)
+            prefixes, times = beam_backtrace(em, order, sel_ns, L, interpret)
+            plens = jnp.take_along_axis(final['plen'], order, axis=-1)
+            return (prefixes, plens,
+                    jnp.take_along_axis(total, order, axis=-1), times)
+
+        if mesh_plan is not None:
+            # batch shards over the registered mesh's data axes; each device
+            # launches the unchanged kernel on its local rows
+            mesh, dspec = mesh_plan
+            from jax.sharding import PartitionSpec as P
+
+            def bspec(x):
+                return P(dspec, *([None] * (x.ndim - 1)))
+            args = (topk_logp, topk_idx, ts, valid, blank_acc, has_skip,
+                    tail)
+            out_specs = (P(dspec, None, None), P(dspec, None),
+                         P(dspec, None), P(dspec, None, None))
+            # check_vma=False: pallas_call outputs carry no varying-mesh-
+            # axes info for the checker
+            return jax.shard_map(kernel_body, mesh=mesh,
+                                 in_specs=tuple(bspec(a) for a in args),
+                                 out_specs=out_specs,
+                                 check_vma=False)(*args)
+        return kernel_body(topk_logp, topk_idx, ts, valid, blank_acc,
+                           has_skip, tail)
     if ts is None:
         fn = jax.vmap(lambda lp, ix, n: _search_one(
             lp, ix, n, K, blank_id, L, ctx_tables=ctx_tables))

@@ -138,7 +138,8 @@ def rel_pos_mha(p, query, key, value, mask, pos_emb, h: int,
     pos = _split_heads(linear(p['linear_pos'], pos_emb), h)  # (1,H,T2,dk)
 
     from reverb_tpu.ops import flash_attention as _fa
-    if _fa.flash_attention_eligible(mask, rate, rng, cache):
+    if _fa.flash_attention_eligible(mask, rate, rng, cache,
+                                    batch=q.shape[0], heads=h):
         kv_lens = mask[:, 0, :k.shape[2]].sum(-1)
         ctx = _fa.rel_pos_flash_attention(q, k, v, pos, p['pos_bias_u'],
                                           p['pos_bias_v'], kv_lens,

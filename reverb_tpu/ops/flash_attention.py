@@ -54,14 +54,20 @@ def use_pallas_enabled() -> bool:
     return jax.default_backend() == 'tpu'
 
 
-def flash_attention_eligible(mask, rate: float, rng, cache) -> bool:
+def flash_attention_eligible(mask, rate: float, rng, cache,
+                             batch=None, heads=None) -> bool:
     """Kernel handles: key-pad mask (B,1,T), no KV cache.  Attention dropout
     IS supported (training): the bernoulli mask is drawn OUTSIDE the kernel
     with the exact draw the XLA path makes (modules.dropout), passed in as
     int8, and applied in VMEM — fwd and bwd stay fused while the (T,T) f32
-    score/attn tensors never touch HBM.  Dropout restricted to single-device
-    processes: a pallas op under GSPMD has no partitioning rule (the
-    multi-chip train path keeps the XLA formulation)."""
+    score/attn tensors never touch HBM.
+
+    Under a multi-device mesh a pallas op has no GSPMD partitioning rule;
+    the kernel stays live iff a concrete mesh is registered
+    (ops/pallas_mesh.set_pallas_mesh) and the (batch, heads) shape divides
+    its axes — rel_pos_flash_attention then shard_maps itself so each
+    device runs the unchanged kernel on its local shard.  Otherwise the
+    XLA formulation (which partitions cleanly) takes over."""
     if not use_pallas_enabled():
         return False
     if cache is not None:
@@ -69,10 +75,17 @@ def flash_attention_eligible(mask, rate: float, rng, cache) -> bool:
     if rate > 0.0 and rng is not None:
         if os.environ.get('REVERB_TPU_NO_FLASH_DROPOUT', '') not in ('', '0'):
             return False
-        if jax.device_count() > 1:
-            return False
     if mask is None or mask.ndim != 3 or mask.shape[1] != 1:
         return False
+    am = jax.sharding.get_abstract_mesh()
+    n_mesh = 1
+    for _, sz in getattr(am, 'shape_tuple', ()) or ():
+        n_mesh *= sz
+    if n_mesh > 1:
+        if batch is None or heads is None:
+            return False
+        if _mesh_plan(batch, heads) is None:
+            return False
     return True
 
 
@@ -492,20 +505,66 @@ def rel_pos_flash_attention(q, k, v, pos, pos_bias_u, pos_bias_v, kv_lens,
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
 
-    def fold(x):
-        return x.reshape(B * H, x.shape[2], dk)
-
-    mask = None
+    mask4 = None
     if rate > 0.0 and rng is not None:
-        mask = jax.random.bernoulli(
-            rng, 1.0 - rate, (B, H, Tq, Tk)).astype(jnp.int8).reshape(
-                B * H, Tq, Tk)
+        # drawn at GLOBAL shape, outside any shard_map region: the draw is
+        # the XLA path's own bernoulli (modules.dropout semantics) and stays
+        # identical whether the kernel below runs whole or mesh-sharded
+        mask4 = jax.random.bernoulli(
+            rng, 1.0 - rate, (B, H, Tq, Tk)).astype(jnp.int8)
     else:
         rate = 0.0
 
-    lens = jnp.repeat(kv_lens.astype(jnp.int32), H)
-    out = _flash_core(fold(q), pos_bias_u.astype(q.dtype),
-                      pos_bias_v.astype(q.dtype), fold(k),
-                      pos[0, :, :Tk].astype(q.dtype), fold(v),
-                      lens, mask, H, block_q, interpret, rate)
-    return out.reshape(B, H, Tq, dk)
+    def run(q, k, v, pos, u, vb, kv_lens, mask4):
+        """Single-shard kernel launch on (b, h, T, dk) locals."""
+        b, h = q.shape[0], q.shape[1]
+
+        def fold(x):
+            return x.reshape(b * h, x.shape[2], dk)
+
+        mask = None if mask4 is None else mask4.reshape(b * h, Tq, Tk)
+        lens = jnp.repeat(kv_lens.astype(jnp.int32), h)
+        out = _flash_core(fold(q), u.astype(q.dtype), vb.astype(q.dtype),
+                          fold(k), pos[0, :, :Tk].astype(q.dtype), fold(v),
+                          lens, mask, h, block_q, interpret, rate)
+        return out.reshape(b, h, Tq, dk)
+
+    reg = _mesh_plan(B, H)
+    if reg is not None:
+        mesh, dspec, mspec = reg
+        from jax.sharding import PartitionSpec as P
+        qs = P(dspec, mspec, None, None)
+        in_specs = [qs, qs, qs, P(None, mspec, None, None),
+                    P(mspec, None), P(mspec, None), P(dspec)]
+        args = [q, k, v, pos, pos_bias_u, pos_bias_v, kv_lens]
+        if mask4 is None:
+            # a None operand has no spec — close over it instead
+            fn = lambda *a: run(*a, mask4=None)       # noqa: E731
+        else:
+            in_specs.append(qs)
+            args.append(mask4)
+            fn = run
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # info for the checker
+        return jax.shard_map(fn, mesh=mesh, in_specs=tuple(in_specs),
+                             out_specs=qs, check_vma=False)(*args)
+    return run(q, k, v, pos, pos_bias_u, pos_bias_v, kv_lens, mask4)
+
+
+def _mesh_plan(B: int, H: int):
+    """(mesh, data_spec, model_spec) when a registered pallas mesh can shard
+    this call: batch divides the data axes, heads divide the model axes.
+    None → run unsharded (single device, or fall back handled by caller's
+    eligibility gate)."""
+    from reverb_tpu.ops.pallas_mesh import (axis_size, get_pallas_mesh,
+                                            spec_entry)
+    reg = get_pallas_mesh()
+    if reg is None:
+        return None
+    mesh, da, ma = reg
+    d_sz, m_sz = axis_size(mesh, da), axis_size(mesh, ma)
+    if d_sz * m_sz <= 1:
+        return None
+    if B % d_sz or H % m_sz:
+        return None
+    return mesh, spec_entry(mesh, da), spec_entry(mesh, ma)

@@ -60,10 +60,16 @@ def main():
                                    jnp.zeros((), jnp.int32), key)
     float(m['loss'])                 # sync (axon block_until_ready is lazy)
     iters = 10
+    # device-resident step counter (matches train/executor.py): a per-step
+    # host scalar upload stalls the dispatch pipeline — measured
+    # 138 → 112.5 ms/step over the remote-TPU link
+    step_dev = jnp.asarray(0, jnp.int32)
+    jax.block_until_ready(step_dev)
     t0 = time.perf_counter()
     for i in range(iters):
         params, opt_state, m = step_fn(params, opt_state, batch,
-                                       jnp.asarray(i, jnp.int32), key)
+                                       step_dev, key)
+        step_dev = step_dev + 1
     loss = float(m['loss'])          # materialize → all steps complete
     dt = (time.perf_counter() - t0) / iters
 
