@@ -187,11 +187,17 @@ def main(argv=None):
     params = jax.device_put(params, p_shard)
     opt_state = jax.device_put(opt_state, o_shard)
 
+    # dataset_conf.device_feats: fbank + SpecAugment on device inside the
+    # step (frontend/device_feats.py) — host pipeline ships raw PCM only
+    from reverb_tpu.frontend.device_feats import frontend_from_configs
+    frontend = frontend_from_configs(configs)
     train_step = jax.jit(make_train_step(cfg, tx, tc.accum_grad,
                                          loss_fn=loss_fn,
-                                         grad_clip=tc.grad_clip),
+                                         grad_clip=tc.grad_clip,
+                                         frontend=frontend),
                          donate_argnums=(0, 1))
-    eval_step = jax.jit(make_eval_step(cfg, loss_fn=loss_fn))
+    eval_step = jax.jit(make_eval_step(cfg, loss_fn=loss_fn,
+                                       frontend=frontend))
 
     # experiment tracking (wandb/tensorboard/jsonl; train_utils.py:495-533)
     from reverb_tpu.utils.tracking import init_tracking

@@ -12,6 +12,8 @@ from __future__ import annotations
 from functools import partial
 from typing import Optional
 
+import numpy as np
+
 from reverb_tpu.data import processor, rev_processor
 from reverb_tpu.data.pipeline import Pipeline, mystats
 from reverb_tpu.data.source import (line_source, parse_json, tar_shard_source)
@@ -91,51 +93,94 @@ def Dataset(data_type: str, data_list_file, tokenizer=None, conf=None,
     if conf.get('filter_yeah_okay', False):
         ds = ds.filter(rev_processor.filter_long_yeah_okay)
 
-    ds = ds.map(partial(processor.resample, **conf.get('resample_conf', {})))
+    # ---- per-sample feature block: composed into ONE stage and run on the
+    # worker pool.  Round-3 measurement: with only the audio decode
+    # parallelized, the single consumer thread spent ~17 ms/utt in
+    # resample+fbank+spec_aug and the whole pipeline produced 0.4× the
+    # flagship step's frame appetite (tools/bench_input_pipeline.py) — the
+    # trainer would starve.  Every op here is per-sample and stateless
+    # (augmentation RNG draws are worker-order nondeterministic, exactly
+    # like the reference's DataLoader workers, train_utils.py:301-349).
+    feat_fns = [partial(processor.resample, **conf.get('resample_conf', {}))]
 
     if conf.get('speed_perturb', False):
-        ds = ds.map(partial(processor.speed_perturb,
-                            **conf.get('speed_perturb_conf', {})))
+        feat_fns.append(partial(processor.speed_perturb,
+                                **conf.get('speed_perturb_conf', {})))
     if conf.get('apply_telephony', False) and 'apply_telephony_conf' in conf:
-        ds = ds.map(partial(rev_processor.apply_telephony,
-                            **conf['apply_telephony_conf']))
+        feat_fns.append(partial(rev_processor.apply_telephony,
+                                **conf['apply_telephony_conf']))
     if conf.get('apply_rir', False) and 'apply_rir_conf' in conf:
         engine = rev_processor.RIREngine(conf['apply_rir_conf'])
-        ds = ds.map(engine.apply_rir)
+        feat_fns.append(engine.apply_rir)
 
     feats_type = conf.get('feats_type', 'fbank')
-    if feats_type == 'fbank':
-        ds = ds.map(partial(processor.compute_fbank,
-                            **conf.get('fbank_conf', {})))
+    device_feats = bool(conf.get('device_feats', False))
+    if device_feats:
+        # fbank + spec_aug run ON DEVICE inside the train step
+        # (frontend/device_feats.py); the host only needs frame counts for
+        # sort/filter/batch, carried by a zero-width feat stub, and the raw
+        # PCM that processor.padding already packs
+        if feats_type != 'fbank':
+            raise ValueError('device_feats requires feats_type: fbank')
+        from reverb_tpu.frontend.fbank import FbankConfig, num_frames
+        fb = conf.get('fbank_conf', {}) or {}
+        fc = FbankConfig(frame_length_ms=fb.get('frame_length', 25),
+                         frame_shift_ms=fb.get('frame_shift', 10))
+
+        def _frames_stub(sample):
+            n = num_frames(sample['wav'].shape[1], fc)
+            sample['feat'] = np.zeros((n, 0), np.float32)
+            return sample
+        feat_fns.append(_frames_stub)
+    elif feats_type == 'fbank':
+        feat_fns.append(partial(processor.compute_fbank,
+                                **conf.get('fbank_conf', {})))
     elif feats_type == 'mfcc':
-        ds = ds.map(partial(processor.compute_mfcc,
-                            **conf.get('mfcc_conf', {})))
+        feat_fns.append(partial(processor.compute_mfcc,
+                                **conf.get('mfcc_conf', {})))
     elif feats_type == 'log_mel_spectrogram':
-        ds = ds.map(partial(processor.compute_log_mel_spectrogram,
-                            **conf.get('log_mel_spectrogram_conf', {})))
+        feat_fns.append(partial(processor.compute_log_mel_spectrogram,
+                                **conf.get('log_mel_spectrogram_conf', {})))
     else:
         raise ValueError(f'unsupported feats_type {feats_type!r}')
 
-    if conf.get('spec_aug', True):
-        ds = ds.map(partial(processor.spec_aug,
-                            **conf.get('spec_aug_conf', {})))
-    if conf.get('spec_sub', False):
-        ds = ds.map(partial(processor.spec_sub,
-                            **conf.get('spec_sub_conf', {})))
-    if conf.get('spec_trim', False):
-        ds = ds.map(partial(processor.spec_trim,
-                            **conf.get('spec_trim_conf', {})))
+    if device_feats:
+        # spec_aug moves on-device with the fbank; spec_sub/spec_trim have
+        # no device formulation (frontend_from_configs raises if configured)
+        if conf.get('spec_sub', False) or conf.get('spec_trim', False):
+            raise ValueError('device_feats supports spec_aug only; '
+                             'spec_sub/spec_trim need host features')
+    else:
+        if conf.get('spec_aug', True):
+            feat_fns.append(partial(processor.spec_aug,
+                                    **conf.get('spec_aug_conf', {})))
+        if conf.get('spec_sub', False):
+            feat_fns.append(partial(processor.spec_sub,
+                                    **conf.get('spec_sub_conf', {})))
+        if conf.get('spec_trim', False):
+            feat_fns.append(partial(processor.spec_trim,
+                                    **conf.get('spec_trim_conf', {})))
 
     lang_conf = conf.get('language_conf', {'limited_langs': ['en']})
-    ds = ds.map(partial(processor.detect_language, **lang_conf))
-    ds = ds.map(processor.detect_task)
+    feat_fns.append(partial(processor.detect_language, **lang_conf))
+    feat_fns.append(processor.detect_task)
 
     cat_emb_conf = conf.get('cat_emb_conf', {})
     if conf.get('add_cat_emb', False):
-        ds = ds.map(partial(rev_processor.add_one_hot, **cat_emb_conf))
+        feat_fns.append(partial(rev_processor.add_one_hot, **cat_emb_conf))
     pass_cat_emb = conf.get('pass_cat_emb', False)
     if pass_cat_emb:
-        ds = ds.map(partial(rev_processor.pass_one_hot, **cat_emb_conf))
+        feat_fns.append(partial(rev_processor.pass_one_hot, **cat_emb_conf))
+
+    def _feature_block(sample, fns=tuple(feat_fns)):
+        for f in fns:
+            sample = f(sample)
+        return sample
+
+    if num_workers > 1:
+        ds = ds.map_parallel(_feature_block, workers=num_workers)
+    else:
+        ds = ds.map(_feature_block)
 
     if conf.get('shuffle', True):
         ds = ds.shuffle(conf.get('shuffle_conf', {}).get('shuffle_size',

@@ -144,7 +144,7 @@ def build_optimizer(tc: TrainConfig, params=None):
 
 
 def make_train_step(cfg: ModelConfig, tx, accum_grad: int = 1,
-                    loss_fn=None, grad_clip: float = 0.0):
+                    loss_fn=None, grad_clip: float = 0.0, frontend=None):
     """Returns train_step(params, opt_state, batch, step, rng) → (params,
     opt_state, metrics).
 
@@ -165,6 +165,14 @@ def make_train_step(cfg: ModelConfig, tx, accum_grad: int = 1,
             return compute_loss(params, cfg, batch, rng=rng)
 
     def wrapped(params, batch, rng):
+        if frontend is not None:
+            # device-side fbank + SpecAugment (dataset_conf.device_feats,
+            # frontend/device_feats.py) under the step's own PRNG
+            from reverb_tpu.frontend.device_feats import apply_frontend
+            fe_rng = None
+            if rng is not None:
+                rng, fe_rng = jax.random.split(rng)
+            batch = apply_frontend(batch, frontend, fe_rng)
         # sequence parallelism: hint the feature time axis over the mesh's
         # Auto 'seq' axis; XLA propagates through the encoder (halo exchange
         # for the subsample convs, all-gathers for attention scores) — no-op
@@ -226,12 +234,17 @@ def make_train_step(cfg: ModelConfig, tx, accum_grad: int = 1,
     return train_step
 
 
-def make_eval_step(cfg: ModelConfig, loss_fn=None):
+def make_eval_step(cfg: ModelConfig, loss_fn=None, frontend=None):
     if loss_fn is None:
         def loss_fn(params, batch, rng):     # noqa: F811
             return compute_loss(params, cfg, batch, rng=rng)
 
     def eval_step(params, batch):
+        if frontend is not None:
+            # rng=None: deterministic CV features (no dither / SpecAugment),
+            # matching the host pipeline's cv_conf
+            from reverb_tpu.frontend.device_feats import apply_frontend
+            batch = apply_frontend(batch, frontend, None)
         out = loss_fn(params, batch, None)
         return {k: (v if v is not None else jnp.zeros(()))
                 for k, v in out.items()}
