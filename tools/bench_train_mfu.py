@@ -25,15 +25,25 @@ PEAK_FLOPS = {'tpu v5 lite': 197e12, 'tpu v5e': 197e12,
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=16)
+    ap.add_argument('--remat', action='store_true',
+                    help='per-layer gradient checkpointing (fits larger B)')
+    args = ap.parse_args()
+
     dev = jax.devices()[0]
     conf = reverb_large()
     conf['dtype'] = 'bf16'
+    if args.remat:
+        conf['encoder_conf'] = dict(conf['encoder_conf'],
+                                    gradient_checkpointing=True)
     cfg = ModelConfig.from_config(conf)
     tc = TrainConfig.from_config(dict(conf, grad_clip=50.0))
     params = init_params(jax.random.PRNGKey(0), cfg)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
 
-    B, T, L = 16, 512, 24
+    B, T, L = args.batch, 512, 24
     rng = np.random.RandomState(0)
     batch = {
         'feats': jnp.asarray(rng.randn(B, T, 80), jnp.float32),
