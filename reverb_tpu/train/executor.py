@@ -61,34 +61,32 @@ class Executor:
     snapshots_taken: int = 0
     profiler: Optional[object] = None   # utils.profiling.ProfileWindow
 
-    def _device_step(self):
-        """Step counter as a device-resident scalar, incremented ON device.
-        A fresh `jnp.asarray(self.step)` per step is a host→device transfer
-        that stalls the dispatch pipeline (measured 138 → 112.5 ms/step on
-        the flagship over the remote-TPU link); the device-side `+ 1` bakes
-        its constant into the compiled add, so steady state does zero
-        transfers.  Re-uploads only when `self.step` was set externally
-        (resume)."""
-        cached = getattr(self, '_step_dev', None)
-        if cached is None or self._step_dev_val != self.step:
-            cached = jnp.asarray(self.step, jnp.int32)
-        self._step_dev = cached + 1
-        self._step_dev_val = self.step + 1
-        return cached
-
     def train(self, params, opt_state, dataset: Iterable, epoch: int,
               rng, cv_dataset: Optional[Iterable] = None,
               max_steps: Optional[int] = None):
+        """The step counter and PRNG chain live ON DEVICE across steps:
+        make_train_step returns them as reserved '_next_step'/'_next_rng'
+        metrics, so the steady-state loop issues exactly ONE dispatch per
+        step (a host-side scalar upload, `+1` add, or key split each cost
+        a full RPC round-trip over a remote-TPU link — together ~30 ms of
+        the flagship's 213 ms step before this)."""
         t0 = time.time()
+        step_dev = None
+        sub = None
         for batch in dataset:
             if max_steps is not None and self.step >= max_steps:
                 break
             if self.profiler is not None:
                 self.profiler.maybe_start(self.step)
             db = _device_batch(batch, self.mesh)
-            rng, sub = jax.random.split(rng)
+            if sub is None:
+                rng, sub = jax.random.split(rng)
+            if step_dev is None:
+                step_dev = jnp.asarray(self.step, jnp.int32)
             params, opt_state, metrics = self.train_step(
-                params, opt_state, db, self._device_step(), sub)
+                params, opt_state, db, step_dev, sub)
+            step_dev = metrics.pop('_next_step', None)
+            sub = metrics.pop('_next_rng', None)
             if self.profiler is not None:
                 self.profiler.maybe_stop(self.step)
             self.step += 1

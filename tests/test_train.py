@@ -37,17 +37,26 @@ def _batch(cfg, B=4, T=67, L=5, seed=0):
 
 def test_loss_decreases():
     conf, cfg, tc, params = _setup()
+    # default warmuplr reaches ~1e-7 by step 8 (25k warmup), leaving the
+    # loss sequence dominated by dropout noise — ramp fast so the decrease
+    # outweighs the draws (the full learning gate is tools/train_smoke.py)
+    tc.scheduler_conf = {'warmup_steps': 6}
     tx, _ = build_optimizer(tc)
     opt_state = tx.init(params)
     step_fn = jax.jit(make_train_step(cfg, tx))
     batch = _batch(cfg)
     losses = []
-    for i in range(8):
-        params, opt_state, m = step_fn(params, opt_state, batch,
-                                       jnp.asarray(i), jax.random.PRNGKey(i))
+    rng = jax.random.PRNGKey(0)
+    step = jnp.asarray(0)
+    for i in range(12):
+        params, opt_state, m = step_fn(params, opt_state, batch, step, rng)
+        # device-resident step/rng chain (reserved metrics)
+        step = m['_next_step']
+        rng = m['_next_rng']
         losses.append(float(m['loss']))
         assert float(m['skipped']) == 0.0
-    assert losses[-1] < losses[0], losses
+    assert int(step) == 12
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
 
 
 def test_schedulers():

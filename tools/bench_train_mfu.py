@@ -27,7 +27,10 @@ PEAK_FLOPS = {'tpu v5 lite': 197e12, 'tpu v5e': 197e12,
 def main():
     import argparse
     ap = argparse.ArgumentParser()
-    ap.add_argument('--batch', type=int, default=16)
+    # B=32×512 frames (≈164 s audio/step) is the v5e-16GB throughput
+    # optimum without remat: sweep measured 37.8% MFU @16 / 47.3% @32 /
+    # thrash @48 (activation spill)
+    ap.add_argument('--batch', type=int, default=32)
     ap.add_argument('--remat', action='store_true',
                     help='per-layer gradient checkpointing (fits larger B)')
     args = ap.parse_args()
@@ -70,16 +73,18 @@ def main():
                                    jnp.zeros((), jnp.int32), key)
     float(m['loss'])                 # sync (axon block_until_ready is lazy)
     iters = 10
-    # device-resident step counter (matches train/executor.py): a per-step
-    # host scalar upload stalls the dispatch pipeline — measured
-    # 138 → 112.5 ms/step over the remote-TPU link
+    # step counter + PRNG advance on device inside the step ('_next_step'/
+    # '_next_rng' reserved metrics, train/executor.py): any per-step tiny
+    # dispatch (scalar upload, +1 add, key split) costs a host RPC over
+    # the remote-TPU link — measured 213.6 → ~184 ms/step at B=32
     step_dev = jnp.asarray(0, jnp.int32)
     jax.block_until_ready(step_dev)
     t0 = time.perf_counter()
     for i in range(iters):
         params, opt_state, m = step_fn(params, opt_state, batch,
                                        step_dev, key)
-        step_dev = step_dev + 1
+        step_dev = m['_next_step']
+        key = m.get('_next_rng', key)
     loss = float(m['loss'])          # materialize → all steps complete
     dt = (time.perf_counter() - t0) / iters
 

@@ -114,6 +114,36 @@ def _trace_rescore(logdir: str):
     jax.profiler.stop_trace()
 
 
+def _trace_encode(logdir: str):
+    """The serving encoder+CTC-top-k phase at headline shapes."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from reverb_tpu.decode.api import encode_and_ctc_topk
+    from reverb_tpu.models.asr_model import ModelConfig, init_params
+    from reverb_tpu.models.presets import reverb_large
+    cfg = ModelConfig.from_config(reverb_large())
+    cfg = cfg.with_compute_dtype(jnp.bfloat16)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params)
+    B, T = 32, 2051
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(B, T, 80), jnp.float32)
+    lens = jnp.full((B,), T, jnp.int32)
+    cat = jnp.asarray(np.array([1.0, 0.0], np.float32))
+    run = lambda: jax.block_until_ready(encode_and_ctc_topk(
+        params, cfg, feats, lens, cat, 10))
+    run()
+    t0 = time.perf_counter(); run()
+    print('encode+topk once:', time.perf_counter() - t0)
+    jax.profiler.start_trace(logdir)
+    run()
+    jax.profiler.stop_trace()
+
+
 def _trace_train(logdir: str):
     import time
     import jax
@@ -128,7 +158,8 @@ def _trace_train(logdir: str):
     cfg = ModelConfig.from_config(conf)
     tc = TrainConfig.from_config(dict(conf, grad_clip=50.0))
     params = init_params(jax.random.PRNGKey(0), cfg)
-    B, T, L = 16, 512, 24
+    B = int(os.environ.get('REVERB_PROFILE_B', '16'))
+    T, L = 512, 24
     rng = np.random.RandomState(0)
     batch = {
         'feats': jnp.asarray(rng.randn(B, T, 80), jnp.float32),
@@ -164,8 +195,11 @@ def main():
     ap.add_argument('--beam', action='store_true')
     ap.add_argument('--rescore', action='store_true')
     ap.add_argument('--train', action='store_true')
+    ap.add_argument('--encode', action='store_true')
     ap.add_argument('--top', type=int, default=40)
     args = ap.parse_args()
+    if args.encode:
+        _trace_encode(args.logdir)
     if args.beam:
         _trace_beam(args.logdir)
     if args.rescore:
