@@ -1,5 +1,7 @@
 """CTL model, blank suppression, kaldi IO, wav distortion, AOT export."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -71,17 +73,123 @@ def test_kaldi_io_roundtrip(tmp_path):
 
 
 def test_wav_distortion():
+    import random
     from reverb_tpu.data import wav_distortion as wd
     x = np.linspace(-1, 1, 1000).astype(np.float32)
-    clipped = wd.distort_max(x, -10.0)
+    clipped = wd.distort(x.copy(), wd.make_max_distortion({'max_db': -10.0}),
+                         rate=1.0)
     assert np.abs(clipped).max() <= wd.db2amp(-10.0) + 1e-6
-    fenced = wd.distort_fence(x, -40.0, -10.0)
+    random.seed(11)
+    fence = wd.make_fence_distortion({'mask_number': 2, 'max_db': -30})
+    fenced = fence(x.astype(np.float64))
     assert (fenced == 0).any() and (fenced != 0).any()
-    jag = wd.distort_jag(x, levels=4)
-    assert len(np.unique(jag)) <= 9
-    s = {'wav': x[None, :]}
+    jag = wd.make_jag_distortion({'mask_number': 3})(x.astype(np.float64))
+    assert (jag == 0).any() and np.isin(jag[jag != 0], x).all()
+    s = {'wav': x[None, :].copy()}
     out = wd.distort_wav(s, prob=1.1)
     assert out['wav'].shape == (1, 1000)
+
+
+def _load_reference_wav_distortion():
+    """Execute the reference's own wav_distortion module (torchaudio is not
+    installed here; only the top-level import needs a stub — none of the
+    oracle-exercised functions touch it)."""
+    import importlib.util
+    import sys
+    import types
+    path = '/root/reference/asr/wenet/dataset/wav_distortion.py'
+    if not os.path.exists(path):
+        pytest.skip('reference tree not available')
+    sys.modules.setdefault('torchaudio', types.ModuleType('torchaudio'))
+    spec = importlib.util.spec_from_file_location('ref_wav_distortion', path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# amplitude grid hitting the quirk corners: exact zero, below/at the poly
+# 1e-6 passthrough threshold, mask-edge magnitudes, the 0.9997 cap, >1
+_GRID = np.array([0.0, 1e-7, -1e-7, 9.9e-7, 1e-6, -1e-6, 1e-5, -1e-4,
+                  3.16e-3, -3.16e-3, 0.01, -0.05, 0.1778, -0.1778, 0.5,
+                  -0.5, 0.9, -0.9, 0.997, -0.997, 0.9997, -0.9997, 0.9999,
+                  -0.9999, 1.5, -1.5], dtype=np.float64)
+
+
+@pytest.mark.parametrize('kind,conf', [
+    ('poly', {'a': 4, 'm': 2, 'n': 2}),
+    ('poly', {'a': 1, 'm': 1, 'n': 3}),
+    ('quad', None),
+    ('max', {'max_db': -10.0}),
+    ('max', {'max_db': 0}),
+    ('gain', {'db': 6.0}),
+    ('gain', {'db': -20.0}),
+])
+def test_wav_distortion_pointwise_oracle(kind, conf):
+    """Vectorized distortion functions == the reference's scalar functions
+    on a quirk-corner amplitude grid (reference wav_distortion.py:31-259)."""
+    import random
+    from reverb_tpu.data import wav_distortion as wd
+    ref = _load_reference_wav_distortion()
+    makers = {
+        'poly': (wd.make_poly_distortion, ref.make_poly_distortion, (conf,)),
+        'quad': (wd.make_quad_distortion, ref.make_quad_distortion, ()),
+        'max': (wd.make_max_distortion, ref.make_max_distortion, (conf,)),
+        'gain': (wd.make_gain_db, ref.make_gain_db, (conf,)),
+    }
+    ours_mk, ref_mk, a = makers[kind]
+    got = ours_mk(*a)(_GRID)
+    want = np.array([ref_mk(*a)(float(v)) for v in _GRID])
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=0)
+
+
+@pytest.mark.parametrize('kind', ['fence', 'jag'])
+@pytest.mark.parametrize('mask_number', [0, 1, 4])
+def test_wav_distortion_masked_oracle(kind, mask_number):
+    """Seeded mask construction + masked transforms match the reference
+    exactly (same random-draw order → identical masks → identical values)."""
+    import random
+    from reverb_tpu.data import wav_distortion as wd
+    ref = _load_reference_wav_distortion()
+    conf = {'mask_number': mask_number, 'max_db': -30}
+    random.seed(1234)
+    ref_fn = (ref.make_fence_distortion(conf) if kind == 'fence'
+              else ref.make_jag_distortion(conf))
+    want = np.array([ref_fn(float(v)) for v in _GRID])
+    random.seed(1234)
+    our_fn = (wd.make_fence_distortion(conf) if kind == 'fence'
+              else wd.make_jag_distortion(conf))
+    np.testing.assert_array_equal(our_fn(_GRID), want)
+
+
+@pytest.mark.parametrize('dtype', [np.float32, np.float64])
+@pytest.mark.parametrize('kind,conf,rate', [
+    ('jag_distortion', {'mask_number': 4}, 0.3),
+    ('fence_distortion', {'mask_number': 1, 'max_db': -30}, 0.5),
+    ('poly_distortion', {'a': 4, 'm': 2, 'n': 2}, 0.9),
+    ('quad_distortion', None, 0.1),
+    ('max_distortion', {'max_db': -25.0}, 0.4),
+    ('gain_db', {'db': 12.0}, 0.0),   # gain ignores rate (runs at 0.8)
+    ('none_distortion', None, 0.5),
+])
+def test_distort_wav_conf_oracle(kind, conf, rate, dtype):
+    """Full seeded distort_wav_conf == the reference bit-for-bit: identical
+    RNG consumption (masks, then one uniform per sample) and identical
+    float64-compute/store-to-dtype rounding (wav_distortion.py:262-313)."""
+    import random
+    from reverb_tpu.data import wav_distortion as wd
+    ref = _load_reference_wav_distortion()
+    rng = np.random.RandomState(5)
+    wave = (rng.randn(1, 700) * 0.3).clip(-1, 1).astype(dtype)
+    random.seed(77)
+    want = ref.distort_wav_conf(wave.copy(), kind, conf, rate=rate)
+    random.seed(77)
+    got = wd.distort_wav_conf(wave.copy(), kind, conf, rate=rate)
+    if kind in ('poly_distortion', 'quad_distortion') and dtype == np.float64:
+        # the transcendental chain (log10/pow) differs by ≤1 ulp between
+        # numpy's vectorized libm and math.*; invisible at float32 storage
+        np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12, atol=0)
+    else:
+        np.testing.assert_array_equal(got, np.asarray(want))
 
 
 def test_aot_export():
