@@ -97,13 +97,16 @@ def main():
         from reverb_tpu.ops.quant import quantize_params_int8
         params = quantize_params_int8(params)
 
+    use_fused = os.environ.get('REVERB_BENCH_FUSED', '0') == '1'
+
     def pipeline(wave):
         """The served path: device fbank+encoder+beam, host nbest packing,
-        one batched rescoring dispatch."""
+        one batched rescoring dispatch (REVERB_BENCH_FUSED=1: everything
+        after the frontend as ONE device program)."""
         feats = frontend(wave)
         out = decode(params, cfg, ['attention_rescoring'], feats, feats_lens,
                      beam_size=BEAM, ctc_weight=0.1, cat_embs=cat,
-                     blank_skip_threshold=BLANK_SKIP)
+                     blank_skip_threshold=BLANK_SKIP, fused=use_fused)
         return out['attention_rescoring']
 
     # warmup/compile (two calls: nbest length buckets may differ)

@@ -97,6 +97,46 @@ def cross_kv(p, memory, h: int):
     return k, v
 
 
+def cross_kv_batched(p, memory, h: int):
+    """Batched `cross_kv`: memory (B,T,D) → ((B,H,T,dk), (B,H,T,dk)) —
+    one K/V projection per utterance for grouped nbest rescoring."""
+    k = _split_heads(linear(p['linear_k'], memory), h)
+    v = _split_heads(linear(p['linear_v'], memory), h)
+    return k, v
+
+
+def mha_shared_kv_grouped(p, query, kv, mask, h: int, group: int):
+    """MHA where each consecutive block of `group` query rows shares one
+    utterance's (k, v) from kv (B,H,T,dk).
+
+    Cross-attention has no query-query interaction, so a group's rows
+    concatenate into ONE query stream of length group·L: every contraction
+    stays a clean 4-D batched matmul over batch B·H.  (The vmap-over-
+    utterances formulation produced 5-D operands whose layout
+    assignment/transposes cost ~199 ms of async copy DMA per serving batch
+    and ~13% of the program's exposed time.)
+
+    query (B·group, L, D); mask (B,1,T) True=keep; returns (B·group, L, D).
+    """
+    BG, L, D = query.shape
+    B = BG // group
+    q = _split_heads(linear(p['linear_q'], query).reshape(B, group * L, D), h)
+    k, v = kv                                              # (B,H,T,dk)
+    d_k = q.shape[-1]
+    scores = jnp.einsum('bhqd,bhtd->bhqt', q, k,
+                        precision=jax.lax.Precision.HIGHEST) / math.sqrt(d_k)
+    scores32 = scores.astype(jnp.float32)
+    if mask is not None:
+        m = mask[:, None, :, :][..., :scores.shape[-1]]    # (B,1,1,T)
+        scores32 = jnp.where(m, scores32, _MASK_VALUE)
+        attn = jnp.where(m, jax.nn.softmax(scores32, axis=-1), 0.0)
+    else:
+        attn = jax.nn.softmax(scores32, axis=-1)
+    ctx = jnp.einsum('bhqt,bhtd->bhqd', attn.astype(v.dtype), v,
+                     precision=jax.lax.Precision.HIGHEST)
+    return linear(p['linear_out'], _merge_heads(ctx)).reshape(BG, L, -1)
+
+
 def mha_shared_kv(p, query, kv, mask, h: int):
     """MHA whose (k, v) = kv of shape (H,T,dk) are shared across the whole
     query batch: the B× K/V copies are never materialized — the shared

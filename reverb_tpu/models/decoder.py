@@ -74,7 +74,8 @@ def _lsl_mix(lang_params, x, cat_embs):
 def decoder_layer(p, x, tgt_mask, memory, memory_mask, cfg: DecoderConfig,
                   cat_embs=None, rngs: Rngs | None = None,
                   is_lsl: bool = False, q_slice: Optional[int] = None,
-                  return_src_attn: bool = False, mem_kv=None):
+                  return_src_attn: bool = False, mem_kv=None,
+                  mem_group: Optional[int] = None):
     """One decoder block. If q_slice is not None, only the query at position
     q_slice attends (incremental decoding); x is still the full (B,L,D) buffer.
     Returns the per-position output (B,L,D) or (B,1,D) when q_slice set; with
@@ -108,6 +109,13 @@ def decoder_layer(p, x, tgt_mask, memory, memory_mask, cfg: DecoderConfig,
                 p['src_attn'], xn, memory, memory, memory_mask,
                 cfg.attention_heads, cfg.src_attention_dropout_rate,
                 rngs.next() if rngs else None, return_weights=True)
+        elif mem_kv is not None and mem_group is not None:
+            # K/V precomputed per utterance (B,H,T,dk); each consecutive
+            # group of `mem_group` hyp rows shares one utterance's memory —
+            # grouped nbest rescoring with all ops ≤4-D (attention.py)
+            ca = att.mha_shared_kv_grouped(p['src_attn'], xn, mem_kv,
+                                           memory_mask,
+                                           cfg.attention_heads, mem_group)
         elif mem_kv is not None:
             # K/V precomputed once for the shared memory (nbest rescoring)
             ca = att.mha_shared_kv(p['src_attn'], xn, mem_kv, memory_mask,
@@ -142,7 +150,8 @@ def decoder_layer(p, x, tgt_mask, memory, memory_mask, cfg: DecoderConfig,
 
 def _single_decoder_forward(p, memory, memory_mask, ys_in_pad, ys_in_lens,
                             cfg: DecoderConfig, n_blocks: int,
-                            cat_embs=None, rngs=None, mem_kv=None):
+                            cat_embs=None, rngs=None, mem_kv=None,
+                            mem_group=None):
     """L2R or R2L stack: embed+abs-pos → N layers → after_norm → output_layer."""
     tgt = ys_in_pad
     L = tgt.shape[1]
@@ -166,7 +175,8 @@ def _single_decoder_forward(p, memory, memory_mask, ys_in_pad, ys_in_lens,
             x = decoder_layer(lp, x, tgt_mask, memory, memory_mask, cfg,
                               cat_embs, rngs,
                               is_lsl=_layer_is_lsl(cfg, i, n_blocks),
-                              mem_kv=mem_kv[i] if mem_kv is not None else None)
+                              mem_kv=mem_kv[i] if mem_kv is not None else None,
+                              mem_group=mem_group)
     if cfg.normalize_before:
         x = layer_norm(p['after_norm'], x)
     if cfg.use_output_layer:
@@ -177,7 +187,8 @@ def _single_decoder_forward(p, memory, memory_mask, ys_in_pad, ys_in_lens,
 def decoder_forward(params, memory, memory_mask, ys_in_pad, ys_in_lens,
                     r_ys_in_pad=None, reverse_weight: float = 0.0,
                     cfg: DecoderConfig = DecoderConfig(),
-                    cat_embs=None, rngs=None, mem_kv=None, r_mem_kv=None):
+                    cat_embs=None, rngs=None, mem_kv=None, r_mem_kv=None,
+                    mem_group=None):
     """BiTransformerDecoder.forward (decoder.py:462-496).
 
     mem_kv/r_mem_kv: optional per-layer precomputed shared cross-attention
@@ -188,18 +199,19 @@ def decoder_forward(params, memory, memory_mask, ys_in_pad, ys_in_lens,
     if cfg.decoder_type == 'bitransformer':
         l_x = _single_decoder_forward(params['left_decoder'], memory,
                                       memory_mask, ys_in_pad, ys_in_lens, cfg,
-                                      cfg.num_blocks, cat_embs, rngs, mem_kv)
+                                      cfg.num_blocks, cat_embs, rngs, mem_kv,
+                                      mem_group)
         if reverse_weight > 0.0 and cfg.r_num_blocks > 0:
             r_x = _single_decoder_forward(params['right_decoder'], memory,
                                           memory_mask, r_ys_in_pad, ys_in_lens,
                                           cfg, cfg.r_num_blocks, cat_embs,
-                                          rngs, r_mem_kv)
+                                          rngs, r_mem_kv, mem_group)
         else:
             r_x = jnp.zeros((), dtype=memory.dtype)
         return l_x, r_x
     l_x = _single_decoder_forward(params, memory, memory_mask, ys_in_pad,
                                   ys_in_lens, cfg, cfg.num_blocks, cat_embs,
-                                  rngs, mem_kv)
+                                  rngs, mem_kv, mem_group)
     return l_x, jnp.zeros((), dtype=memory.dtype)
 
 
