@@ -148,8 +148,9 @@ def _decode_fused(params, cfg: ModelConfig, methods, feats, feats_lens,
         jnp.asarray(ctc_weight, jnp.float32), reverse_weight,
         blank_skip_threshold, max_hyp_len, decoding_chunk_size,
         blank_penalty, cat, ctx_tables)
+    from reverb_tpu.utils.common import fetch_np
     (prefixes, plens, ctc_scores, times, best, total, conf, tok_logp,
-     best_times) = [np.asarray(x) for x in out]
+     best_times) = fetch_np(*out)
     if plens.max(initial=0) > max_hyp_len:
         return None          # hyp overflowed the static cap — caller falls back
     results: Dict[str, List[DecodeResult]] = {}

@@ -102,8 +102,8 @@ def attention_beam_search(params, cfg: ModelConfig, encoder_out, encoder_lens,
     hyps, scores = attention_beam_search_device(
         params, cfg, encoder_out, encoder_lens, beam_size, max_steps,
         cat_embs, length_penalty)
-    hyps = np.asarray(hyps)
-    scores = np.asarray(scores)
+    from reverb_tpu.utils.common import fetch_np
+    hyps, scores = fetch_np(hyps, scores)
     results = []
     for b in range(hyps.shape[0]):
         toks = [int(t) for t in hyps[b] if int(t) != cfg.eos]

@@ -38,9 +38,8 @@ def ctc_greedy_search(ctc_probs, ctc_lens, blank_id: int = 0
                       ) -> List[DecodeResult]:
     tokens, keep, times = jax.jit(
         ctc_greedy_device, static_argnums=2)(ctc_probs, ctc_lens, blank_id)
-    tokens = np.asarray(tokens)
-    keep = np.asarray(keep)
-    times = np.asarray(times)
+    from reverb_tpu.utils.common import fetch_np
+    tokens, keep, times = fetch_np(tokens, keep, times)
     results = []
     for b in range(tokens.shape[0]):
         k = keep[b]
@@ -64,9 +63,8 @@ def ctc_greedy_from_top1(top1, ctc_lens, blank_id: int = 0
         times = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
         return t1, keep, times
     tokens, keep, times = jax.jit(dev)(top1, ctc_lens)
-    tokens = np.asarray(tokens)
-    keep = np.asarray(keep)
-    times = np.asarray(times)
+    from reverb_tpu.utils.common import fetch_np
+    tokens, keep, times = fetch_np(tokens, keep, times)
     results = []
     for b in range(tokens.shape[0]):
         k = keep[b]

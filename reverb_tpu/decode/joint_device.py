@@ -403,9 +403,10 @@ def joint_decoding_device(params, cfg: ModelConfig, encoder_outs,
         jnp.asarray(ctc_probs, jnp.float32), beam_size, P,
         float(ctc_weight), float(length_bonus), log_thr, skip_enabled, Lc,
         cat)
-    toks, lens, scores = np.asarray(toks), np.asarray(lens), np.asarray(scores)
-    ts, te = np.asarray(ts), np.asarray(te)
-    conf = np.maximum(np.asarray(cc), np.asarray(ca))
+    from reverb_tpu.utils.common import fetch_np
+    toks, lens, scores, ts, te, cc, ca = fetch_np(
+        toks, lens, scores, ts, te, cc, ca)
+    conf = np.maximum(cc, ca)
     results = []
     for b in range(toks.shape[0]):
         n = int(lens[b, 0])

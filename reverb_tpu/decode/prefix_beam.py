@@ -838,11 +838,36 @@ def ctc_prefix_beam_search_topk(topk_logp, topk_idx, blank_logp, ctc_lens,
         blank_skip_threshold, context_graph, vocab_size)[0]
 
 
+_NARROW_W = 64
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _narrow_view(prefixes, times, W: int):
+    """(B,K,L) → (B,K,W) token/time slices — enqueued asynchronously right
+    after the beam program so the host can fetch the bytes that matter
+    (real 20.5 s-chunk nbests are ≤~50 tokens; the full L=scan-cap buffer
+    is 3-4× the traffic through the remote-TPU tunnel)."""
+    return prefixes[:, :, :W], times[:, :, :W]
+
+
 def _pack_results(prefixes, plens, scores, times) -> List[DecodeResult]:
-    prefixes = np.asarray(prefixes)
-    plens = np.asarray(plens)
-    scores = np.asarray(scores)
-    times = np.asarray(times)
+    from reverb_tpu.utils.common import fetch_np
+    L = prefixes.shape[2]
+    narrow = None
+    if L > _NARROW_W and isinstance(prefixes, jax.Array):
+        # speculative narrow fetch: the slice dispatch is async (no extra
+        # round trip) and covers virtually every real batch; a hyp longer
+        # than W falls back to the full buffers below
+        narrow = _narrow_view(prefixes, times, _NARROW_W)
+    if narrow is not None:
+        plens, scores, pre_n, tim_n = fetch_np(plens, scores, *narrow)
+        if plens.max(initial=0) <= _NARROW_W:
+            prefixes, times = pre_n, tim_n
+        else:
+            prefixes, times = fetch_np(prefixes, times)
+    else:
+        prefixes, plens, scores, times = fetch_np(
+            prefixes, plens, scores, times)
     results = []
     for b in range(prefixes.shape[0]):
         nbest, nbest_scores, nbest_times = [], [], []

@@ -261,7 +261,13 @@ def attention_rescoring(params, cfg: ModelConfig,
     (decode/api.py does) — the nbest is then wired beam→rescorer on device
     instead of being re-uploaded from the packed host lists (≈0.8 MB per
     batch through a remote-TPU tunnel)."""
-    encoder_lens = np.asarray(encoder_lens)
+    # encoder_lens feeds only the device program: when it is already a
+    # device array, skip the host round trip + re-upload
+    if isinstance(encoder_lens, jax.Array):
+        enc_lens_dev = encoder_lens.astype(jnp.int32)
+    else:
+        enc_lens_dev = jnp.asarray(
+            np.asarray(encoder_lens).astype(np.int32))
     B = len(ctc_prefix_results)
     Nmax = max((len(p.nbest) for p in ctc_prefix_results), default=0)
     Lmax = max((len(h) for p in ctc_prefix_results for h in p.nbest),
@@ -270,18 +276,17 @@ def attention_rescoring(params, cfg: ModelConfig,
         return [DecodeResult(tokens=[], times=[], tokens_confidence=[])
                 for _ in ctc_prefix_results]
     if device_nbest is not None:
+        from reverb_tpu.utils.common import fetch_np
         prefixes, plens, scores, _ = device_nbest
         Lb = min(_bucket(Lmax), prefixes.shape[2])
-        total, best, conf_best, tc_best = _rescore_reduce_raw(
+        total, best, conf_best, tc_best = fetch_np(*_rescore_reduce_raw(
             params, cfg, prefixes, plens, scores, jnp.asarray(encoder_outs),
             reverse_weight, jnp.asarray(ctc_weight, jnp.float32), Lb,
             jnp.asarray(cat_embs) if cat_embs is not None else None,
-            jnp.asarray(encoder_lens.astype(np.int32)))
+            enc_lens_dev))
         return _pack_rescored(ctc_prefix_results,
-                              np.asarray(total, np.float64),
-                              np.asarray(best),
-                              np.asarray(conf_best, np.float64),
-                              np.asarray(tc_best))
+                              total.astype(np.float64), best,
+                              conf_best.astype(np.float64), tc_best)
     Lb = _bucket(Lmax)   # static-shape bucket: bounded compile count
     # int16 hyp upload when ids provably fit: halves the (B,N,L) transfer
     hyp_dtype = np.int16 if cfg.vocab_size < 2 ** 15 else np.int32
@@ -295,16 +300,16 @@ def attention_rescoring(params, cfg: ModelConfig,
             lens[b, i] = len(h)
             row_valid[b, i] = True
             ctc_scores[b, i] = pre.nbest_scores[i]
-    total, best, conf_best, tc_best = _rescore_reduce_all(
+    from reverb_tpu.utils.common import fetch_np
+    total, best, conf_best, tc_best = fetch_np(*_rescore_reduce_all(
         params, cfg, jnp.asarray(hyps_pad), jnp.asarray(lens),
         jnp.asarray(encoder_outs), reverse_weight,
         jnp.asarray(ctc_scores), jnp.asarray(row_valid),
         jnp.asarray(ctc_weight, jnp.float32),
         jnp.asarray(cat_embs) if cat_embs is not None else None,
-        jnp.asarray(encoder_lens.astype(np.int32)))
-    return _pack_rescored(ctc_prefix_results, np.asarray(total, np.float64),
-                          np.asarray(best), np.asarray(conf_best, np.float64),
-                          np.asarray(tc_best))
+        enc_lens_dev))
+    return _pack_rescored(ctc_prefix_results, total.astype(np.float64),
+                          best, conf_best.astype(np.float64), tc_best)
 
 
 def _pack_rescored(ctc_prefix_results, total, best, conf_best, tc_best

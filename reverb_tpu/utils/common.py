@@ -20,8 +20,26 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 IGNORE_ID = -1
+
+
+def fetch_np(*arrays):
+    """Materialize device arrays to numpy with overlapped D2H transfers.
+
+    A blocking `np.asarray(x)` on a jax array pays its own host↔device
+    round trip; a result tuple fetched leaf-by-leaf pays one per leaf
+    (~25-30 ms each over a remote-TPU link — measured 260 ms for a 6-leaf
+    decode result vs 124 ms prefetched).  Issuing non-blocking
+    `copy_to_host_async()` for every leaf first overlaps the round trips:
+    total ≈ one latency + the summed transfer time.  Non-device inputs
+    (numpy, lists, scalars) pass through np.asarray untouched."""
+    for a in arrays:
+        if hasattr(a, 'copy_to_host_async'):
+            a.copy_to_host_async()
+    out = tuple(np.asarray(a) for a in arrays)
+    return out[0] if len(out) == 1 else out
 
 
 def make_pad_mask(lengths: jax.Array, max_len: int) -> jax.Array:
