@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from reverb_tpu.models import attention as att
 from reverb_tpu.models import embedding as emb
 from reverb_tpu.models.modules import (ACTIVATIONS, Rngs, dropout, embedding,
-                                       layer_norm, linear)
+                                       layer_norm, linear, remat_policy)
 from reverb_tpu.utils.common import make_pad_mask, subsequent_mask
 
 
@@ -51,6 +51,7 @@ class DecoderConfig:
     decoder_type: str = 'bitransformer'   # 'transformer' | 'bitransformer'
     tie_word_embedding: bool = False
     gradient_checkpointing: bool = False
+    remat_policy: str = 'dots'        # 'full' | 'dots' (see encoder.py)
     # activation dtype for the decoder stack (AMP / bf16 serving).  The
     # stack's dtype is otherwise set by the f32 embedding table — which
     # silently ran every decoder matmul in f32 even when the encoder was
@@ -170,7 +171,8 @@ def _single_decoder_forward(p, memory, memory_mask, ys_in_pad, ys_in_lens,
                 return decoder_layer(lp, v, tgt_mask, memory, memory_mask,
                                      cfg, cat_embs, Rngs(key),
                                      is_lsl=_layer_is_lsl(cfg, i, n_blocks))
-            x = jax.checkpoint(step)(x, rngs.next())
+            x = jax.checkpoint(
+                step, policy=remat_policy(cfg.remat_policy))(x, rngs.next())
         else:
             x = decoder_layer(lp, x, tgt_mask, memory, memory_mask, cfg,
                               cat_embs, rngs,

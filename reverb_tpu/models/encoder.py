@@ -31,7 +31,7 @@ from reverb_tpu.models.modules import (ACTIVATIONS, Rngs, batch_norm_1d,
                                        batch_norm_last, conv1d, conv2d,
                                        depthwise_conv1d_ntc, dropout, glu,
                                        layer_norm, linear,
-                                       pointwise_conv_as_linear)
+                                       pointwise_conv_as_linear, remat_policy)
 from reverb_tpu.utils.common import (add_optional_chunk_mask, make_pad_mask)
 
 
@@ -62,6 +62,12 @@ class EncoderConfig:
     num_langs: int = 0          # >0 → first+last layers are LSL
     encoder_type: str = 'conformer'   # 'conformer' | 'transformer'
     gradient_checkpointing: bool = False
+    # 'full' recomputes the whole layer in the backward (min memory, ~33%
+    # extra FLOPs); 'dots' saves every matmul output and replays only the
+    # cheap VPU work (LN/activations/masks) — the MXU never recomputes, so
+    # larger batches fit at ~zero FLOP cost (the v5e train-throughput
+    # sweet spot; see tools/bench_train_mfu.py --remat)
+    remat_policy: str = 'dots'        # 'full' | 'dots'
     # MoE FFN (positionwise_feed_forward.py:58-121): token-choice top-k
     positionwise_layer_type: str = 'position_wise_feed_forward'
     n_expert: int = 8
@@ -364,7 +370,8 @@ def encoder_forward(params, xs, xs_lens, cfg: EncoderConfig,
                 return layer_fn(lp, x, chunk_masks, pos_emb, mask_pad, cfg,
                                 cat_embs, Rngs(key),
                                 is_lsl=_layer_is_lsl(cfg, i))
-            xs, _, _ = jax.checkpoint(step)(xs, rngs.next())
+            xs, _, _ = jax.checkpoint(
+                step, policy=remat_policy(cfg.remat_policy))(xs, rngs.next())
         else:
             xs, _, _ = layer_fn(lp, xs, chunk_masks, pos_emb, mask_pad, cfg,
                                 cat_embs, rngs,

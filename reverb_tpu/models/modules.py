@@ -39,6 +39,23 @@ class Rngs:
         return sub
 
 
+def remat_policy(name: str):
+    """Rematerialization policy for per-layer `jax.checkpoint`.
+
+    'full' — save only layer inputs; the backward replays the whole layer
+    (minimum memory, the MXU recomputes every matmul: ~33% extra FLOPs).
+    'dots' — save every matmul/conv output, replay only the cheap VPU work
+    (layernorm stats, activations, masks, dropout applies). The MXU never
+    recomputes, so the FLOP cost of remat is ~0 while the big (B,T,ffn)
+    activation intermediates still drop — the right default on TPU where
+    HBM, not FLOPs, bounds the trainable batch size."""
+    if name == 'full':
+        return None
+    if name == 'dots':
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f'unknown remat_policy {name!r} (full|dots)')
+
+
 def dropout(x, rate: float, rng):
     if rng is None or rate <= 0.0:
         return x

@@ -187,6 +187,78 @@ def test_gradient_checkpointing_with_dropout_trains():
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
 
 
+def test_remat_policy_grad_equality():
+    """Remat must never change VALUES, only which intermediates are saved
+    vs recomputed.  Two bit-equality checks:
+
+    1. dropout off: non-remat == 'full' == 'dots' (with dropout on, remat
+       layers legitimately draw different masks — the checkpointed step
+       takes one fresh per-layer key while the plain path threads a single
+       split chain, so cross-path equality only holds at rate 0).
+    2. dropout on (TINY defaults): 'full' == 'dots' — both remat paths
+       consume the identical per-layer key, so a policy that altered
+       numerics (rather than just the save set) would show here.
+
+    Loss must match bit-for-bit; grads to float32 fusion noise (remat
+    changes which ops fuse, hence summation order, by ~1 ulp)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from reverb_tpu.models.asr_model import (ModelConfig, compute_loss,
+                                             init_params)
+    from tests.test_model_forward import TINY
+
+    def grads(policy, drop):
+        conf = {k: (dict(v) if isinstance(v, dict) else v)
+                for k, v in TINY.items()}
+        if not drop:
+            # zero EVERY dropout field, including config defaults TINY does
+            # not list (positional_dropout_rate defaults to 0.1 — a missed
+            # one shifts keys with the rng-consumption count and breaks the
+            # cross-path comparison below)
+            zeros = {k: 0.0 for k in (
+                'dropout_rate', 'positional_dropout_rate',
+                'attention_dropout_rate', 'self_attention_dropout_rate',
+                'src_attention_dropout_rate')}
+            for sub in ('encoder_conf', 'decoder_conf'):
+                conf[sub] = dict(conf[sub],
+                                 **{k: v for k, v in zeros.items()})
+        if policy is not None:
+            conf['encoder_conf'] = dict(conf['encoder_conf'],
+                                        gradient_checkpointing=True,
+                                        remat_policy=policy)
+            conf['decoder_conf'] = dict(conf['decoder_conf'],
+                                        gradient_checkpointing=True,
+                                        remat_policy=policy)
+        cfg = ModelConfig.from_config(conf)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        B, T = 2, 37
+        batch = {'feats': jnp.asarray(
+                     np.random.RandomState(0).randn(B, T, 80), jnp.float32),
+                 'feats_lengths': jnp.array([T, T - 5]),
+                 'target': jnp.array([[1, 2, 3, -1], [4, 5, -1, -1]]),
+                 'target_lengths': jnp.array([3, 2]),
+                 'cat_embs': jnp.array([[1.0, 0.0], [0.0, 1.0]])}
+        l, g = jax.jit(jax.value_and_grad(
+            lambda p: compute_loss(p, cfg, batch,
+                                   rng=jax.random.PRNGKey(3))['loss']))(params)
+        return float(l), g
+
+    def assert_equal(ref, got, msg):
+        l0, g0 = ref
+        l1, g1 = got
+        assert l1 == l0, (msg, l1, l0)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6, err_msg=msg)
+
+    base = grads(None, drop=False)
+    for policy in ('full', 'dots'):
+        assert_equal(base, grads(policy, drop=False), f'{policy} vs none')
+    assert_equal(grads('full', drop=True), grads('dots', drop=True),
+                 'dots vs full under dropout')
+
+
 def test_train_prng_key_rbg():
     """train_prng_key: 'auto' maps to threefry off-TPU; an explicit 'rbg'
     key drives a full jitted train step (dropout sites split/fold the key

@@ -27,12 +27,18 @@ PEAK_FLOPS = {'tpu v5 lite': 197e12, 'tpu v5e': 197e12,
 def main():
     import argparse
     ap = argparse.ArgumentParser()
-    # B=32×512 frames (≈164 s audio/step) is the v5e-16GB throughput
-    # optimum without remat: sweep measured 37.8% MFU @16 / 47.3% @32 /
-    # thrash @48 (activation spill)
-    ap.add_argument('--batch', type=int, default=32)
-    ap.add_argument('--remat', action='store_true',
+    # B=48×512 frames with 'dots' remat is the measured v5e-16GB
+    # throughput optimum: 49.2% MFU (no-remat sweep: 37.8% @16 /
+    # 47.3% @32 / thrash @48 from activation spill; dots-remat drops the
+    # spilled intermediates at ~zero MXU cost and B=64 exceeds HBM)
+    ap.add_argument('--batch', type=int, default=48)
+    ap.add_argument('--remat', default=True,
+                    action=argparse.BooleanOptionalAction,
                     help='per-layer gradient checkpointing (fits larger B)')
+    ap.add_argument('--remat-policy', default='dots',
+                    choices=['full', 'dots'],
+                    help="'dots' saves matmul outputs (no MXU recompute); "
+                         "'full' replays the whole layer")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
@@ -40,7 +46,8 @@ def main():
     conf['dtype'] = 'bf16'
     if args.remat:
         conf['encoder_conf'] = dict(conf['encoder_conf'],
-                                    gradient_checkpointing=True)
+                                    gradient_checkpointing=True,
+                                    remat_policy=args.remat_policy)
     cfg = ModelConfig.from_config(conf)
     tc = TrainConfig.from_config(dict(conf, grad_clip=50.0))
     params = init_params(jax.random.PRNGKey(0), cfg)
@@ -67,6 +74,22 @@ def main():
                             jnp.zeros((), jnp.int32), train_prng_key(1))
     compiled = lowered.compile()
     flops = compiled.cost_analysis()['flops']
+    model_flops = flops
+    if args.remat:
+        # compiled FLOPs under remat include the backward's recompute; MFU
+        # must count MODEL FLOPs (useful work) or remat inflates the score.
+        # Lower the non-remat step (compile only — never executed, so the
+        # activation memory that forces remat in the first place is never
+        # allocated) and take its cost as the model-FLOP denominator input.
+        cfg_nr = ModelConfig.from_config(dict(
+            conf, encoder_conf=dict(conf['encoder_conf'],
+                                    gradient_checkpointing=False)))
+        nr_fn = jax.jit(make_train_step(cfg_nr, tx, accum_grad=tc.accum_grad,
+                                        grad_clip=tc.grad_clip),
+                        donate_argnums=(0, 1))
+        model_flops = nr_fn.lower(
+            params, opt_state, batch, jnp.zeros((), jnp.int32),
+            train_prng_key(1)).compile().cost_analysis()['flops']
 
     key = train_prng_key(1)      # rbg on TPU (threefry masks are VPU-bound)
     params, opt_state, m = step_fn(params, opt_state, batch,
@@ -90,15 +113,20 @@ def main():
 
     kind = getattr(dev, 'device_kind', '').lower()
     peak = next((v for k, v in PEAK_FLOPS.items() if k in kind), 197e12)
-    mfu = flops / dt / peak
-    print(json.dumps({
+    mfu = model_flops / dt / peak
+    out = {
         'metric': f'flagship train step ({n_params/1e6:.0f}M params, '
                   f'B={B}x{T} frames, bf16 AMP, adam+clip)',
         'value': round(dt * 1e3, 1), 'unit': 'ms/step',
-        'model_flops_per_step': flops,
+        'model_flops_per_step': model_flops,
         'mfu': round(mfu, 3), 'device': getattr(dev, 'device_kind', '?'),
         'loss': loss,
-    }))
+    }
+    if args.remat:
+        out['remat'] = args.remat_policy
+        out['hw_flops_per_step'] = flops      # incl. backward recompute
+        out['mfu_hw'] = round(flops / dt / peak, 3)
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':
