@@ -191,8 +191,11 @@ def _submetrics(params, cfg, frontend, wave, feats_lens, cat, B, chunk_sec,
     run_tool('int8', [sys.executable, 'bench.py'],
              env_extra={'REVERB_BENCH_INT8': '1'},
              fields=('value', 'unit'))
+    # the remat default compiles TWO programs (the step + a compile-only
+    # non-remat lowering for the model-FLOP MFU basis) — allow for both
+    # missing the persistent compile cache
     run_tool('train', [sys.executable, 'tools/bench_train_mfu.py'],
-             fields=('value', 'unit', 'mfu'))
+             timeout=1800, fields=('value', 'unit', 'mfu'))
     run_tool('streaming', [sys.executable, 'tools/bench_streaming.py'],
              fields=('p50_ms', 'p95_ms', 'hop_ms', 'streamed_xRT'))
     return sub
