@@ -124,7 +124,11 @@ def Dataset(data_type: str, data_list_file, tokenizer=None, conf=None,
             raise ValueError('device_feats requires feats_type: fbank')
         from reverb_tpu.frontend.fbank import FbankConfig, num_frames
         fb = conf.get('fbank_conf', {}) or {}
-        fc = FbankConfig(frame_length_ms=fb.get('frame_length', 25),
+        # post-resample rate (the resample stage precedes this one), so the
+        # frame-count stub agrees with the device fbank at non-16k rates
+        rs = conf.get('resample_conf', {}) or {}
+        fc = FbankConfig(sample_rate=int(rs.get('resample_rate', 16000)),
+                         frame_length_ms=fb.get('frame_length', 25),
                          frame_shift_ms=fb.get('frame_shift', 10))
 
         def _frames_stub(sample):

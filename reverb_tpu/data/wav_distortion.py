@@ -173,16 +173,27 @@ def distort(x: np.ndarray, func, rate: float = 0.8, rng=random) -> np.ndarray:
     selected samples go through `func` in float64, matching the reference's
     ``float(x[0][i])`` promotion before the store back into x's dtype.
     """
-    flat = x.reshape(-1)
+    flat = _flat_view(x)
     sel = _bernoulli(flat.size, rate, rng)
     flat[sel] = func(flat[sel].astype(np.float64))
     return x
 
 
+def _flat_view(x: np.ndarray) -> np.ndarray:
+    """Flat VIEW of x — reshape(-1) on a non-contiguous array silently
+    returns a copy and the write-back is dropped, so that case is an error
+    here rather than an undistorted waveform."""
+    flat = x.reshape(-1)
+    if flat.base is None and flat is not x:
+        raise ValueError('distort() needs a contiguous array (reshape(-1) '
+                         'copied); pass np.ascontiguousarray(x)')
+    return flat
+
+
 def distort_chain(x: np.ndarray, funcs, rate: float = 0.8,
                   rng=random) -> np.ndarray:
     """Like `distort`, composing funcs left-to-right on selected samples."""
-    flat = x.reshape(-1)
+    flat = _flat_view(x)
     sel = _bernoulli(flat.size, rate, rng)
     v = flat[sel].astype(np.float64)
     for func in funcs:

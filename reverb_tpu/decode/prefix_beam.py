@@ -545,8 +545,13 @@ def _beam_mesh_plan(B: int):
     if reg is not None:
         mesh, da, _ = reg
         d_sz = axis_size(mesh, da)
-        if d_sz > 1 and B % d_sz == 0:
-            return mesh, spec_entry(mesh, da)
+        if d_sz > 1:
+            if B % d_sz == 0:
+                return mesh, spec_entry(mesh, da)
+            # arrays may be sharded over the registered mesh even with no
+            # abstract mesh ambient (eager dispatch): a whole-batch launch
+            # would hit a kernel with no GSPMD rule — force XLA fallback
+            return False
     if n_mesh > 1:
         return False
     return None

@@ -52,10 +52,18 @@ def frontend_from_configs(configs: Dict) -> Optional[FrontendSpec]:
         raise ValueError('device_feats supports spec_aug only; '
                          'spec_sub/spec_trim run on host features')
     fb = ds_conf.get('fbank_conf', {}) or {}
-    aug_on = bool(ds_conf.get('spec_aug', False))
+    # same default as the host path (data/dataset.py spec_aug stage): a
+    # config that omits spec_aug must not silently lose augmentation just
+    # because device_feats is on
+    aug_on = bool(ds_conf.get('spec_aug', True))
     aug = ds_conf.get('spec_aug_conf', {}) or {}
+    # every sample passes the resample stage first, so the configured
+    # resample_rate (default 16000, processor.resample) IS the waveform
+    # rate the device fbank sees — window sizes/mel filters follow it
+    rs = ds_conf.get('resample_conf', {}) or {}
     return FrontendSpec(
-        fbank=FbankConfig(num_mel_bins=fb.get('num_mel_bins', 80),
+        fbank=FbankConfig(sample_rate=int(rs.get('resample_rate', 16000)),
+                          num_mel_bins=fb.get('num_mel_bins', 80),
                           frame_length_ms=fb.get('frame_length', 25),
                           frame_shift_ms=fb.get('frame_shift', 10)),
         dither=float(fb.get('dither', 0.0)),

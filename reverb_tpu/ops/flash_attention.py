@@ -81,6 +81,14 @@ def flash_attention_eligible(mask, rate: float, rng, cache,
     n_mesh = 1
     for _, sz in getattr(am, 'shape_tuple', ()) or ():
         n_mesh *= sz
+    # a registered concrete mesh counts even with no abstract mesh ambient
+    # (eager dispatch on sharded arrays): a whole-batch launch would hit a
+    # kernel with no GSPMD rule, so it must shard_map or fall back
+    from reverb_tpu.ops.pallas_mesh import axis_size, get_pallas_mesh
+    reg = get_pallas_mesh()
+    if reg is not None:
+        mesh, da, ma = reg
+        n_mesh = max(n_mesh, axis_size(mesh, da) * axis_size(mesh, ma))
     if n_mesh > 1:
         if batch is None or heads is None:
             return False
