@@ -44,15 +44,20 @@ def remat_policy(name: str):
 
     'full' — save only layer inputs; the backward replays the whole layer
     (minimum memory, the MXU recomputes every matmul: ~33% extra FLOPs).
-    'dots' — save every matmul/conv output, replay only the cheap VPU work
-    (layernorm stats, activations, masks, dropout applies). The MXU never
-    recomputes, so the FLOP cost of remat is ~0 while the big (B,T,ffn)
-    activation intermediates still drop — the right default on TPU where
-    HBM, not FLOPs, bounds the trainable batch size."""
+    'dots' — save every matmul/conv output PLUS the layernorm statistics
+    (mean/rstd, tagged 'ln_stats' in layer_norm — (B,T,1)-sized, so saving
+    them is free while the replay skips both full-width reduction passes
+    over every LN input); the backward replays only cheap elementwise VPU
+    work (activations, masks, dropout applies). The MXU never recomputes,
+    so the FLOP cost of remat is ~0 while the big (B,T,ffn) activation
+    intermediates still drop — the right default on TPU where HBM, not
+    FLOPs, bounds the trainable batch size."""
     if name == 'full':
         return None
     if name == 'dots':
-        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names('ln_stats'))
     raise ValueError(f'unknown remat_policy {name!r} (full|dots)')
 
 
@@ -89,11 +94,16 @@ def linear(p, x):
 def layer_norm(p, x, eps: float = 1e-5):
     # one-pass f32 statistics (E[x²]−E[x]²): halves the HBM reads of the
     # mean-then-var formulation and keeps bf16 activations accurate
+    from jax.ad_checkpoint import checkpoint_name
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True)
                       - mean * mean, 0.0)
-    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    # 'ln_stats' are saved by the 'dots' remat policy: (B,T,1)-sized, so
+    # the checkpoint replay skips both reduction passes over x
+    mean = checkpoint_name(mean, 'ln_stats')
+    rstd = checkpoint_name(jax.lax.rsqrt(var + eps), 'ln_stats')
+    y = ((xf - mean) * rstd).astype(x.dtype)
     return y * p['weight'].astype(x.dtype) + p['bias'].astype(x.dtype)
 
 

@@ -115,6 +115,14 @@ def build_optimizer(tc: TrainConfig, params=None):
         kwargs.update(b1=b1, b2=b2)
     if 'eps' in tc.optim_conf:
         kwargs.update(eps=tc.optim_conf['eps'])
+    # optim_conf.mu_dtype (e.g. 'bfloat16'): store adam's FIRST moment in
+    # reduced precision.  The optimizer pass is pure HBM traffic (~28 B/param
+    # f32 — measured ~21 ms of the flagship step, already bandwidth-bound);
+    # bf16 mu cuts 4 B/param read+write.  nu stays f32 (second-moment
+    # precision drives the update's rsqrt).  Standard practice at scale; the
+    # learning-loop gate (tools/train_smoke.py) pins convergence.
+    if tc.optim_conf.get('mu_dtype'):
+        kwargs.update(mu_dtype=tc.optim_conf['mu_dtype'])
     wd = tc.optim_conf.get('weight_decay', 0.0)
     name = tc.optim.lower()
     if name == 'adam':

@@ -109,3 +109,41 @@ def test_unknown_search_type_raises(tiny):
     with pytest.raises(ValueError):
         beam_search_transducer(params, cfg, enc, np.array([T]),
                                search_type='bogus')
+
+
+# ---------------- device TSD (lax.scan) vs host TSD ----------------
+
+def _hyp_dict(hyps):
+    return {tuple(y): s for y, s in hyps}
+
+
+@pytest.mark.parametrize('predictor', ['embedding', 'rnn', 'conv'])
+def test_tsd_device_matches_host(predictor):
+    """The single-program lax.scan TSD must reproduce the host algorithm's
+    hypothesis set (prefixes AND scores) on every predictor family, over a
+    batch with uneven lengths."""
+    from reverb_tpu.decode.transducer_device import tsd_device_host
+    from reverb_tpu.decode.transducer_search import time_sync_decoding
+    rng = np.random.RandomState(predictor == 'rnn')
+    Tl, Dv, Vv = 12, 8, 6
+    cfg = TransducerConfig(vocab_size=Vv, encoder_output_size=Dv,
+                           predictor=predictor, predictor_embed_size=Dv,
+                           predictor_hidden_size=8, predictor_layers=1,
+                           predictor_kernel=2, join_dim=8)
+    params = init_transducer(jax.random.PRNGKey(11), cfg)
+    # blank-leaning joint: the regime real models live in
+    params['joint']['ffn_out']['bias'] = \
+        params['joint']['ffn_out']['bias'].at[cfg.blank_id].add(1.5)
+    enc = rng.randn(2, Tl, Dv).astype(np.float32) * 1.2
+    lens = np.array([Tl, Tl - 5], np.int32)
+    dev = tsd_device_host(params, cfg, enc, lens, beam_size=4, max_sym_exp=3)
+    for b in range(2):
+        host = time_sync_decoding(params, cfg, enc[b, :lens[b]],
+                                  beam_size=4, max_sym_exp=3)
+        hd = _hyp_dict(dev[b])
+        hh = {h.ys: h.score for h in host}
+        assert set(hd) == set(hh), (predictor, b, hd, hh)
+        for y, s in hh.items():
+            assert abs(hd[y] - s) < 2e-3, (predictor, b, y, hd[y], s)
+        # best-first order agrees on the winner (score/len normalized)
+        assert dev[b][0][0] == host[0].ys

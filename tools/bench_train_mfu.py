@@ -39,6 +39,10 @@ def main():
                     choices=['full', 'dots'],
                     help="'dots' saves matmul outputs (no MXU recompute); "
                          "'full' replays the whole layer")
+    ap.add_argument('--mu-dtype', default=None,
+                    help="adam first-moment dtype (e.g. bfloat16): the "
+                         "optimizer pass is HBM-bound, bf16 mu cuts "
+                         "8 B/param of its traffic")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
@@ -48,6 +52,9 @@ def main():
         conf['encoder_conf'] = dict(conf['encoder_conf'],
                                     gradient_checkpointing=True,
                                     remat_policy=args.remat_policy)
+    if args.mu_dtype:
+        conf['optim_conf'] = dict(conf.get('optim_conf', {}),
+                                  mu_dtype=args.mu_dtype)
     cfg = ModelConfig.from_config(conf)
     tc = TrainConfig.from_config(dict(conf, grad_clip=50.0))
     params = init_params(jax.random.PRNGKey(0), cfg)

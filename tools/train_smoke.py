@@ -100,7 +100,8 @@ def make_corpus(root: Path, n_train: int, n_cv: int, seed: int = 0):
 
 
 def make_exp(root: Path, train_list: Path, batch_size: int,
-             enc_blocks: int, enc_dim: int) -> Path:
+             enc_blocks: int, enc_dim: int, device_feats: bool = False,
+             remat: bool = False, pad_len_multiple: int = 0) -> Path:
     """Tokenizer files (sp model: one piece per word), CMVN stats computed
     from the actual corpus, and a reference-schema config.yaml."""
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / 'tests'))
@@ -181,7 +182,9 @@ def make_exp(root: Path, train_list: Path, batch_size: int,
                              'one_hot_ids': {'verbatim': 0,
                                              'nonverbatim': 1}},
             'batch_conf': {'batch_type': 'static',
-                           'batch_size': batch_size}},
+                           'batch_size': batch_size,
+                           **({'pad_len_multiple': pad_len_multiple}
+                              if pad_len_multiple else {})}},
         'optim': 'adam',
         'optim_conf': {'lr': 2e-3},
         'scheduler': 'warmuplr',
@@ -190,6 +193,15 @@ def make_exp(root: Path, train_list: Path, batch_size: int,
         'log_interval': 20,
         'snapshot_saving_conf': {'save_interval': 0},
     }
+    if device_feats:
+        # fbank + SpecAugment on device inside the compiled step
+        # (frontend/device_feats.py) — the TPU-pod training default
+        config['dataset_conf']['device_feats'] = True
+    if remat:
+        config['encoder_conf'].update(gradient_checkpointing=True,
+                                      remat_policy='dots')
+        config['decoder_conf'].update(gradient_checkpointing=True,
+                                      remat_policy='dots')
     with open(root / 'config.yaml', 'w') as f:
         yaml.safe_dump(config, f)
     return root / 'config.yaml'
@@ -274,6 +286,13 @@ def main(argv=None):
     p.add_argument('--modes', nargs='+',
                    default=['ctc_greedy_search', 'ctc_prefix_beam_search',
                             'attention_rescoring'])
+    p.add_argument('--device_feats', action='store_true',
+                   help='fbank+SpecAug on device inside the train step')
+    p.add_argument('--remat', action='store_true',
+                   help="per-layer checkpointing, 'dots' policy")
+    p.add_argument('--pad_len_multiple', type=int, default=0,
+                   help='round padded batch lengths up (bounds the number '
+                        'of distinct compiled shapes on TPU)')
     args = p.parse_args(argv)
 
     import tempfile
@@ -284,7 +303,9 @@ def main(argv=None):
     train_list, cv_list, cv_refs = make_corpus(
         work / 'corpus', args.n_train, args.n_cv)
     cfg = make_exp(work / 'exp', train_list, args.batch_size,
-                   args.enc_blocks, args.enc_dim)
+                   args.enc_blocks, args.enc_dim,
+                   device_feats=args.device_feats, remat=args.remat,
+                   pad_len_multiple=args.pad_len_multiple)
     curve = run_training(cfg, train_list, cv_list, work / 'ckpts',
                          args.epochs)
     print(json.dumps({'learning_curve': [
