@@ -6,6 +6,7 @@ modules.dropout makes — so the fused path must match the unfused path
 EXACTLY given the same rng, in both forward and gradients (interpret mode).
 """
 
+import pytest
 import math
 
 import jax
@@ -90,6 +91,7 @@ def test_flash_dropout_keep_fraction():
     assert not np.allclose(np.asarray(out_drop), np.asarray(out_full))
 
 
+@pytest.mark.slow
 def test_flash_dropout_full_train_step_subprocess():
     """Full compute_loss train step with attention dropout engaged, fused vs
     unfused, same rng. Runs in a subprocess on ONE cpu device because the

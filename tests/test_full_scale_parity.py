@@ -21,6 +21,7 @@ import pytest
 
 REF = '/root/reference/asr'
 pytestmark = [
+    pytest.mark.slow,   # multi-minute tier: pytest -m 'not slow' skips
     pytest.mark.skipif(not os.path.isdir(REF),
                        reason='reference tree not mounted'),
     pytest.mark.skipif(os.environ.get('REVERB_FULL_SCALE', '1') == '0',

@@ -17,6 +17,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute tier: pytest -m 'not slow' skips
+
 
 def global_batch(cfg, B=8, T=67, L=5, seed=0):
     """Deterministic global batch shared by every process."""

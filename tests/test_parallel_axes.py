@@ -130,6 +130,7 @@ def test_constrain_is_noop_without_mesh():
     np.testing.assert_allclose(np.asarray(y), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_tp_zero_sharded_train_step_matches_single_device():
     """TP via param_shardings (model=2) + ZeRO opt-state sharding: losses,
     grad norms, and updated params must EQUAL the single-device run — a

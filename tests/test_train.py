@@ -99,6 +99,7 @@ def test_freeze_rules():
     assert np.abs(np.asarray(dec_before) - np.asarray(dec_after)).max() > 0
 
 
+@pytest.mark.slow
 def test_grad_accum_equivalence():
     conf, cfg, tc, params = _setup()
     tx, _ = build_optimizer(tc)
@@ -139,6 +140,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert max(jax.tree.leaves(d)) == 0.0  # averaging identical ckpts = same
 
 
+@pytest.mark.slow
 def test_multichip_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
@@ -151,6 +153,7 @@ def test_entry_compiles():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_gradient_checkpointing_with_dropout_trains():
     """remat + dropout: per-layer keys passed into jax.checkpoint (a stateful
     Rngs closure leaks tracers on the backward replay)."""
@@ -187,6 +190,7 @@ def test_gradient_checkpointing_with_dropout_trains():
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(g))
 
 
+@pytest.mark.slow
 def test_remat_policy_grad_equality():
     """Remat must never change VALUES, only which intermediates are saved
     vs recomputed.  Two bit-equality checks:
@@ -281,6 +285,7 @@ def test_train_prng_key_rbg():
     assert float(m['skipped']) == 0.0
 
 
+@pytest.mark.slow
 def test_grad_clip_single_pass_equivalence():
     """make_train_step(grad_clip=c) (one global-norm pass) ==
     optax.chain(clip_by_global_norm(c), base) (the two-pass formulation)."""

@@ -9,6 +9,7 @@ import yaml
 from tests.helpers import build_tiny_model_dir, write_wav
 
 
+@pytest.mark.slow
 def test_train_main(tmp_path):
     model_src = build_tiny_model_dir(tmp_path / 'init')
     # data

@@ -1,5 +1,6 @@
 """bin/train.py: teacher-student distillation path + registry-family path."""
 
+import pytest
 import json
 
 import numpy as np
@@ -37,6 +38,7 @@ def _base_configs(mdir):
     return configs
 
 
+@pytest.mark.slow
 def test_train_teacher_student(tmp_path):
     mdir = build_tiny_model_dir(tmp_path / 'init')
     lst = _data(tmp_path)
@@ -59,6 +61,7 @@ def test_train_teacher_student(tmp_path):
     assert np.isfinite(info['cv_loss'])
 
 
+@pytest.mark.slow
 def test_train_registry_transducer(tmp_path):
     mdir = build_tiny_model_dir(tmp_path / 'init')
     lst = _data(tmp_path)

@@ -81,6 +81,7 @@ def test_variant_finds_map_sequence(tiny, search_type, kwargs, exact_score):
             (res[0][0].score, log_p[got])
 
 
+@pytest.mark.slow
 def test_default_terminates_on_pathological_joint(tiny):
     """The expansion cap must bound the Graves loop even when labels beat
     blank everywhere."""
