@@ -120,7 +120,10 @@ def main():
         from reverb_tpu.ops.quant import quantize_params_int8
         params = quantize_params_int8(params)
 
-    use_fused = os.environ.get('REVERB_BENCH_FUSED', '0') == '1'
+    _fused_env = os.environ.get('REVERB_BENCH_FUSED', '0')
+    # '1' → fully fused single program; 'post' → beam+rescore fused, encoder
+    # its own program; else the multi-dispatch default
+    use_fused = {'1': True, 'post': 'post'}.get(_fused_env, False)
 
     def pipeline(wave):
         """The served path: device fbank+encoder+beam, host nbest packing,

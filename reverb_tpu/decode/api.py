@@ -63,31 +63,15 @@ def encode_and_ctc_topk(params, cfg: ModelConfig, feats, feats_lens,
     return encoder_out, encoder_lens, topk_logp, topk_idx, blank_logp
 
 
-@functools.partial(jax.jit, static_argnums=(1, 4, 6, 7, 8, 9, 10))
-def _fused_rescoring_program(params, cfg: ModelConfig, feats, feats_lens,
-                             beam_size: int, ctc_weight,
-                             reverse_weight: float,
-                             blank_skip_threshold: float, max_hyp_len: int,
-                             decoding_chunk_size: int, blank_penalty,
-                             cat_embs=None, ctx_tables=None):
-    """ONE device program for the flagship serving mode set: encoder → CTC
-    top-k → blank-skip prefix beam → whole-batch attention rescoring, with
-    the nbest wired beam→rescorer on device.
-
-    The unfused path costs three host round-trips per batch (encoder/beam
-    fetch, host nbest packing, rescore dispatch+fetch); dispatch latency
-    dominated the measured serving time (see PARITY.md).  Returns both the
-    full beam outputs (for the ctc_prefix_beam_search mode) and the
-    rescoring winners — one host fetch for everything."""
+def _beam_rescore_tail(params, cfg: ModelConfig, tk_logp, tk_idx, blank_lp,
+                       encoder_out, encoder_lens, beam_size: int, ctc_weight,
+                       reverse_weight: float, blank_skip_threshold: float,
+                       max_hyp_len: int, cat_embs, ctx_tables):
+    """Traced tail shared by both fused programs: blank-skip prefix beam →
+    device-side length-bucketed whole-batch attention rescoring, nbest
+    wired beam→rescorer on device."""
     from reverb_tpu.decode import prefix_beam as pb
     from reverb_tpu.decode import rescoring as rs
-    enc_cat = cat_embs if cfg.lsl_enc else None
-    encoder_out, encoder_mask = forward_encoder(
-        params, cfg, feats, feats_lens, cat_embs=enc_cat,
-        decoding_chunk_size=decoding_chunk_size)
-    encoder_lens = jnp.sum(encoder_mask[:, 0, :], axis=-1).astype(jnp.int32)
-    tk_logp, tk_idx, blank_lp = ctc_mod.ctc_topk_logprobs(
-        params['ctc'], encoder_out, beam_size, blank_penalty, cfg.blank_id)
     keep_cap = (tk_logp.shape[1] // 2) if blank_skip_threshold > 0 else 0
     prefixes, plens, ctc_scores, times = \
         pb.ctc_prefix_beam_search_device_topk.__wrapped__(
@@ -133,21 +117,85 @@ def _fused_rescoring_program(params, cfg: ModelConfig, feats, feats_lens,
             take(confidence), take(tok_logp), take(times))
 
 
+@functools.partial(jax.jit, static_argnums=(1, 4, 6, 7, 8, 9, 10))
+def _fused_rescoring_program(params, cfg: ModelConfig, feats, feats_lens,
+                             beam_size: int, ctc_weight,
+                             reverse_weight: float,
+                             blank_skip_threshold: float, max_hyp_len: int,
+                             decoding_chunk_size: int, blank_penalty,
+                             cat_embs=None, ctx_tables=None):
+    """ONE device program for the flagship serving mode set: encoder → CTC
+    top-k → blank-skip prefix beam → whole-batch attention rescoring, with
+    the nbest wired beam→rescorer on device.
+
+    The unfused path costs three host round-trips per batch (encoder/beam
+    fetch, host nbest packing, rescore dispatch+fetch); dispatch latency
+    dominated the measured serving time (see PARITY.md).  Returns both the
+    full beam outputs (for the ctc_prefix_beam_search mode) and the
+    rescoring winners — one host fetch for everything."""
+    enc_cat = cat_embs if cfg.lsl_enc else None
+    encoder_out, encoder_mask = forward_encoder(
+        params, cfg, feats, feats_lens, cat_embs=enc_cat,
+        decoding_chunk_size=decoding_chunk_size)
+    encoder_lens = jnp.sum(encoder_mask[:, 0, :], axis=-1).astype(jnp.int32)
+    tk_logp, tk_idx, blank_lp = ctc_mod.ctc_topk_logprobs(
+        params['ctc'], encoder_out, beam_size, blank_penalty, cfg.blank_id)
+    return _beam_rescore_tail(params, cfg, tk_logp, tk_idx, blank_lp,
+                              encoder_out, encoder_lens, beam_size,
+                              ctc_weight, reverse_weight,
+                              blank_skip_threshold, max_hyp_len, cat_embs,
+                              ctx_tables)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 6, 8, 9, 10))
+def _fused_post_program(params, cfg: ModelConfig, tk_logp, tk_idx, blank_lp,
+                        encoder_out, beam_size: int, ctc_weight,
+                        reverse_weight: float, blank_skip_threshold: float,
+                        max_hyp_len: int, encoder_lens=None, cat_embs=None,
+                        ctx_tables=None):
+    """Beam + rescoring as ONE program fed by `encode_and_ctc_topk`'s
+    outputs (fused='post').  Keeps the encoder its own program (XLA
+    schedules it better standalone — the full fusion measured ~13% slower)
+    while removing the pack-before-rescore serialization of the unfused
+    path: the rescorer no longer waits for the host to fetch the beam
+    buffers and choose a bucket (~2 tunnel round trips ≈ 50-90 ms of the
+    measured 500 ms blocking path), and both modes arrive in one fetch
+    wave."""
+    return _beam_rescore_tail(params, cfg, tk_logp, tk_idx, blank_lp,
+                              encoder_out, encoder_lens, beam_size,
+                              ctc_weight, reverse_weight,
+                              blank_skip_threshold, max_hyp_len, cat_embs,
+                              ctx_tables)
+
+
 def _decode_fused(params, cfg: ModelConfig, methods, feats, feats_lens,
                   beam_size, ctc_weight, reverse_weight,
                   blank_skip_threshold, max_hyp_len, decoding_chunk_size,
-                  blank_penalty, cat, ctx_tables):
-    """Host wrapper: one fused dispatch, one fetch, pack both modes."""
+                  blank_penalty, cat, ctx_tables, post_only: bool = False):
+    """Host wrapper over the fused programs: one (or two, post_only) device
+    dispatches, one fetch wave, pack both modes."""
     import math as _math
 
     import numpy as np
 
     from reverb_tpu.decode import prefix_beam as pb
-    out = _fused_rescoring_program(
-        params, cfg, jnp.asarray(feats), jnp.asarray(feats_lens), beam_size,
-        jnp.asarray(ctc_weight, jnp.float32), reverse_weight,
-        blank_skip_threshold, max_hyp_len, decoding_chunk_size,
-        blank_penalty, cat, ctx_tables)
+    if post_only:
+        # encoder stays its own program; beam+rescore fuse (fused='post')
+        encoder_out, encoder_lens, tk_logp, tk_idx, blank_lp = \
+            encode_and_ctc_topk(
+                params, cfg, jnp.asarray(feats), jnp.asarray(feats_lens),
+                cat, beam_size, blank_penalty, decoding_chunk_size)
+        out = _fused_post_program(
+            params, cfg, tk_logp, tk_idx, blank_lp, encoder_out, beam_size,
+            jnp.asarray(ctc_weight, jnp.float32), reverse_weight,
+            blank_skip_threshold, max_hyp_len, encoder_lens, cat,
+            ctx_tables)
+    else:
+        out = _fused_rescoring_program(
+            params, cfg, jnp.asarray(feats), jnp.asarray(feats_lens),
+            beam_size, jnp.asarray(ctc_weight, jnp.float32), reverse_weight,
+            blank_skip_threshold, max_hyp_len, decoding_chunk_size,
+            blank_penalty, cat, ctx_tables)
     from reverb_tpu.utils.common import fetch_np
     (prefixes, plens, ctc_scores, times, best, total, conf, tok_logp,
      best_times) = fetch_np(*out)
@@ -196,12 +244,13 @@ def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
 
     fused=True routes the flagship mode set (methods ⊆
     {ctc_prefix_beam_search, attention_rescoring}) through ONE device
-    program with the nbest wired beam→rescorer on device; max_hyp_len
-    bounds its per-hyp token buffer (overflow falls back to the generic
-    path).  Off by default: measured on v5e the multi-dispatch path is
-    ~10-15% faster (XLA schedules the separate programs better and
-    per-dispatch overhead is small — PARITY.md); the fused program exists
-    for dispatch-latency-bound deployments."""
+    program with the nbest wired beam→rescorer on device; fused='post'
+    keeps the encoder its own program and fuses only beam+rescoring
+    (removes the pack-before-rescore host serialization while letting XLA
+    schedule the encoder standalone); max_hyp_len bounds the per-hyp token
+    buffer (overflow falls back to the generic path).  fused=True measured
+    ~10-15% SLOWER than multi-dispatch on v5e (PARITY.md), kept for
+    dispatch-latency-bound deployments."""
     for m in methods:
         assert m in ALL_MODES, m
     cat = jnp.asarray(cat_embs) if cat_embs is not None else None
@@ -216,7 +265,8 @@ def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
             params, cfg, methods, feats, feats_lens, beam_size, ctc_weight,
             reverse_weight, blank_skip_threshold, max_hyp_len,
             decoding_chunk_size, blank_penalty, cat,
-            _graph_tables(context_graph, cfg.vocab_size))
+            _graph_tables(context_graph, cfg.vocab_size),
+            post_only=(fused == 'post'))
         if fused is not None:
             return fused
     # Modes that walk the full distribution (time-sync joint search, WFST

@@ -74,12 +74,14 @@ def _assert_same(got, ref):
                                            rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize('fused_mode', [True, 'post'])
 @pytest.mark.parametrize('blank_skip,rev_w', [(0.0, 0.0), (0.6, 0.3)])
-def test_fused_matches_generic(monkeypatch, blank_skip, rev_w):
+def test_fused_matches_generic(monkeypatch, blank_skip, rev_w, fused_mode):
     cfg, params, feats, feats_lens = _setup()
     kw = dict(beam_size=4, ctc_weight=0.4, reverse_weight=rev_w,
               blank_skip_threshold=blank_skip)
-    got = api.decode(params, cfg, MODES, feats, feats_lens, fused=True, **kw)
+    got = api.decode(params, cfg, MODES, feats, feats_lens, fused=fused_mode,
+                     **kw)
     ref = _generic(monkeypatch, params, cfg, MODES, feats, feats_lens, **kw)
     _assert_same(got, ref)
 
