@@ -120,9 +120,11 @@ def main():
         from reverb_tpu.ops.quant import quantize_params_int8
         params = quantize_params_int8(params)
 
-    _fused_env = os.environ.get('REVERB_BENCH_FUSED', '0')
-    # '1' → fully fused single program; 'post' → beam+rescore fused, encoder
-    # its own program; else the multi-dispatch default
+    _fused_env = os.environ.get('REVERB_BENCH_FUSED', 'post')
+    # 'post' (default, = decode()'s shipping default) → beam+rescore fused,
+    # encoder its own program (1721x vs 1644x unfused on v5e, tighter
+    # spread); '1' → fully fused single program (measured slower); '0' →
+    # fully generic multi-dispatch
     use_fused = {'1': True, 'post': 'post'}.get(_fused_env, False)
 
     def pipeline(wave):

@@ -235,7 +235,7 @@ def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
            context_graph=None,
            blank_skip_threshold: float = 0.0,
            max_hyp_len: int = 256,
-           fused: bool = False,
+           fused='post',
            hlg_graph=None,
            hlg_lm_scale: float = 0.0,
            hlg_decoder_scale: float = 0.0,
@@ -248,9 +248,13 @@ def decode(params, cfg: ModelConfig, methods: List[str], feats, feats_lens,
     keeps the encoder its own program and fuses only beam+rescoring
     (removes the pack-before-rescore host serialization while letting XLA
     schedule the encoder standalone); max_hyp_len bounds the per-hyp token
-    buffer (overflow falls back to the generic path).  fused=True measured
-    ~10-15% SLOWER than multi-dispatch on v5e (PARITY.md), kept for
-    dispatch-latency-bound deployments."""
+    buffer (overflow falls back to the generic path).  fused='post' is the
+    DEFAULT: measured 1721x vs 1644x unfused on v5e (+4.7%, and min/median
+    run spread tightens 93%→98% — the unfused path serializes a ~65-97 ms
+    host fetch between beam and rescore).  fused=True (encoder fused in
+    too) measured ~10-15% SLOWER than multi-dispatch on v5e (PARITY.md),
+    kept for dispatch-latency-bound deployments; fused=False forces the
+    fully generic multi-dispatch path."""
     for m in methods:
         assert m in ALL_MODES, m
     cat = jnp.asarray(cat_embs) if cat_embs is not None else None
