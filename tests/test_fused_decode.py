@@ -107,6 +107,19 @@ def test_fused_overflow_falls_back(monkeypatch):
     _assert_same(got, ref)
 
 
+def test_fused_post_matches_generic_int8(monkeypatch):
+    """int8-PTQ params through the default fused='post' path must equal the
+    generic multi-dispatch path on the same quantized params (the bench's
+    REVERB_BENCH_INT8 run now rides the fused default)."""
+    from reverb_tpu.ops.quant import quantize_params_int8
+    cfg, params, feats, feats_lens = _setup()
+    qp = quantize_params_int8(params)
+    kw = dict(beam_size=4, ctc_weight=0.4, reverse_weight=0.3)
+    got = api.decode(qp, cfg, MODES, feats, feats_lens, fused='post', **kw)
+    ref = _generic(monkeypatch, qp, cfg, MODES, feats, feats_lens, **kw)
+    _assert_same(got, ref)
+
+
 def test_fused_rescoring_only_mode():
     cfg, params, feats, feats_lens = _setup()
     got = api.decode(params, cfg, ['attention_rescoring'], feats, feats_lens,
