@@ -184,6 +184,13 @@ def rel_pos_mha(p, query, key, value, mask, pos_emb, h: int,
         ctx = _fa.rel_pos_flash_attention(q, k, v, pos, p['pos_bias_u'],
                                           p['pos_bias_v'], kv_lens,
                                           rate=rate, rng=rng)
+        # The Pallas custom call is not a dot, so the 'dots' remat policy
+        # would not save its output and the backward replays the whole
+        # forward kernel (measured: 16.5 ms/step of rematted_computation +
+        # jvp replays at B=48 flagship).  Tag it saveable ('attn_out' is in
+        # the dots save list next to 'ln_stats').
+        from jax.ad_checkpoint import checkpoint_name
+        ctx = checkpoint_name(ctx, 'attn_out')
         out = linear(p['linear_out'], _merge_heads(ctx))
         return out, new_cache
 

@@ -57,7 +57,12 @@ def remat_policy(name: str):
     if name == 'dots':
         return jax.checkpoint_policies.save_from_both_policies(
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            jax.checkpoint_policies.save_only_these_names('ln_stats'))
+            jax.checkpoint_policies.save_only_these_names(
+                'ln_stats',
+                # flash-attention context (attention.py): a Pallas custom
+                # call is not a dot — without this the backward replays the
+                # whole fwd kernel (~16.5 ms/step at B=48 flagship)
+                'attn_out'))
     raise ValueError(f'unknown remat_policy {name!r} (full|dots)')
 
 
@@ -92,6 +97,20 @@ def linear(p, x):
 
 
 def layer_norm(p, x, eps: float = 1e-5):
+    # Pallas fused LN (ops/layer_norm.py) — OPT-IN (REVERB_TPU_PALLAS_LN=1),
+    # measured NON-WIN on the flagship train step: 281.7 → 295.3 ms/step
+    # (B=48, v5e).  The xplane attributed ~42 ms/step to LN-stat
+    # convert_reduce fusions, but those fusions co-execute neighboring
+    # elementwise work; a kernel boundary un-fuses it, so the dedicated LN
+    # pass costs more than it saves.  Kept for LN-dominated callers and as
+    # the recorded experiment.  Same numerics (one-pass E[x²]−E[x]² f32
+    # stats, cast-before-affine).
+    import os
+    if os.environ.get('REVERB_TPU_PALLAS_LN', '0') == '1':
+        from reverb_tpu.ops import use_pallas_enabled
+        from reverb_tpu.ops import layer_norm as _ln
+        if use_pallas_enabled() and _ln.eligible(x):
+            return _ln.fused_layer_norm(x, p['weight'], p['bias'], eps)
     # one-pass f32 statistics (E[x²]−E[x]²): halves the HBM reads of the
     # mean-then-var formulation and keeps bf16 activations accurate
     from jax.ad_checkpoint import checkpoint_name

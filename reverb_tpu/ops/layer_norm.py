@@ -1,0 +1,236 @@
+"""Fused LayerNorm (forward + custom-VJP backward) as Pallas TPU kernels.
+
+Why: the XLA lowering of the (B,T,C) layer norms in the conformer stack
+runs the f32 statistics reduction as separate `convert_reduce` fusions at
+~18-37 GB/s — measured 25.3 ms forward + 16.4 ms backward-stats per
+flagship train step (B=48x512, 18 layers x 5 LNs, xplane r4) out of a
+281 ms step, ~15x off the HBM roofline for the bytes actually needed.
+One Pallas pass per direction reads each row once in VMEM, computes the
+f32 statistics inline, and (backward) accumulates dgamma/dbeta across the
+sequential grid without materializing per-row temporaries in HBM.
+
+Semantics match models/modules.layer_norm exactly (one-pass E[x^2]-E[x]^2
+f32 statistics, normalized value cast to x.dtype BEFORE the gamma/beta
+affine — reference transformer/encoder_layer.py LayerNorm numerics):
+    xf   = x.astype(f32)
+    mean = mean(xf); var = max(mean(xf^2) - mean^2, 0)
+    y    = ((xf - mean) * rsqrt(var+eps)).astype(x.dtype) * w + b
+Backward recomputes the row statistics in VMEM (free — x is already
+loaded) instead of saving them, so the residual set is just (x, w).
+
+Like the other Pallas ops this falls back to the XLA formulation when a
+>1-device pallas mesh is registered that the batch does not divide
+(ops/pallas_mesh.py), and shard_maps itself over the mesh's data axes when
+it does; on CPU it runs in interpret mode (same code path as the tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# rows per grid step: multiple of every min sublane tile (f32 8 / bf16 16)
+_BLOCK_ROWS = 256
+# single-block VMEM budget for (x, g, y) f32 working copies
+_MAX_COLS = 8192
+
+
+def eligible(x) -> bool:
+    """Pallas LN handles (..., C) with lane-aligned C; anything else (or a
+    mesh the batch can't shard over) uses the XLA path."""
+    if x.ndim < 2:
+        return False
+    C = x.shape[-1]
+    if C % 128 or C > _MAX_COLS:
+        return False
+    if x.dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    return _mesh_plan(int(x.shape[0])) is not False
+
+
+def _mesh_plan(B: int):
+    """None → no mesh (plain single-device launch); False → fall back to
+    XLA (mesh present but unshardable); else (mesh, spec) to shard_map
+    the kernel over the mesh's data axes."""
+    from reverb_tpu.ops.pallas_mesh import (axis_size, get_pallas_mesh,
+                                            spec_entry)
+    reg = get_pallas_mesh()
+    if reg is None:
+        return None
+    mesh, da, _ = reg
+    d_sz = axis_size(mesh, da)
+    if d_sz <= 1:
+        return None
+    if B % d_sz:
+        return False
+    return mesh, spec_entry(mesh, da)
+
+
+def _row_mask(rows_left: int | jax.Array, R: int, C: int):
+    rid = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    return rid < rows_left
+
+
+def _fwd_kernel(x_ref, w_ref, b_ref, y_ref, *, eps: float):
+    xf = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=1, keepdims=True) - mean * mean,
+                      0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = ((xf - mean) * rstd).astype(x_ref.dtype)
+    y_ref[:] = (xhat * w_ref[:].astype(x_ref.dtype)
+                + b_ref[:].astype(x_ref.dtype))
+
+
+def _bwd_kernel(n_ref, x_ref, w_ref, g_ref, dx_ref, dw_ref, db_ref,
+                *, eps: float):
+    i = pl.program_id(0)
+    R, C = x_ref.shape
+    xf = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=1, keepdims=True) - mean * mean,
+                      0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    # rows past the logical end of the (padded) last block read undefined
+    # data (NaN under interpret) — zero them so 0·NaN can't leak into the
+    # cross-row dgamma/dbeta sums
+    ok = _row_mask(n_ref[0] - i * R, R, C)
+    xhat = jnp.where(ok, (xf - mean) * rstd, 0.0)
+    gf = jnp.where(ok, g_ref[:].astype(jnp.float32), 0.0)
+
+    # y = cast(xhat)*w + b  →  d xhat = g*w (the cast is grad-identity)
+    gw = gf * w_ref[:].astype(jnp.float32)
+    m1 = jnp.mean(gw, axis=1, keepdims=True)
+    m2 = jnp.mean(gw * xhat, axis=1, keepdims=True)
+    dx_ref[:] = (rstd * (gw - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+    # dgamma/dbeta accumulate across the sequential grid: same (1,C) block
+    # every step, initialized on the first
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+    # match the XLA grad: dgamma = sum g * cast(xhat) with the bf16 cast
+    dw_ref[:] += jnp.sum(gf * xhat.astype(x_ref.dtype).astype(jnp.float32),
+                         axis=0, keepdims=True)
+    db_ref[:] += jnp.sum(gf, axis=0, keepdims=True)
+
+
+def _launch_fwd(x2, w, b, eps: float, interpret: bool):
+    N, C = x2.shape
+    grid = (pl.cdiv(N, _BLOCK_ROWS),)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((N, C), x2.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BLOCK_ROWS, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BLOCK_ROWS, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2, w.reshape(1, C), b.reshape(1, C))
+
+
+def _launch_bwd(x2, w, g2, eps: float, interpret: bool):
+    N, C = x2.shape
+    grid = (pl.cdiv(N, _BLOCK_ROWS),)
+    n_rows = jnp.array([N], jnp.int32)
+    dx, dw, db = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps),
+        out_shape=(jax.ShapeDtypeStruct((N, C), x2.dtype),
+                   jax.ShapeDtypeStruct((1, C), jnp.float32),
+                   jax.ShapeDtypeStruct((1, C), jnp.float32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BLOCK_ROWS, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_ROWS, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_BLOCK_ROWS, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(n_rows, x2, w.reshape(1, C), g2)
+    return dx, dw.reshape(C), db.reshape(C)
+
+
+def _run(x, w, b, eps: float):
+    interpret = jax.default_backend() != 'tpu'
+    shape = x.shape
+    C = shape[-1]
+    x2 = x.reshape(-1, C)
+    plan = _mesh_plan(int(shape[0]))
+    if plan in (None, False):        # False is pre-filtered by eligible()
+        return _launch_fwd(x2, w, b, eps, interpret).reshape(shape)
+
+    mesh, dspec = plan
+    from jax.sharding import PartitionSpec as P
+
+    def fn(xs, ws, bs):
+        return _launch_fwd(xs.reshape(-1, C), ws, bs, eps,
+                           interpret).reshape(xs.shape)
+
+    return jax.shard_map(fn, mesh=mesh,
+                         in_specs=(P(dspec), P(None), P(None)),
+                         out_specs=P(dspec))(x, w, b)
+
+
+def _run_bwd(x, w, g, eps: float):
+    interpret = jax.default_backend() != 'tpu'
+    shape = x.shape
+    C = shape[-1]
+    plan = _mesh_plan(int(shape[0]))
+    if plan in (None, False):
+        dx, dw, db = _launch_bwd(x.reshape(-1, C), w, g.reshape(-1, C), eps,
+                                 interpret)
+        return dx.reshape(shape), dw, db
+
+    mesh, dspec = plan
+    from jax.sharding import PartitionSpec as P
+
+    def fn(xs, ws, gs):
+        dx, dw, db = _launch_bwd(xs.reshape(-1, C), ws,
+                                 gs.reshape(-1, C), eps, interpret)
+        # partial dgamma/dbeta per shard → reduce over the data axes
+        axes = tuple(a for a in (dspec if isinstance(dspec, tuple)
+                                 else (dspec,)) if a)
+        if axes:
+            dw = jax.lax.psum(dw, axes)
+            db = jax.lax.psum(db, axes)
+        return dx.reshape(xs.shape), dw, db
+
+    return jax.shard_map(fn, mesh=mesh,
+                         in_specs=(P(dspec), P(None), P(dspec)),
+                         out_specs=(P(dspec), P(None), P(None)))(x, w, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_layer_norm(x, w, b, eps: float = 1e-5):
+    return _run(x, w, b, eps)
+
+
+def _fln_fwd(x, w, b, eps):
+    return _run(x, w, b, eps), (x, w)
+
+
+def _fln_bwd(eps, res, g):
+    x, w = res
+    dx, dw, db = _run_bwd(x, w, g, eps)
+    return dx, dw.astype(w.dtype), db.astype(w.dtype)
+
+
+fused_layer_norm.defvjp(_fln_fwd, _fln_bwd)

@@ -158,3 +158,111 @@ def test_kernel_probes_detect_failure_inside_trace(monkeypatch):
     jax.jit(probe_in_trace)(jnp.ones(2))
     assert probed['flash'] is False
     assert probed['beam'] is False
+
+
+# ---------------- fused LayerNorm (ops/layer_norm.py) ----------------
+
+def _ln_xla(p, x, eps):
+    """The modules.layer_norm XLA formulation, pallas-free."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True)
+                      - mean * mean, 0.0)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return y * p['weight'].astype(x.dtype) + p['bias'].astype(x.dtype)
+
+
+@pytest.mark.parametrize('shape,eps', [((3, 40, 128), 1e-5),
+                                       ((2, 7, 256), 1e-12),
+                                       ((5, 128), 1e-5)])
+def test_fused_ln_forward_matches_xla(shape, eps):
+    from reverb_tpu.ops.layer_norm import eligible, fused_layer_norm
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(*shape), jnp.float32)
+    p = {'weight': jnp.asarray(rng.randn(shape[-1]), jnp.float32),
+         'bias': jnp.asarray(rng.randn(shape[-1]), jnp.float32)}
+    assert eligible(x)
+    got = fused_layer_norm(x, p['weight'], p['bias'], eps)
+    ref = _ln_xla(p, x, eps)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_ln_forward_bf16():
+    from reverb_tpu.ops.layer_norm import fused_layer_norm
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(4, 33, 128), jnp.bfloat16)   # odd rows: 132
+    p = {'weight': jnp.asarray(rng.randn(128), jnp.float32),
+         'bias': jnp.asarray(rng.randn(128), jnp.float32)}
+    got = fused_layer_norm(x, p['weight'], p['bias'], 1e-5)
+    ref = _ln_xla(p, x, 1e-5)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize('dtype', [jnp.float32, jnp.bfloat16])
+def test_fused_ln_grads_match_xla(dtype):
+    """dx/dgamma/dbeta of the Pallas custom VJP vs autodiff of the XLA
+    formulation — including the ragged last row-block's masking."""
+    from reverb_tpu.ops.layer_norm import fused_layer_norm
+    rng = np.random.RandomState(2)
+    B, T, C = 3, 37, 256                       # 111 rows: ragged tail
+    x = jnp.asarray(rng.randn(B, T, C), dtype)
+    w = jnp.asarray(rng.randn(C), jnp.float32)
+    b = jnp.asarray(rng.randn(C), jnp.float32)
+    g = jnp.asarray(rng.randn(B, T, C), dtype)
+
+    def f_pallas(x, w, b):
+        return jnp.vdot(fused_layer_norm(x, w, b, 1e-5).astype(jnp.float32),
+                        g.astype(jnp.float32))
+
+    def f_xla(x, w, b):
+        return jnp.vdot(_ln_xla({'weight': w, 'bias': b}, x,
+                                1e-5).astype(jnp.float32),
+                        g.astype(jnp.float32))
+
+    gp = jax.grad(f_pallas, argnums=(0, 1, 2))(x, w, b)
+    if dtype == jnp.float32:
+        gr = jax.grad(f_xla, argnums=(0, 1, 2))(x, w, b)
+        tol = dict(rtol=1e-5, atol=1e-5)
+    else:
+        # bf16: the XLA path's dgamma/dbeta accumulate in bf16 (quantized);
+        # the kernel accumulates in f32 — compare both against the f32
+        # ground truth instead, where the kernel must be at least as close
+        gr = jax.grad(f_xla, argnums=(0, 1, 2))(
+            x.astype(jnp.float32), w, b)
+        tol = dict(rtol=3e-2, atol=5e-2)
+    for got, ref in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), **tol)
+
+
+def test_fused_ln_ineligible_shapes():
+    from reverb_tpu.ops.layer_norm import eligible
+    assert not eligible(jnp.zeros((4, 100)))        # C not lane-aligned
+    assert not eligible(jnp.zeros((4, 16384)))      # C over VMEM budget
+    assert not eligible(jnp.zeros((8,)))            # 1-D
+    assert not eligible(jnp.zeros((4, 128), jnp.int32))
+
+
+def test_modules_layer_norm_uses_fused_when_forced(monkeypatch):
+    """modules.layer_norm routes through the Pallas kernel when BOTH the
+    opt-in env (REVERB_TPU_PALLAS_LN — measured non-win on the flagship
+    train step, so off by default) and the pallas toggle force it on, and
+    matches the XLA path exactly."""
+    from reverb_tpu.models.modules import layer_norm
+    from reverb_tpu.ops import set_use_pallas
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 19, 128), jnp.float32)
+    p = {'weight': jnp.asarray(rng.randn(128), jnp.float32),
+         'bias': jnp.asarray(rng.randn(128), jnp.float32)}
+    ref = layer_norm(p, x)
+    monkeypatch.setenv('REVERB_TPU_PALLAS_LN', '1')
+    set_use_pallas(True)
+    try:
+        got = layer_norm(p, x)
+    finally:
+        set_use_pallas(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)

@@ -155,6 +155,13 @@ def _trace_train(logdir: str):
                                           make_train_step, train_prng_key)
     conf = reverb_large()
     conf['dtype'] = 'bf16'
+    # REVERB_PROFILE_REMAT=dots|full traces the remat config bench_train_mfu
+    # times (its default is dots at B=48)
+    rp = os.environ.get('REVERB_PROFILE_REMAT')
+    if rp:
+        conf['encoder_conf'] = dict(conf['encoder_conf'],
+                                    gradient_checkpointing=True,
+                                    remat_policy=rp)
     cfg = ModelConfig.from_config(conf)
     tc = TrainConfig.from_config(dict(conf, grad_clip=50.0))
     params = init_params(jax.random.PRNGKey(0), cfg)
