@@ -52,21 +52,31 @@ class StreamingASR:
         self.cat = jnp.array([verbatimicity, 1 - verbatimicity], jnp.float32)
         self.fbank_cfg = reverb_model.fbank
 
-        g = self.params['encoder'].get('global_cmvn')
-        cmvn = (g['mean'], g['istd']) if g else None
-        self._step = jax.jit(
-            lambda x, off, a, c: encoder_forward_chunk(
-                self.params['encoder'], x, off, ecfg, a, c,
-                cat_embs=self.cat, cmvn=cmvn))
+        # Params MUST be jit ARGUMENTS, not closures: a closed-over pytree
+        # is embedded into the HLO as literal constants, so the compile
+        # payload carries all ~1.4 GB of flagship weights — XLA
+        # constant-folds whole weight transposes at compile time and a
+        # remote-compile link (axon) breaks its pipe after ~18 min shipping
+        # the module.  As arguments they are runtime parameters and the
+        # chunk program compiles in seconds.
+        has_cmvn = self.params['encoder'].get('global_cmvn') is not None
+
+        def _step_fn(p, cat, x, off, a, c):
+            enc_p = p['encoder']
+            g = enc_p.get('global_cmvn') if has_cmvn else None
+            cmvn = (g['mean'], g['istd']) if g else None
+            return encoder_forward_chunk(enc_p, x, off, ecfg, a, c,
+                                         cat_embs=cat, cmvn=cmvn)
+
+        blank = self.cfg.blank_id
+        self._step = jax.jit(_step_fn)
         self._ctc = jax.jit(
-            lambda enc: ctc_mod.ctc_logprobs(self.params['ctc'], enc,
-                                             0.0, self.cfg.blank_id))
+            lambda p, enc: ctc_mod.ctc_logprobs(p, enc, 0.0, blank))
         # per-hop CTC log-probs + argmax for the incremental decoders (one
         # compiled program per chunk shape; top1 is the only host fetch)
         self._ctc_hop = jax.jit(
-            lambda enc: (lambda lp: (lp, jnp.argmax(lp, axis=-1)))(
-                ctc_mod.ctc_logprobs(self.params['ctc'], enc, 0.0,
-                                     self.cfg.blank_id)))
+            lambda p, enc: (lambda lp: (lp, jnp.argmax(lp, axis=-1)))(
+                ctc_mod.ctc_logprobs(p, enc, 0.0, blank)))
         self.beam_size = beam_size
         self.reset()
 
@@ -113,13 +123,13 @@ class StreamingASR:
             s = self._consumed_frames
             win = self._feat_buf[s:s + self.window]
             ys, self.att_cache, self.cnn_cache = self._step(
-                jnp.asarray(win[None]), jnp.asarray(self._offset),
-                self.att_cache, self.cnn_cache)
+                self.params, self.cat, jnp.asarray(win[None]),
+                jnp.asarray(self._offset), self.att_cache, self.cnn_cache)
             self._enc_chunks.append(np.asarray(ys[0]))
             self._offset += ys.shape[1]
             self._consumed_frames = s + self.stride
             # advance the incremental decoders over just this hop's frames
-            lp, top1 = self._ctc_hop(ys)
+            lp, top1 = self._ctc_hop(self.params['ctc'], ys)
             self._inc_beam.accept(lp[0])
             self._inc_greedy.accept(top1[0])
 
@@ -153,7 +163,7 @@ class StreamingASR:
         enc = jnp.asarray(np.concatenate(self._enc_chunks)[None])
         lens = jnp.array([enc.shape[1]], jnp.int32)
         if from_scratch:
-            ctc_probs = self._ctc(enc)
+            ctc_probs = self._ctc(self.params['ctc'], enc)
             prefix = ctc_prefix_beam_search(ctc_probs, lens,
                                             beam_size, self.cfg.blank_id)
             if mode == 'ctc_prefix_beam_search':

@@ -50,7 +50,7 @@ def test_incremental_decode_equals_from_scratch(tmp_path):
         # argmax, beam state, or global frame offsets) shows up mid-stream
         enc = jnp.asarray(np.concatenate(stream._enc_chunks)[None])
         lens = jnp.array([enc.shape[1]], jnp.int32)
-        ctc_probs = stream._ctc(enc)
+        ctc_probs = stream._ctc(stream.params["ctc"], enc)
         ref_g = ctc_greedy_search(ctc_probs, lens, stream.cfg.blank_id)[0]
         inc_g = stream.decode('ctc_greedy_search')
         assert inc_g.tokens == ref_g.tokens
@@ -69,7 +69,7 @@ def test_incremental_decode_equals_from_scratch(tmp_path):
     from reverb_tpu.decode.rescoring import attention_rescoring
     enc = jnp.asarray(np.concatenate(stream._enc_chunks)[None])
     lens = jnp.array([enc.shape[1]], jnp.int32)
-    prefix = ctc_prefix_beam_search(stream._ctc(enc), lens, 4,
+    prefix = ctc_prefix_beam_search(stream._ctc(stream.params["ctc"], enc), lens, 4,
                                     stream.cfg.blank_id)
     ref = attention_rescoring(stream.params, stream.cfg, prefix, enc, lens,
                               0.1, 0.0, cat_embs=stream.cat)[0]
