@@ -89,33 +89,47 @@ def binarize(activity: np.ndarray, frame_sec: float, cfg: DiarizationConfig
 
 def agglomerative_cluster(embeddings: np.ndarray, threshold: float,
                           max_clusters: int = 8) -> np.ndarray:
-    """Average-linkage AHC on cosine distance (host-side, N is small)."""
+    """Average-linkage AHC on cosine distance (host-side).
+
+    Vectorized Lance-Williams: the cluster-level average-linkage similarity
+    S[a,b] = mean pairwise sim between members updates exactly as
+    S[a∪b, k] = (n_a·S[a,k] + n_b·S[b,k]) / (n_a + n_b), so each merge is
+    two numpy row ops instead of re-averaging member lists (the previous
+    python-loop formulation cost ~20 min at N≈370 on the 30-min diar bench;
+    this runs in milliseconds)."""
     n = len(embeddings)
     if n == 0:
         return np.zeros((0,), np.int32)
-    clusters = [[i] for i in range(n)]
-    sims = embeddings @ embeddings.T
-
-    def linkage(a, b):
-        return np.mean([sims[i, j] for i in a for j in b])
-
-    while len(clusters) > 1:
-        best = None
-        best_sim = -2.0
-        for i in range(len(clusters)):
-            for j in range(i + 1, len(clusters)):
-                s = linkage(clusters[i], clusters[j])
-                if s > best_sim:
-                    best_sim, best = s, (i, j)
-        if best_sim < 1.0 - threshold and len(clusters) <= max_clusters:
+    S = (embeddings @ embeddings.T).astype(np.float64)
+    np.fill_diagonal(S, -np.inf)
+    alive = np.ones(n, bool)
+    sizes = np.ones(n)
+    members: List[List[int]] = [[i] for i in range(n)]
+    n_alive = n
+    while n_alive > 1:
+        i, j = np.unravel_index(int(np.argmax(S)), S.shape)
+        best_sim = S[i, j]
+        if best_sim < 1.0 - threshold and n_alive <= max_clusters:
             break
-        i, j = best
-        clusters[i] = clusters[i] + clusters[j]
-        del clusters[j]
+        i, j = min(i, j), max(i, j)
+        na, nb = sizes[i], sizes[j]
+        row = (na * S[i, :] + nb * S[j, :]) / (na + nb)
+        S[i, :] = row
+        S[:, i] = row
+        S[i, i] = -np.inf
+        S[j, :] = -np.inf                 # retire j
+        S[:, j] = -np.inf
+        alive[j] = False
+        sizes[i] = na + nb
+        members[i] += members[j]
+        n_alive -= 1
     labels = np.zeros((n,), np.int32)
-    for ci, members in enumerate(clusters):
-        for m in members:
-            labels[m] = ci
+    ci = 0
+    for idx in range(n):
+        if alive[idx]:
+            for m in members[idx]:
+                labels[m] = ci
+            ci += 1
     return labels
 
 
@@ -186,15 +200,37 @@ class Diarizer:
                    frame_sec=pcfg.frame_stride / pcfg.sample_rate,
                    emb_feat_dim=emb_feat_dim)
 
+    # Static-shape tiling (TPU: every distinct batch shape is a separate XLA
+    # compile — over the remote link minutes each).  Window batches run as
+    # fixed 64-row tiles (shorter files bucket to the next power of two), so
+    # any audio length reuses the same compiled programs.
+    SEG_TILE = 64
+    EMB_TILE = 128
+
+    @staticmethod
+    def _tile_rows(n: int, cap: int) -> int:
+        if n >= cap:
+            return cap
+        t = 1
+        while t < n:
+            t *= 2
+        return t
+
     def __call__(self, wave: np.ndarray, sr: int = 16000) -> List[Segment]:
         cfg = self.cfg
         windows = sliding_windows(len(wave), sr, cfg)
         win_len = windows[0][1] - windows[0][0]
-        batch = np.zeros((len(windows), win_len), np.float32)
+        n_win = len(windows)
+        tile = self._tile_rows(n_win, self.SEG_TILE)
+        n_pad = -n_win % tile
+        batch = np.zeros((n_win + n_pad, win_len), np.float32)
         for i, (s, e) in enumerate(windows):
             chunk = wave[s:e]
             batch[i, :len(chunk)] = chunk
-        probs = np.asarray(self._seg_fn(self.seg_params, jnp.asarray(batch)))
+        parts = [np.asarray(self._seg_fn(self.seg_params,
+                                         jnp.asarray(batch[t:t + tile])))
+                 for t in range(0, len(batch), tile)]
+        probs = np.concatenate(parts)[:n_win]
         activity = np.asarray(powerset_to_multilabel(
             jnp.asarray(probs), self.seg_cfg.max_speakers,
             self.seg_cfg.max_simultaneous))            # (W, T', S)
@@ -222,14 +258,27 @@ class Diarizer:
                 f = np.zeros((2, self._emb_feat_dim), np.float32)
             feats_list.append(f)
             max_T = max(max_T, f.shape[0])
-        feats = np.zeros((len(feats_list), max_T, self._emb_feat_dim),
+        # bucket T to a power of two (≥64) and rows to fixed tiles: stats
+        # pooling is length-masked and conv padding is zeros either way, so
+        # bucketed padding is numerics-invariant while the compiled-shape
+        # set stays small and reusable across files
+        buck_T = 64
+        while buck_T < max_T:
+            buck_T *= 2
+        n_seg = len(feats_list)
+        tile = self._tile_rows(n_seg, self.EMB_TILE)
+        n_pad = -n_seg % tile
+        feats = np.zeros((n_seg + n_pad, buck_T, self._emb_feat_dim),
                          np.float32)
-        lens = np.zeros((len(feats_list),), np.int32)
+        lens = np.ones((n_seg + n_pad,), np.int32)
         for i, f in enumerate(feats_list):
             feats[i, :f.shape[0]] = f
             lens[i] = f.shape[0]
-        embs = np.asarray(self._emb_fn(self.emb_params, jnp.asarray(feats),
-                                       jnp.asarray(lens)))
+        embs = np.concatenate([
+            np.asarray(self._emb_fn(self.emb_params,
+                                    jnp.asarray(feats[t:t + tile]),
+                                    jnp.asarray(lens[t:t + tile])))
+            for t in range(0, len(feats), tile)])[:n_seg]
 
         labels = agglomerative_cluster(embs, cfg.clustering_threshold,
                                        cfg.max_speakers)

@@ -132,3 +132,108 @@ def test_segmentation_training_decreases_loss():
     l1, _ = segmentation_loss(trained, jnp.asarray(wave),
                               jnp.asarray(labels), SEG_CFG)
     assert float(l1) < float(l0)
+
+
+def _ahc_oracle(embeddings, threshold, max_clusters=8):
+    """Reference average-linkage AHC: literal re-averaging of member lists
+    (the pre-round-4 formulation) — oracle for the Lance-Williams rewrite."""
+    n = len(embeddings)
+    clusters = [[i] for i in range(n)]
+    sims = embeddings @ embeddings.T
+    while len(clusters) > 1:
+        best, best_sim = None, -2.0
+        for i in range(len(clusters)):
+            for j in range(i + 1, len(clusters)):
+                s = np.mean([sims[a, b] for a in clusters[i]
+                             for b in clusters[j]])
+                if s > best_sim:
+                    best_sim, best = s, (i, j)
+        if best_sim < 1.0 - threshold and len(clusters) <= max_clusters:
+            break
+        i, j = best
+        clusters[i] += clusters[j]
+        del clusters[j]
+    labels = np.zeros((n,), np.int32)
+    for ci, members in enumerate(clusters):
+        for m in members:
+            labels[m] = ci
+    return labels
+
+
+def test_ahc_matches_bruteforce_oracle():
+    rng = np.random.RandomState(0)
+    for trial, (n, thr) in enumerate([(12, 0.5), (25, 0.7), (40, 0.3)]):
+        centers = rng.randn(4, 8)
+        embs = centers[rng.randint(4, size=n)] + rng.randn(n, 8) * 0.3
+        embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+        got = agglomerative_cluster(embs, thr)
+        want = _ahc_oracle(embs, thr)
+        # same PARTITION (labels are arbitrary ids): co-membership equality
+        np.testing.assert_array_equal(got[:, None] == got[None, :],
+                                      want[:, None] == want[None, :],
+                                      err_msg=f'trial {trial}')
+
+
+def test_pipeline_tiling_invariance():
+    """Tiled static-shape batching (seg 64-row / emb 128-row tiles, bucketed
+    T) must not change pipeline output: run the same audio with tiny forced
+    tiles vs one big tile and compare segments exactly."""
+    seg_params = init_segmentation(jax.random.PRNGKey(0), SEG_CFG)
+    emb_params = init_embedding_model(jax.random.PRNGKey(1), EMB_CFG)
+    rng = np.random.RandomState(0)
+    sr = 16000
+    wave = (rng.randn(sr * 45) * 0.05).astype(np.float32)
+    wave[sr * 5:sr * 15] += np.sin(
+        2 * np.pi * 440 * np.arange(sr * 10) / sr).astype(np.float32) * 0.3
+    cfg = DiarizationConfig(onset=0.3, offset=0.25)
+    outs = []
+    for seg_tile, emb_tile in [(2, 2), (64, 128)]:
+        diar = Diarizer(seg_params, emb_params, SEG_CFG, EMB_CFG, cfg)
+        diar.SEG_TILE = seg_tile
+        diar.EMB_TILE = emb_tile
+        outs.append(diar(wave, sr))
+    a, b = outs
+    assert len(a) == len(b)
+    for sa, sb in zip(a, b):
+        assert sa.speaker == sb.speaker
+        assert abs(sa.start - sb.start) < 1e-6
+        assert abs(sa.end - sb.end) < 1e-6
+
+
+def test_embedding_training_separates_speakers():
+    """After brief cosine-softmax training, embeddings cluster by speaker
+    (random-init nets map everything to cosine≈1 — the measured failure the
+    trainer exists to fix)."""
+    from reverb_tpu.diar.train_embedding import train_embedding
+    rng = np.random.RandomState(0)
+    T, F, n_spk = 32, 80, 3
+
+    def spk_feats(s, n):
+        base = np.zeros((F,), np.float32)
+        base[10 + 20 * s:20 + 20 * s] = 4.0        # distinct band per spk
+        return (base[None, None, :]
+                + rng.randn(n, T, F).astype(np.float32) * 0.5)
+
+    def batches():
+        for _ in range(4):
+            ys = rng.randint(n_spk, size=12)
+            feats = np.concatenate([spk_feats(s, 1) for s in ys])
+            yield feats, np.full((12,), T), ys
+
+    params = init_embedding_model(jax.random.PRNGKey(2), EMB_CFG)
+    trained = train_embedding(params, n_spk, batches, EMB_CFG,
+                              lr=3e-3, max_epochs=10)
+    test_y = np.repeat(np.arange(n_spk), 6)
+    test_f = np.concatenate([spk_feats(s, 6) for s in range(n_spk)])
+    embs = np.asarray(embedding_forward(
+        trained, jnp.asarray(test_f), jnp.full((len(test_y),), T), EMB_CFG))
+    sims = embs @ embs.T
+    same = test_y[:, None] == test_y[None, :]
+    off = ~np.eye(len(test_y), dtype=bool)
+    within = sims[same & off].mean()
+    between = sims[~same].mean()
+    assert within > between + 0.2, (within, between)
+    labels = agglomerative_cluster(embs, threshold=1.0 - (within + between) / 2)
+    # clustering at the midpoint threshold recovers the speaker partition
+    np.testing.assert_array_equal(labels[:, None] == labels[None, :],
+                                  same)

@@ -19,7 +19,11 @@ the pipeline's RTTM through the assign rules.  Prints one JSON line.
 
 import json
 import os
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -131,12 +135,46 @@ def main():
     w0, l0 = next(iter(batches()))
     final_ce = float(segmentation_loss(seg_params, w0, l0, seg_cfg)[0])
 
+    # ---- brief embedding training: speaker-CE over fixed 2 s crops.  A
+    # random-init TDNN maps everything to nearly one direction (cosine ≈ 1)
+    # and AHC merges all speakers into one cluster (measured WDER 0.653 =
+    # chance at 3 speakers); the reference sidesteps this with downloaded
+    # wespeaker weights, which this environment cannot fetch.
+    from reverb_tpu.diar.train_embedding import train_embedding
+    from reverb_tpu.frontend.fbank import FbankConfig, fbank_numpy
+    crop_s = 2.0
+    crop = int(crop_s * SR)
+    fb = FbankConfig(sample_rate=SR, num_mel_bins=emb_cfg.feat_dim)
+
+    def emb_batches():
+        rng = np.random.RandomState(3)
+        longs = [seg for seg in train_oracle if seg[1] - seg[0] >= crop_s + .1]
+        picks = [longs[rng.randint(len(longs))] for _ in range(128)]
+        bs = 16
+        for i in range(0, len(picks), bs):
+            fs, ys = [], []
+            for (a, b, s) in picks[i:i + bs]:
+                p0 = int(rng.uniform(a, b - crop_s) * SR)
+                w = train_wave[p0:p0 + crop] * (1 << 15)
+                fs.append(fbank_numpy(w.astype(np.float32), fb))
+                ys.append(s)
+            feats = np.stack(fs)
+            yield (feats, np.full((len(fs),), feats.shape[1]), np.array(ys))
+
     emb_params = init_embedding_model(jax.random.PRNGKey(1), emb_cfg)
+    t0 = time.perf_counter()
+    emb_params = train_embedding(
+        emb_params, n_spk, emb_batches, emb_cfg,
+        max_epochs=int(os.environ.get('REVERB_DIAR_EMB_EPOCHS', '8')))
+    emb_train_s = time.perf_counter() - t0
+
     diar = Diarizer(seg_params, emb_params, seg_cfg, emb_cfg,
                     DiarizationConfig())
 
     # ---- timed pipeline run (includes host fbank/clustering: served path)
-    diar(wave[:int(60 * SR)], SR)        # warmup/compile
+    # warmup on a ≥64-window slice so the tiled static shapes (seg 64-row
+    # tiles, emb 128-row tiles) compile outside the timed region
+    diar(wave[:int(7 * 60 * SR)], SR)
     t0 = time.perf_counter()
     segs = diar(wave, SR)
     wall = time.perf_counter() - t0
@@ -168,6 +206,7 @@ def main():
         'wder': round(scores['wder'], 4), 'words': scores['total'],
         'n_segments': len(segs),
         'seg_train_s': round(train_s, 1),
+        'emb_train_s': round(emb_train_s, 1),
         'final_loss': round(final_ce, 4),
         'device': getattr(dev, 'device_kind', dev.platform),
     }))
