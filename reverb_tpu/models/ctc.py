@@ -8,6 +8,8 @@ one fused XLA while-loop, no host round-trips.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -96,20 +98,30 @@ def label_smoothing_loss(logits, target, lens, smoothing: float,
     Denominator = batch size (or token count when normalize_length).
     """
     B, L, V = logits.shape
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     confidence = 1.0 - smoothing
     low = smoothing / (V - 1)
     mask = target != ignore_id
     tgt = jnp.where(mask, target, 0)
-    true_dist = jnp.full((B, L, V), low, dtype=jnp.float32)
-    true_dist = jnp.put_along_axis(
-        true_dist, tgt[..., None], confidence, axis=-1, inplace=False)
-    # torch.nn.KLDivLoss convention: 0·log 0 = 0 (smoothing=0 must not NaN)
-    kl_terms = jnp.where(true_dist > 0,
-                         true_dist * (jnp.log(jnp.maximum(true_dist, 1e-30))
-                                      - logp), 0.0)
-    kl = jnp.sum(kl_terms, axis=-1)                                 # (B,L)
-    kl = jnp.where(mask, kl, 0.0)
+    # Closed form of Σ_v p_v·(log p_v − logp_v) for the smoothed one-hot p:
+    # the cross term needs only logp_tgt and Σ_v logp_v = Σ_v logits − V·lse,
+    # so no (B,L,V) f32 tensor is ever materialized (the explicit
+    # true_dist/logp/kl_terms formulation carried three of them — ~164 MB
+    # each at flagship B=64, the allocs that blocked larger train batches;
+    # reduces fuse the f32 cast of the bf16 logits).  torch.nn.KLDivLoss
+    # 0·log 0 = 0 convention: the entropy/low terms drop at smoothing=0
+    # (smoothing is a static python float, so this branches at trace time).
+    lf = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lf, axis=-1)                  # (B,L)
+    logit_tgt = jnp.take_along_axis(lf, tgt[..., None], axis=-1)[..., 0]
+    logp_tgt = logit_tgt - lse
+    ent = confidence * math.log(confidence) if confidence > 0 else 0.0
+    if low > 0:
+        ent += (V - 1) * low * math.log(low)
+        sum_logp = jnp.sum(lf, axis=-1) - V * lse
+        cross = confidence * logp_tgt + low * (sum_logp - logp_tgt)
+    else:
+        cross = confidence * logp_tgt
+    kl = jnp.where(mask, ent - cross, 0.0)                          # (B,L)
     denom = jnp.sum(mask) if normalize_length else B
     return jnp.sum(kl) / denom
 

@@ -229,3 +229,51 @@ def test_apply_non_blank_embedding_loss_and_decode():
                  batch['feats_lengths'], beam_size=3,
                  cat_embs=np.array([1.0, 0.0]))
     assert len(res['attention_rescoring']) == B
+
+
+def test_label_smoothing_closed_form_matches_explicit():
+    """The closed-form KL (no (B,L,V) f32 temps) must match the explicit
+    true_dist/log_softmax formulation in value AND gradient, including
+    smoothing=0 (KLDiv 0·log0=0 convention) and normalize_length."""
+    import jax
+
+    def explicit(logits, target, smoothing, V, ignore_id=-1,
+                 normalize_length=False):
+        B, L = target.shape
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        confidence = 1.0 - smoothing
+        low = smoothing / (V - 1)
+        mask = target != ignore_id
+        tgt = jnp.where(mask, target, 0)
+        true_dist = jnp.full((B, L, V), low, dtype=jnp.float32)
+        true_dist = jnp.put_along_axis(
+            true_dist, tgt[..., None], confidence, axis=-1, inplace=False)
+        kl_terms = jnp.where(
+            true_dist > 0,
+            true_dist * (jnp.log(jnp.maximum(true_dist, 1e-30)) - logp), 0.0)
+        kl = jnp.where(mask, jnp.sum(kl_terms, axis=-1), 0.0)
+        denom = jnp.sum(mask) if normalize_length else B
+        return jnp.sum(kl) / denom
+
+    rng = np.random.RandomState(0)
+    B, L, V = 3, 7, 50
+    target = np.array([[1, 2, 3, -1, -1, -1, -1],
+                       [4, 5, 6, 7, 8, 9, 10],
+                       [11, 12, -1, -1, -1, -1, -1]])
+    for smoothing in [0.1, 0.0]:
+        for norm_len in [False, True]:
+            for dtype in [np.float32, jnp.bfloat16]:
+                logits = jnp.asarray(
+                    rng.randn(B, L, V) * 3, dtype)
+                got, ggrad = jax.value_and_grad(
+                    lambda x: ctc_mod.label_smoothing_loss(
+                        x, jnp.asarray(target), None, smoothing, V, -1,
+                        norm_len))(logits)
+                want, wgrad = jax.value_and_grad(
+                    lambda x: explicit(x, jnp.asarray(target), smoothing, V,
+                                       -1, norm_len))(logits)
+                np.testing.assert_allclose(float(got), float(want),
+                                           rtol=2e-5, atol=1e-6)
+                np.testing.assert_allclose(
+                    np.asarray(ggrad, np.float32),
+                    np.asarray(wgrad, np.float32), rtol=2e-3, atol=2e-5)
