@@ -67,12 +67,15 @@ def _apply_emit(pfx, ts_s, ts_ns, em: StepEmit, K: int, L: int):
     return new_pfx, src_s, src_ns
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7))
-def _beam_hop(state: BeamState, pfx, ts_s, ts_ns, ctc_probs, K: int,
-              blank_id: int, L: int, offset):
+def _beam_hop_impl(state: BeamState, pfx, ts_s, ts_ns, ctc_probs, K: int,
+                   blank_id: int, L: int, offset):
     """One hop: scan `_step` over the chunk's frames, folding each emit into
     the materialized buffers.  ctc_probs: (T_hop, V) log-probs; offset: the
-    chunk's first GLOBAL frame index (timestamps stay stream-absolute)."""
+    chunk's first GLOBAL frame index (timestamps stay stream-absolute).
+
+    Unjitted so a multi-stream pool can vmap it over stacked stream states
+    (cli/stream_pool.py); single-stream callers use the jitted `_beam_hop`.
+    """
     T = ctc_probs.shape[0]
     topk_logp, topk_idx = jax.lax.top_k(ctc_probs.astype(jnp.float32), K)
     ts = offset + jnp.arange(T, dtype=jnp.int32)
@@ -92,6 +95,10 @@ def _beam_hop(state: BeamState, pfx, ts_s, ts_ns, ctc_probs, K: int,
         (topk_logp, topk_idx.astype(jnp.int32), ts, valid, blank_acc,
          has_skip))
     return state, pfx, ts_s, ts_ns, jnp.max(state.plen)
+
+
+_beam_hop = functools.partial(jax.jit, static_argnums=(5, 6, 7))(
+    _beam_hop_impl)
 
 
 @functools.partial(jax.jit, static_argnums=())

@@ -411,7 +411,10 @@ def encoder_forward_chunk(params, xs, offset, cfg: EncoderConfig,
 
     xs: (B, window_T, F) raw feature window (window_T yields chunk_t
         subsampled frames, e.g. (c-1)*4+7 for conv2d).
-    offset: traced int scalar — absolute SUBSAMPLED position of this chunk.
+    offset: traced int scalar — absolute SUBSAMPLED position of this chunk —
+        or an (B,) int vector of per-stream positions (a multi-stream pool
+        advances slots at different absolute positions through one batched
+        program; rel-pos tables and cache-validity masks go per-stream).
     att_cache: (L, B, H, cache_t, 2*dk); cnn_cache: (L, B, D, k-1) or None.
     Returns (ys (B, chunk_t, D), new_att_cache, new_cnn_cache).
     """
@@ -431,14 +434,17 @@ def encoder_forward_chunk(params, xs, offset, cfg: EncoderConfig,
     # position offset - cache_t + j (invalid slots are masked anyway)
     S = cache_t + chunk_t
     table = jnp.asarray(pe_table(cfg.output_size))
-    idx = jnp.clip(offset - cache_t + jnp.arange(S), 0, table.shape[0] - 1)
-    pos_emb = table[idx][None].astype(xs.dtype)
+    off_v = jnp.atleast_1d(jnp.asarray(offset))          # (1,) or (B,)
+    idx = jnp.clip(off_v[:, None] - cache_t + jnp.arange(S), 0,
+                   table.shape[0] - 1)
+    pos_emb = table[idx].astype(xs.dtype)                # (1|B, S, D)
 
     # key validity: last min(offset, cache_t) cache slots + whole chunk
-    valid_cache = jnp.minimum(offset, cache_t)
+    valid_cache = jnp.minimum(off_v, cache_t)            # (1|B,)
     slot = jnp.arange(S)
     key_mask = jnp.broadcast_to(
-        (slot >= cache_t - valid_cache)[None, None, :], (B, 1, S))
+        slot[None, None, :] >= cache_t - valid_cache[:, None, None],
+        (B, 1, S))
 
     layer_fn = (conformer_layer if cfg.encoder_type == 'conformer'
                 else transformer_layer)

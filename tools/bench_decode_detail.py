@@ -23,6 +23,11 @@ def _t(fn, iters=6):
 
 
 def main():
+    # persistent XLA compile cache: repeated runs (and the round-end driver's
+    # submetric subprocesses) reload compiled programs instead of re-stressing
+    # the remote compile service
+    from reverb_tpu.export.aot import maybe_enable_default_cache
+    maybe_enable_default_cache()
     import dataclasses
     from reverb_tpu.decode import prefix_beam as pb
     from reverb_tpu.decode import rescoring as rs

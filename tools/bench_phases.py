@@ -15,6 +15,11 @@ import numpy as np
 
 
 def main():
+    # persistent XLA compile cache: repeated runs (and the round-end driver's
+    # submetric subprocesses) reload compiled programs instead of re-stressing
+    # the remote compile service
+    from reverb_tpu.export.aot import maybe_enable_default_cache
+    maybe_enable_default_cache()
     import dataclasses
     from reverb_tpu.decode.api import encode_and_ctc, encode_and_ctc_topk
     from reverb_tpu.decode.prefix_beam import ctc_prefix_beam_search_topk

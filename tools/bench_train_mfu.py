@@ -25,6 +25,11 @@ PEAK_FLOPS = {'tpu v5 lite': 197e12, 'tpu v5e': 197e12,
 
 
 def main():
+    # persistent XLA compile cache: repeated runs (and the round-end driver's
+    # submetric subprocesses) reload compiled programs instead of re-stressing
+    # the remote compile service
+    from reverb_tpu.export.aot import maybe_enable_default_cache
+    maybe_enable_default_cache()
     import argparse
     ap = argparse.ArgumentParser()
     # B=48×512 frames with 'dots' remat is the measured v5e-16GB
