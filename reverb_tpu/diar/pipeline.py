@@ -96,7 +96,15 @@ def agglomerative_cluster(embeddings: np.ndarray, threshold: float,
     S[a∪b, k] = (n_a·S[a,k] + n_b·S[b,k]) / (n_a + n_b), so each merge is
     two numpy row ops instead of re-averaging member lists (the previous
     python-loop formulation cost ~20 min at N≈370 on the 30-min diar bench;
-    this runs in milliseconds)."""
+    this runs in milliseconds).
+
+    Tie-break note: the best pair comes from np.argmax's flat order over
+    ORIGINAL-index rows, while the pre-vectorization formulation scanned
+    cluster-list order; with exactly-tied or near-threshold similarities the
+    two can pick different (equally-valid) merges and produce a different
+    valid partition.  Accepted divergence — the brute-force oracle test
+    pins equality on non-degenerate inputs and documents ties separately
+    (test_diar.py::test_ahc_tied_similarities_valid_partition)."""
     n = len(embeddings)
     if n == 0:
         return np.zeros((0,), np.int32)

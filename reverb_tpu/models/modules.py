@@ -96,6 +96,9 @@ def linear(p, x):
     return y
 
 
+_PALLAS_LN = __import__('os').environ.get('REVERB_TPU_PALLAS_LN', '0') == '1'
+
+
 def layer_norm(p, x, eps: float = 1e-5):
     # Pallas fused LN (ops/layer_norm.py) — OPT-IN (REVERB_TPU_PALLAS_LN=1),
     # measured NON-WIN on the flagship train step: 281.7 → 295.3 ms/step
@@ -105,8 +108,10 @@ def layer_norm(p, x, eps: float = 1e-5):
     # pass costs more than it saves.  Kept for LN-dominated callers and as
     # the recorded experiment.  Same numerics (one-pass E[x²]−E[x]² f32
     # stats, cast-before-affine).
-    import os
-    if os.environ.get('REVERB_TPU_PALLAS_LN', '0') == '1':
+    # The flag is read ONCE at import: jit caches are not keyed on env vars,
+    # so a mid-process flip would leave compiled programs on the old path
+    # while new traces took the new one — a silently mixed configuration.
+    if _PALLAS_LN:
         from reverb_tpu.ops import use_pallas_enabled
         from reverb_tpu.ops import layer_norm as _ln
         if use_pallas_enabled() and _ln.eligible(x):

@@ -41,7 +41,14 @@ _MAX_COLS = 8192
 
 def eligible(x) -> bool:
     """Pallas LN handles (..., C) with lane-aligned C; anything else (or a
-    mesh the batch can't shard over) uses the XLA path."""
+    mesh the batch can't shard over) uses the XLA path.
+
+    Mesh sharding keys on the LEADING axis of the input as passed: the
+    kernel flattens all leading dims, so a (B,T,C) call shards over B while
+    the same tensor pre-flattened to (B*T,C) shards over B*T rows — both
+    correct, but the same logical tensor can take the sharded or the
+    single-device path depending on the caller's reshape.  Callers that
+    care should pass the un-flattened (B,T,C) form."""
     if x.ndim < 2:
         return False
     C = x.shape[-1]

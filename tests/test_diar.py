@@ -174,6 +174,33 @@ def test_ahc_matches_bruteforce_oracle():
                                       err_msg=f'trial {trial}')
 
 
+def test_ahc_tied_similarities_valid_partition():
+    """Documented accepted divergence (diar/pipeline.py tie-break note):
+    with exactly-tied similarities the vectorized Lance-Williams AHC may
+    pick a different merge than the cluster-list-order oracle.  The result
+    must still be a VALID partition: within-threshold cohesion — every
+    point shares a cluster with its nearest neighbor when that pair is
+    above the merge threshold — and identical cluster-size multiset when
+    the geometry forces it (duplicated points)."""
+    # degenerate: 3 identical groups of duplicated points — all
+    # within-group sims are exactly 1.0, all cross-group sims exactly tied
+    base = np.eye(3)
+    embs = np.repeat(base, 4, axis=0)          # 12 points, 3 exact groups
+    got = agglomerative_cluster(embs, threshold=0.5)
+    want = _ahc_oracle(embs, threshold=0.5)
+    # same partition despite ties here (duplicates force the grouping)
+    np.testing.assert_array_equal(got[:, None] == got[None, :],
+                                  want[:, None] == want[None, :])
+    # tied-but-distinct: two pairs with identical pairwise sims; either
+    # merge order is valid — assert a valid 2-cluster partition, not a
+    # specific labeling
+    v = np.array([[1, 0, 0], [1, 0, 0], [0, 1, 0], [0, 1, 0]], np.float64)
+    got = agglomerative_cluster(v, threshold=0.5)
+    sizes = sorted(np.bincount(got).tolist())
+    assert sizes == [2, 2]
+    assert got[0] == got[1] and got[2] == got[3] and got[0] != got[2]
+
+
 def test_pipeline_tiling_invariance():
     """Tiled static-shape batching (seg 64-row / emb 128-row tiles, bucketed
     T) must not change pipeline output: run the same audio with tiny forced

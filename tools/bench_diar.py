@@ -149,6 +149,8 @@ def main():
     def emb_batches():
         rng = np.random.RandomState(3)
         longs = [seg for seg in train_oracle if seg[1] - seg[0] >= crop_s + .1]
+        assert longs, (f'no training segment >= {crop_s + 0.1:.1f}s in the '
+                       'synthetic oracle; lower crop_s or lengthen segments')
         picks = [longs[rng.randint(len(longs))] for _ in range(128)]
         bs = 16
         for i in range(0, len(picks), bs):

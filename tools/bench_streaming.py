@@ -100,8 +100,10 @@ def bench_pool(m, dev, n_streams: int, seconds: float):
     audio = (rng.randn(n_streams, int(seconds * sr)) * 1000
              ).astype(np.float32)
 
-    # warmup: two hops (fbank + step + beam-hop compiles), then reset
-    for h in range(2):
+    # warmup: four hops — the per-hop fbank pad shape walks 16000→32000→
+    # steady over the first hops, and each distinct shape is a compile;
+    # cover the full set before timing, then reset
+    for h in range(4):
         for b in range(n_streams):
             pool.accept_waveform(b, audio[b, h * hop:(h + 1) * hop])
         pool.step()
