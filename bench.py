@@ -126,8 +126,36 @@ def main():
 
     use_int8 = os.environ.get('REVERB_BENCH_INT8', '0') == '1'
     if use_int8:
-        from reverb_tpu.ops.quant import quantize_params_int8
+        from reverb_tpu.models import ctc as ctc_mod
+        from reverb_tpu.models.asr_model import (forward_attention_decoder,
+                                                 forward_encoder)
+        from reverb_tpu.ops.quant import (apply_activation_scales,
+                                          calibrate_activation_scales,
+                                          quantize_params_int8)
         params = quantize_params_int8(params)
+        # static activation scales from one representative batch: kills the
+        # per-token absmax pass of dynamic quant (REVERB_BENCH_INT8_DYN=1
+        # benches the old dynamic path for comparison)
+        if os.environ.get('REVERB_BENCH_INT8_DYN', '0') != '1':
+            hyps = jnp.asarray(
+                rng.randint(1, cfg.vocab_size, (4 * BEAM, 48)), jnp.int32)
+            hyps_lens = jnp.full((4 * BEAM,), 48, jnp.int32)
+
+            def calib_run(p, f, l, c):
+                # plain model fns (no nested jit) — encoder + decoder sites
+                enc, mask = forward_encoder(
+                    p, cfg, f, l, cat_embs=c if cfg.lsl_enc else None)
+                ctc_mod.ctc_logprobs(p['ctc'], enc, 0.0, cfg.blank_id)
+                forward_attention_decoder(p, cfg, hyps, hyps_lens, enc[:1],
+                                          cfg.reverse_weight,
+                                          cat_embs=c if cfg.lsl_dec else None)
+
+            t = time.perf_counter()
+            scales = calibrate_activation_scales(
+                params, calib_run,
+                [(feats[:4], feats_lens[:4], jnp.asarray(cat))])
+            params = apply_activation_scales(params, scales)
+            warm['calibrate'] = round(time.perf_counter() - t, 1)
 
     _fused_env = os.environ.get('REVERB_BENCH_FUSED', 'post')
     # 'post' (default, = decode()'s shipping default) → beam+rescore fused,

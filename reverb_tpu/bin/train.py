@@ -37,6 +37,19 @@ def get_args(argv=None):
     p.add_argument('--steps_per_epoch', type=int, default=None)
     p.add_argument('--num_devices_model', type=int, default=1,
                    help='tensor-parallel mesh axis size')
+    p.add_argument('--num_devices_seq', type=int, default=1,
+                   help="sequence-parallel 'seq' mesh axis size (encoder "
+                        'time dim sharded for long-form batches)')
+    p.add_argument('--num_devices_expert', type=int, default=1,
+                   help="expert-parallel 'expert' mesh axis size (MoE FFN)")
+    p.add_argument('--num_devices_pipe', type=int, default=1,
+                   help="GPipe pipeline 'pipe' mesh axis size: the "
+                        'homogeneous middle conformer stack runs as '
+                        'N stages (sets encoder_conf.pipeline_stages '
+                        'unless the config pins it)')
+    p.add_argument('--pipeline_microbatches', type=int, default=None,
+                   help='GPipe microbatches (default '
+                        'encoder_conf.pipeline_microbatches or 2)')
     p.add_argument('--coordinator', default=None,
                    help='jax.distributed coordinator addr for multi-host')
     p.add_argument('--num_processes', type=int, default=1)
@@ -87,6 +100,14 @@ def main(argv=None):
     with open(args.config) as f:
         configs = yaml.safe_load(f)
     configs = override_config(configs, args.override_config)
+    if args.num_devices_pipe > 1:
+        # the GPipe region activates when encoder_conf.pipeline_stages
+        # matches the mesh's 'pipe' axis (models/encoder.py)
+        enc_conf = dict(configs.get('encoder_conf', {}))
+        enc_conf.setdefault('pipeline_stages', args.num_devices_pipe)
+        if args.pipeline_microbatches:
+            enc_conf['pipeline_microbatches'] = args.pipeline_microbatches
+        configs['encoder_conf'] = enc_conf
 
     tokenizer = init_tokenizer(configs)
     configs = check_modify_and_save_config(args, configs,
@@ -177,7 +198,10 @@ def main(argv=None):
         logging.info('resumed from %s at epoch %d step %d', args.checkpoint,
                      start_epoch, start_step)
 
-    mesh = make_mesh(model=args.num_devices_model)
+    mesh = make_mesh(model=args.num_devices_model,
+                     seq=args.num_devices_seq,
+                     expert=args.num_devices_expert,
+                     pipe=args.num_devices_pipe)
     # keep Pallas kernels (flash attention fwd/bwd) live under the mesh:
     # they shard_map themselves over ('data','model') when shapes divide
     from reverb_tpu.ops.pallas_mesh import set_pallas_mesh

@@ -68,6 +68,12 @@ class EncoderConfig:
     # larger batches fit at ~zero FLOP cost (the v5e train-throughput
     # sweet spot; see tools/bench_train_mfu.py --remat)
     remat_policy: str = 'dots'        # 'full' | 'dots'
+    # GPipe pipeline parallelism (parallel/pipeline.py): >1 routes the
+    # homogeneous middle conformer stack through an S-stage microbatched
+    # pipeline when the ambient mesh has a matching 'pipe' axis
+    # (reverb-train --num_devices_pipe); 0/1 = off
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 2
     # MoE FFN (positionwise_feed_forward.py:58-121): token-choice top-k
     positionwise_layer_type: str = 'position_wise_feed_forward'
     n_expert: int = 8
@@ -360,8 +366,56 @@ def encoder_forward(params, xs, xs_lens, cfg: EncoderConfig,
 
     layer_fn = (conformer_layer if cfg.encoder_type == 'conformer'
                 else transformer_layer)
+
+    # GPipe region: when the config asks for pipeline_stages S>1 AND the
+    # ambient mesh carries a matching 'pipe' axis, the maximal homogeneous
+    # (non-LSL) middle run whose length divides S goes through the
+    # microbatched pipeline (parallel/pipeline.py) — manual over only
+    # 'pipe', so DP/TP sharding of the batch/params composes in the same
+    # jitted step.  Remaining layers run sequentially as usual.
+    pipe_lo = pipe_hi = 0
+    if cfg.pipeline_stages > 1 and not return_layers:
+        am = jax.sharding.get_abstract_mesh()
+        sizes = dict(getattr(am, 'shape_tuple', ()) or ())
+        if sizes.get('pipe', 1) == cfg.pipeline_stages:
+            lo = 1 if cfg.num_langs > 0 else 0
+            hi = (cfg.num_blocks - 1 if cfg.num_langs > 0
+                  else cfg.num_blocks)
+            n = ((hi - lo) // cfg.pipeline_stages) * cfg.pipeline_stages
+            if n >= cfg.pipeline_stages and \
+                    xs.shape[0] % cfg.pipeline_microbatches == 0:
+                pipe_lo, pipe_hi = lo, lo + n
+
+    def _pipelined_region(xs):
+        from reverb_tpu.parallel.pipeline import (pipeline_apply,
+                                                  stack_layer_params)
+        mids = params['encoders'][pipe_lo:pipe_hi]
+        stacked = {'p': stack_layer_params(mids)}
+        if rngs is not None:
+            stacked['k'] = jnp.stack(
+                [rngs.next() for _ in range(pipe_hi - pipe_lo)])
+
+        def pl_fn(lp, h, mb_idx, cm, mp):
+            # per-layer key folded with the microbatch index: microbatches
+            # draw independent dropout masks, and the remat replay
+            # re-derives the same ones
+            r = (Rngs(jax.random.fold_in(lp['k'], mb_idx))
+                 if 'k' in lp else None)
+            out, _, _ = layer_fn(lp['p'], h, cm, pos_emb, mp, cfg,
+                                 cat_embs, r, is_lsl=False)
+            return out
+        return pipeline_apply(
+            pl_fn, stacked, xs, cfg.pipeline_microbatches,
+            mesh=jax.sharding.get_abstract_mesh(), axis='pipe',
+            remat=cfg.gradient_checkpointing,
+            batch_args=(chunk_masks, mask_pad), takes_mb_index=True)
+
     layer_outs = []
     for i, lp in enumerate(params['encoders']):
+        if pipe_hi > pipe_lo and i == pipe_lo:
+            xs = _pipelined_region(xs)
+        if pipe_lo <= i < pipe_hi:
+            continue
         if cfg.gradient_checkpointing and rngs is not None:
             # the per-layer dropout key is an explicit argument so the remat
             # replay re-derives the SAME keys (a closed-over stateful Rngs

@@ -77,9 +77,15 @@ def dropout(x, rate: float, rng):
 def linear(p, x):
     if 'weight_q8' in p:
         # int8 serving path (ops/quant.py): per-out-channel int8 weights ×
-        # dynamic per-token int8 activations on the MXU int8 pipe
-        from reverb_tpu.ops.quant import int8_matmul
-        y = int8_matmul(x, p['weight_q8'], p['w_scale'])
+        # int8 activations on the MXU int8 pipe — calibrated static scale
+        # when present (no per-token absmax pass), dynamic otherwise
+        from reverb_tpu.ops import quant as _q
+        _q.calib_record(p, x)
+        if 'a_scale' in p:
+            y = _q.int8_matmul_static(x, p['weight_q8'], p['w_scale'],
+                                      p['a_scale'])
+        else:
+            y = _q.int8_matmul(x, p['weight_q8'], p['w_scale'])
         if 'bias' in p and p['bias'] is not None:
             y = y + p['bias'].astype(y.dtype)
         return y
@@ -243,8 +249,10 @@ def conv1d(p, x, stride: int = 1, padding: int = 0, groups: int = 1):
 def conv2d(p, x, stride=(1, 1), padding=(0, 0)):
     """x: (B, C_in, H, W) → (B, C_out, H', W'). weight (C_out, C_in, kh, kw)."""
     if 'weight_q8' in p:
-        from reverb_tpu.ops.quant import int8_conv2d
-        y = int8_conv2d(x, p['weight_q8'], p['w_scale'], stride, padding)
+        from reverb_tpu.ops import quant as _q
+        _q.calib_record(p, x)
+        y = _q.int8_conv2d(x, p['weight_q8'], p['w_scale'], stride, padding,
+                           a_scale=p.get('a_scale'))
         if 'bias' in p and p['bias'] is not None:
             y = y + p['bias'][None, :, None, None].astype(y.dtype)
         return y

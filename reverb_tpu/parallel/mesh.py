@@ -37,18 +37,22 @@ from jax.sharding import AxisType, Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(data: int = -1, model: int = 1, seq: int = 1, expert: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
-    """Build a ('data','seq','expert','model') mesh; data=-1 → all remaining
-    devices.  Size-1 axes cost nothing; legacy ('data','model') callers are
-    unchanged."""
+              pipe: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """Build a ('pipe','data','seq','expert','model') mesh; data=-1 → all
+    remaining devices.  Size-1 axes cost nothing; legacy ('data','model')
+    callers are unchanged.  'pipe' leads: pipeline stages are the coarsest
+    split (stage-to-stage ppermute traffic is one activation per tick vs
+    per-op collectives on the inner axes)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % (model * seq * expert) == 0, (n, model, seq, expert)
-        data = n // (model * seq * expert)
-    assert data * model * seq * expert == n, (data, seq, expert, model, n)
-    arr = np.asarray(devices).reshape(data, seq, expert, model)
-    return Mesh(arr, ('data', 'seq', 'expert', 'model'))
+        assert n % (model * seq * expert * pipe) == 0, \
+            (n, model, seq, expert, pipe)
+        data = n // (model * seq * expert * pipe)
+    assert data * model * seq * expert * pipe == n, \
+        (pipe, data, seq, expert, model, n)
+    arr = np.asarray(devices).reshape(pipe, data, seq, expert, model)
+    return Mesh(arr, ('pipe', 'data', 'seq', 'expert', 'model'))
 
 
 def constrain(x, *axis_names):

@@ -44,15 +44,32 @@ def stack_layer_params(layer_params_list):
 
 
 def pipeline_apply(layer_fn: Callable, stacked_params, x, n_microbatches: int,
-                   mesh: Mesh, axis: str = 'pipe', remat: bool = True):
+                   mesh: Mesh, axis: str = 'pipe', remat: bool = True,
+                   batch_args: tuple = (), takes_mb_index: bool = False):
     """Run `x` through L stacked layers pipelined over `axis`.
 
-    layer_fn(params_of_one_layer, x) → x' must preserve x's shape.
+    layer_fn(params_of_one_layer, x, *mb_args) → x' must preserve x's shape
+    (with takes_mb_index=True the call is layer_fn(lp, x, mb_idx, *mb_args);
+    mb_idx is the microbatch index currently at this stage — fold it into
+    dropout keys so microbatches draw independent masks).
     stacked_params: leading axis L (divisible by the stage count S);
-    x: (B, ...) with B divisible by n_microbatches; static shapes only.
+    x: (B, ...) with B divisible by n_microbatches; batch_args: per-batch
+    tensors (e.g. attention masks, leading dim B) that follow their
+    microbatch through the pipeline.  Static shapes only.
+
+    The shard_map is manual over ONLY `axis` (axis_names={axis}), so the
+    call composes inside a jitted step over a larger
+    ('pipe','data',...,'model') mesh: batch/model dims stay under the
+    GSPMD partitioner (DP+PP+TP in one program).
 
     Returns layer_fn applied L times to x, numerically identical to the
     sequential loop (same order of layer application per microbatch).
+    Caveat (standard GPipe semantics): batch-statistics layers inside
+    layer_fn (train-mode batch norm, as in the conformer conv module's
+    default cnn_module_norm='batch_norm') compute their statistics over
+    one MICROBATCH (B/M rows), not the full batch — a train-time
+    distribution shift, not a numerical bug.  Exact equality with the
+    sequential loop holds for microbatch-independent layers (layer_norm).
     """
     S = mesh.shape[axis]
     M = n_microbatches
@@ -61,16 +78,19 @@ def pipeline_apply(layer_fn: Callable, stacked_params, x, n_microbatches: int,
     B = x.shape[0]
     assert B % M == 0, (B, M)
     micro = x.reshape((M, B // M) + x.shape[1:])
+    margs = tuple(a.reshape((M, B // M) + a.shape[1:]) for a in batch_args)
 
-    def stage_fn(params_stage, xb):
+    def stage_fn(params_stage, xb, args_mb, mb_idx):
         """Apply this stage's L/S layers sequentially."""
         def body(h, lp):
-            return layer_fn(lp, h), None
+            if takes_mb_index:
+                return layer_fn(lp, h, mb_idx, *args_mb), None
+            return layer_fn(lp, h, *args_mb), None
         step = jax.checkpoint(body) if remat else body
         out, _ = jax.lax.scan(step, xb, params_stage)
         return out
 
-    def per_device(params_stage, micro_all):
+    def per_device(params_stage, micro_all, args_all):
         # params_stage: (L/S, ...) — this device's layers (shard_map slice)
         # micro_all: (M, mb, ...) — microbatches (replicated over 'pipe')
         sidx = jax.lax.axis_index(axis)
@@ -84,13 +104,20 @@ def pipeline_apply(layer_fn: Callable, stacked_params, x, n_microbatches: int,
                               jnp.where(t < M, feed, jnp.zeros(mb_shape,
                                                                x.dtype)),
                               inbuf)
-            out = stage_fn(params_stage, my_in)
+            # at tick t stage s holds microbatch t-s; its per-batch args
+            # (masks etc.) must travel with it
+            mb_idx = jnp.clip(t - sidx, 0, M - 1)
+            args_mb = tuple(a[mb_idx] for a in args_all)
+            out = stage_fn(params_stage, my_in, args_mb, mb_idx)
             nxt = jax.lax.ppermute(out, axis, perm)
             # the last stage emits microbatch t-(S-1) at tick t
             emit = jnp.where(sidx == S - 1, out, jnp.zeros_like(out))
             return nxt, emit
 
-        zero = jnp.zeros(mb_shape, x.dtype)
+        # vma tracking (check_vma): the carry becomes device-varying after
+        # the first tick (axis_index branch), so the initial zero must be
+        # marked varying too
+        zero = jax.lax.pvary(jnp.zeros(mb_shape, x.dtype), (axis,))
         _, emits = jax.lax.scan(tick, zero, jnp.arange(M + S - 1))
         # emits[t] is valid on the last stage for t in [S-1, M+S-1); psum
         # broadcasts it (every other stage contributed zeros)
@@ -98,11 +125,10 @@ def pipeline_apply(layer_fn: Callable, stacked_params, x, n_microbatches: int,
         return outs                              # (M, mb, ...)
 
     pspec = P(axis)
-    out = jax.jit(
-        jax.shard_map(per_device, mesh=mesh,
-                      in_specs=(pspec, P()), out_specs=P(),
-                      check_vma=False),
-    )(stacked_params, micro)
+    out = jax.shard_map(per_device, mesh=mesh,
+                        in_specs=(pspec, P(), tuple(P() for _ in margs)),
+                        out_specs=P(), axis_names={axis},
+                        check_vma=True)(stacked_params, micro, margs)
     return out.reshape((B,) + x.shape[1:])
 
 

@@ -298,6 +298,57 @@ def test_full_dims_int8_mode_deltas(full_models):
     assert agree >= B - 1
     assert max(centered) < 0.5, centered
 
+    # static-calibrated scales (ops/quant.py calibrate/apply): same quality
+    # gates as dynamic — the static path trades the per-token absmax pass
+    # for a fixed scale, and must stay within the same bounds vs f32
+    from reverb_tpu.models import ctc as ctc_mod
+    from reverb_tpu.ops.quant import (apply_activation_scales,
+                                      calibrate_activation_scales)
+
+    def calib_run(p, f, l, c, hp, hl):
+        e, _ = forward_encoder(p, cfg, f, l, cat_embs=c)
+        ctc_mod.ctc_logprobs(p['ctc'], e, 0.0, cfg.blank_id)
+        from reverb_tpu.models.asr_model import forward_attention_decoder
+        forward_attention_decoder(p, cfg, hp, hl, e[:1], 0.0,
+                                  cat_embs=c if cfg.lsl_dec else None)
+
+    hyps = jnp.asarray(np.concatenate(
+        [np.full((10, 1), cfg.sos, np.int32),
+         rng.randint(1, cfg.vocab_size, (10, 24)).astype(np.int32)], 1))
+    hyps_lens = jnp.full((10,), 12, jnp.int32)
+    scales = calibrate_activation_scales(
+        qp, calib_run, [(jnp.asarray(feats), jnp.asarray(lens),
+                         jnp.asarray(cat), hyps, hyps_lens)])
+    sp = apply_activation_scales(qp, scales)
+    enc_s, _ = forward_encoder(sp, cfg, jnp.asarray(feats),
+                               jnp.asarray(lens), jnp.asarray(cat))
+    rel_s = (np.abs(np.asarray(enc - enc_s))
+             / (np.abs(np.asarray(enc)).max() + 1e-9)).max()
+    print(f'full-dims int8-STATIC encoder rel max|Δ|: {rel_s:.3e}')
+    assert rel_s < 0.05
+    r_s = attention_rescoring(sp, cfg, pre, enc_s, enc_lens, 0.1, 0.0,
+                              cat_embs=jnp.asarray(cat))
+    agree_s, centered_s = 0, []
+    for b in range(B):
+        fmap = {tuple(t): s for t, s in zip(r_f[b].nbest,
+                                            r_f[b].nbest_scores)}
+        smap = {tuple(t): s for t, s in zip(r_s[b].nbest,
+                                            r_s[b].nbest_scores)}
+        assert set(fmap) == set(smap)
+        deltas = np.array([smap[t] - fmap[t] for t in sorted(fmap)])
+        c = float(np.abs(deltas - deltas.mean()).max())
+        centered_s.append(c)
+        if list(r_f[b].tokens) == list(r_s[b].tokens):
+            agree_s += 1
+        else:
+            srt = sorted(fmap.values(), reverse=True)
+            gap = srt[0] - srt[1] if len(srt) > 1 else 0.0
+            assert gap <= 4 * c, (b, gap, c)
+    print(f'attention_rescoring (shared nbest): int8-STATIC top-1 agree '
+          f'{agree_s}/{B}, centered {[f"{d:.3f}" for d in centered_s]}')
+    assert agree_s >= B - 1
+    assert max(centered_s) < 0.5, centered_s
+
 
 def test_full_dims_ctm_byte_identity(full_models):
     """ctc_prefix_beam_search + attention_rescoring on 3×2051 frames →

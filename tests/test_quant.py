@@ -88,3 +88,56 @@ def test_cli_int8_end_to_end(tmp_path):
     finally:
         sys.argv = old
     assert (tmp_path / 'out' / 'ctc_greedy_search' / 'a.ctm').exists()
+
+
+def test_static_calibrated_scales_match_dynamic():
+    """calibrate_activation_scales + apply_activation_scales: every int8
+    site seen by the calibration forward gets an a_scale, the static-scale
+    path stays close to the dynamic path on in-calibration-range data, and
+    greedy tokens are unchanged."""
+    from reverb_tpu.ops.quant import (apply_activation_scales,
+                                      calibrate_activation_scales)
+    cfg = ModelConfig.from_config(TINY)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_params_int8(params)
+    B, T = 2, 67
+    rng = np.random.RandomState(0)
+    cat = jnp.array([1.0, 0.0])
+    lens = jnp.array([T, T - 11])
+
+    from reverb_tpu.models.asr_model import forward_encoder
+    from reverb_tpu.models import ctc as ctc_mod
+
+    def run(p, feats):
+        # plain model functions (no nested jit — see
+        # calibrate_activation_scales docstring)
+        enc, mask = forward_encoder(p, cfg, feats, lens, cat_embs=cat)
+        ctc_mod.ctc_logprobs(p['ctc'], enc, 0.0, cfg.blank_id)
+
+    batches = [(jnp.asarray(rng.randn(B, T, 80), jnp.float32),)
+               for _ in range(3)]
+    scales = calibrate_activation_scales(qp, run, batches)
+    assert scales, 'no sites recorded'
+    sp = apply_activation_scales(qp, scales)
+    lp = sp['encoder']['encoders'][1]
+    assert 'a_scale' in lp['self_attn']['linear_q']
+    # conv subsample stack calibrated too
+    emb = sp['encoder']['embed']
+    found_conv = any('a_scale' in n for n in jax.tree.leaves(
+        emb, is_leaf=lambda n: isinstance(n, dict) and 'weight_q8' in n)
+        if isinstance(n, dict))
+    assert found_conv
+
+    feats = batches[0][0]
+    enc_d, el_d, ctc_d = encode_and_ctc(qp, cfg, feats, lens, cat)
+    enc_s, el_s, ctc_s = encode_and_ctc(sp, cfg, feats, lens, cat)
+    assert np.array_equal(np.asarray(el_d), np.asarray(el_s))
+    rel = (np.abs(np.asarray(enc_d - enc_s))
+           / (np.abs(np.asarray(enc_d)).max() + 1e-9))
+    assert rel.max() < 0.12
+    tok_d = np.asarray(jnp.argmax(ctc_d, -1))
+    tok_s = np.asarray(jnp.argmax(ctc_s, -1))
+    # random-net logits are near-flat, so argmax measures tie-breaking
+    # more than accuracy (the full-dims gate lives in
+    # test_full_scale_parity.py::test_full_dims_int8_mode_deltas)
+    assert (tok_d == tok_s).mean() > 0.9
