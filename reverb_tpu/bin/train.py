@@ -50,6 +50,9 @@ def get_args(argv=None):
     p.add_argument('--pipeline_microbatches', type=int, default=None,
                    help='GPipe microbatches (default '
                         'encoder_conf.pipeline_microbatches or 2)')
+    p.add_argument('--zero3', action='store_true',
+                   help="ZeRO-3: shard params over 'data' (gather-on-use); "
+                        'each device stores 1/N of the weights')
     p.add_argument('--coordinator', default=None,
                    help='jax.distributed coordinator addr for multi-host')
     p.add_argument('--num_processes', type=int, default=1)
@@ -206,7 +209,7 @@ def main(argv=None):
     # they shard_map themselves over ('data','model') when shapes divide
     from reverb_tpu.ops.pallas_mesh import set_pallas_mesh
     set_pallas_mesh(mesh)
-    p_shard = param_shardings(params, mesh)
+    p_shard = param_shardings(params, mesh, zero3=args.zero3)
     o_shard = opt_state_shardings(opt_state, params, mesh)
     params = jax.device_put(params, p_shard)
     opt_state = jax.device_put(opt_state, o_shard)

@@ -134,12 +134,35 @@ def param_pspec(path, leaf, rules=TP_RULES) -> P:
     return P()
 
 
-def param_shardings(params, mesh: Mesh, rules=TP_RULES):
+def param_shardings(params, mesh: Mesh, rules=TP_RULES,
+                    zero3: bool = False, zero3_min_size: int = 65536):
     """Pytree of NamedShardings for the param tree (TP over 'model';
-    replicated over 'data')."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, param_pspec(path, leaf, rules)),
-        params)
+    replicated over 'data' by default).
+
+    zero3=True is the DeepSpeed ZeRO-3 equivalent (train_utils.py:372-391,
+    435-455 reach stage 3 via deepspeed config): every large-enough param
+    additionally shards its first free divisible axis over 'data', so each
+    device STORES 1/data_size of the weights; XLA inserts all-gathers at
+    use sites (gather-on-use) and the updated params come back sharded.
+    Small leaves (< zero3_min_size elements: biases, norms) stay replicated
+    — gathering them costs more latency than their memory is worth.
+    """
+    data_size = mesh.shape['data']
+
+    def one(path, leaf):
+        spec = list(param_pspec(path, leaf, rules))
+        ndim = np.ndim(leaf)
+        while len(spec) < ndim:
+            spec.append(None)
+        if zero3 and np.size(leaf) >= zero3_min_size:
+            for ax in range(ndim):
+                if spec[ax] is None and leaf.shape[ax] % data_size == 0 \
+                        and leaf.shape[ax] >= data_size:
+                    spec[ax] = 'data'
+                    break
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(one, params)
 
 
 def opt_state_shardings(opt_state, params, mesh: Mesh, zero: bool = True,
