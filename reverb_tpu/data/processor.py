@@ -239,11 +239,15 @@ def spec_trim(sample: Dict, max_t: int = 20) -> Dict:
 
 
 def detect_language(sample: Dict, limited_langs=None) -> Dict:
-    """Config/tag-driven language id (no langid C dep: untagged → first
-    limited lang, default 'en' — matches Rev's untagged-is-English policy,
-    rev_processor.py:77-80)."""
+    """Language id from the sample TEXT (processor.py:95-105: the reference
+    runs the langid package's classifier restricted to limited_langs).
+    Hermetic classifier in text/langid.py (script vote + function-word
+    profiles); an existing 'lang' tag wins, and empty/undecidable text
+    falls back to the first limited lang / 'en' (Rev's untagged-is-English
+    policy, rev_processor.py:77-80)."""
     if 'lang' not in sample:
-        sample['lang'] = (limited_langs[0] if limited_langs else 'en')
+        from reverb_tpu.text.langid import classify
+        sample['lang'] = classify(sample.get('txt', ''), limited_langs)[0]
     return sample
 
 

@@ -12,6 +12,7 @@ batch; only clustering/stitching stay on host.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -23,7 +24,8 @@ from reverb_tpu.diar.models import (EmbeddingConfig, SegmentationConfig,
                                     powerset_to_multilabel,
                                     segmentation_forward,
                                     segmentation_frame_rate)
-from reverb_tpu.frontend.fbank import FbankConfig, fbank_numpy
+from reverb_tpu.frontend.fbank import (FbankConfig, compute_fbank,
+                                        fbank_numpy, num_frames)
 
 
 @dataclasses.dataclass
@@ -225,7 +227,13 @@ class Diarizer:
         return t
 
     def __call__(self, wave: np.ndarray, sr: int = 16000) -> List[Segment]:
+        """Diarize one file.  Per-phase wall times land in
+        `self.last_phases` (ms) — the diar analogue of the ASR bench's
+        runs_phases."""
+        import time as _time
         cfg = self.cfg
+        ph = {}
+        t_start = _time.perf_counter()
         windows = sliding_windows(len(wave), sr, cfg)
         win_len = windows[0][1] - windows[0][0]
         n_win = len(windows)
@@ -244,6 +252,8 @@ class Diarizer:
             self.seg_cfg.max_simultaneous))            # (W, T', S)
         frame_sec = self._frame_sec or \
             segmentation_frame_rate(self.seg_cfg)
+        t1 = _time.perf_counter()
+        ph['segmentation_ms'] = round((t1 - t_start) * 1e3, 1)
 
         # local segments + their embeddings
         local: List[Tuple[float, float, int, int]] = []  # start,end,win,slot
@@ -252,20 +262,24 @@ class Diarizer:
             for s_idx in range(activity.shape[2]):
                 for a, b in binarize(activity[w, :, s_idx], frame_sec, cfg):
                     local.append((off + a, off + b, w, s_idx))
+        t2 = _time.perf_counter()
+        ph['binarize_ms'] = round((t2 - t1) * 1e3, 1)
         if not local:
+            self.last_phases = ph
             return []
 
+        # segment fbank ON DEVICE, batched: the host-numpy per-segment loop
+        # cost ~70% of the old pipeline wall (hundreds of python fbanks);
+        # rows are raw segment waves padded to a bucketed sample length —
+        # frames [0, n) read only samples [0, len), so padding zeros never
+        # reach a valid frame, and stats pooling masks by true length
         fb_cfg = FbankConfig(sample_rate=sr,
                              num_mel_bins=self._emb_feat_dim)
-        feats_list = []
-        max_T = 0
-        for (a, b, _, _) in local:
-            seg_wave = wave[int(a * sr):int(b * sr)] * (1 << 15)
-            f = fbank_numpy(seg_wave.astype(np.float32), fb_cfg)
-            if f.shape[0] == 0:
-                f = np.zeros((2, self._emb_feat_dim), np.float32)
-            feats_list.append(f)
-            max_T = max(max_T, f.shape[0])
+        n_seg = len(local)
+        seg_lens = [max(int(b * sr) - int(a * sr), fb_cfg.window_size)
+                    for (a, b, _, _) in local]
+        lens_f = [num_frames(n, fb_cfg) for n in seg_lens]
+        max_T = max(lens_f)
         # bucket T to a power of two (≥64) and rows to fixed tiles: stats
         # pooling is length-masked and conv padding is zeros either way, so
         # bucketed padding is numerics-invariant while the compiled-shape
@@ -273,26 +287,49 @@ class Diarizer:
         buck_T = 64
         while buck_T < max_T:
             buck_T *= 2
-        n_seg = len(feats_list)
+        samp_buck = (buck_T - 1) * fb_cfg.window_shift + fb_cfg.window_size
         tile = self._tile_rows(n_seg, self.EMB_TILE)
         n_pad = -n_seg % tile
-        feats = np.zeros((n_seg + n_pad, buck_T, self._emb_feat_dim),
-                         np.float32)
+        waves = np.zeros((n_seg + n_pad, samp_buck), np.float32)
         lens = np.ones((n_seg + n_pad,), np.int32)
-        for i, f in enumerate(feats_list):
-            feats[i, :f.shape[0]] = f
-            lens[i] = f.shape[0]
+        for i, ((a, b, _, _), sl, lf) in enumerate(
+                zip(local, seg_lens, lens_f)):
+            s0 = int(a * sr)
+            w = wave[s0:s0 + sl]
+            waves[i, :len(w)] = w
+            lens[i] = max(lf, 1)
+        waves *= (1 << 15)
+        feats = np.concatenate([
+            np.asarray(self._fbank_batch(jnp.asarray(waves[t:t + tile]),
+                                         fb_cfg, buck_T))
+            for t in range(0, len(waves), tile)])
+        t3 = _time.perf_counter()
+        ph['fbank_ms'] = round((t3 - t2) * 1e3, 1)
+
         embs = np.concatenate([
             np.asarray(self._emb_fn(self.emb_params,
                                     jnp.asarray(feats[t:t + tile]),
                                     jnp.asarray(lens[t:t + tile])))
             for t in range(0, len(feats), tile)])[:n_seg]
+        t4 = _time.perf_counter()
+        ph['embedding_ms'] = round((t4 - t3) * 1e3, 1)
 
         labels = agglomerative_cluster(embs, cfg.clustering_threshold,
                                        cfg.max_speakers)
         segs = [Segment(a, b, f'SPEAKER_{labels[i]:02d}')
                 for i, (a, b, _, _) in enumerate(local)]
-        return merge_segments(segs)
+        out = merge_segments(segs)
+        t5 = _time.perf_counter()
+        ph['cluster_stitch_ms'] = round((t5 - t4) * 1e3, 1)
+        ph['total_ms'] = round((t5 - t_start) * 1e3, 1)
+        self.last_phases = ph
+        return out
+
+    @staticmethod
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def _fbank_batch(waves, fb_cfg, n_frames: int):
+        return jax.vmap(
+            lambda w: compute_fbank(w, fb_cfg, n_frames=n_frames))(waves)
 
 
 def merge_segments(segs: List[Segment], gap: float = 0.1) -> List[Segment]:

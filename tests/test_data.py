@@ -220,3 +220,31 @@ def test_dataset_num_workers_parallel_decode(tmp_path):
     assert sum(b['feats'].shape[0] for b in batches) == 6
     keys = {k for b in batches for k in b['keys']}
     assert keys == {f'u{i}' for i in range(6)}   # nothing lost or duplicated
+
+
+def test_langid_classifier():
+    """Hermetic text LID (text/langid.py — capability parity with the
+    reference's langid-package detect_language, processor.py:95-105):
+    script vote for non-Latin, function-word vote for Latin, restriction
+    honored, zh-vs-ja workaround."""
+    from reverb_tpu.text.langid import classify
+    assert classify('the quick brown fox jumps over the lazy dog')[0] == 'en'
+    assert classify('el perro corre por la calle y no se detiene')[0] == 'es'
+    assert classify('le chien est dans la maison et il ne sort pas')[0] == 'fr'
+    assert classify('der Hund ist in dem Haus und er ist nicht zu sehen'
+                    )[0] == 'de'
+    assert classify('今天天气很好我们去公园散步')[0] == 'zh'
+    assert classify('今日はいい天気ですから公園へ行きましょう')[0] == 'ja'
+    assert classify('сегодня хорошая погода')[0] == 'ru'
+    # restriction: the reference's own zh/ja note — han text restricted to
+    # ('ja',) classifies ja
+    assert classify('漢字漢字漢字', ['ja'])[0] == 'ja'
+    assert classify('hello the world', ['zh', 'en'])[0] == 'en'
+    # untagged/empty falls back to the first limited lang
+    assert classify('', ['zh', 'en'])[0] == 'zh'
+    # processor wiring: detect_language fills sample['lang'] from txt
+    from reverb_tpu.data.processor import detect_language
+    s = detect_language({'txt': 'und der Hund ist in dem Haus'})
+    assert s['lang'] == 'de'
+    s = detect_language({'txt': 'x', 'lang': 'tagged'})
+    assert s['lang'] == 'tagged'      # existing tag wins

@@ -136,3 +136,44 @@ def test_asr_diarization_example_smoke(tmp_path):
     assert (tmp_path / 'out' / 'a.rttm').exists()
     assert (tmp_path / 'out' / 'a.ctm').exists()
     assert (tmp_path / 'out' / 'a.stm').exists()
+
+
+def test_der_hermetic():
+    """eval/der.py: perfect match → 0; known constructions give exact
+    md-eval rates (miss / false alarm / confusion with optimal speaker
+    mapping and collar)."""
+    from reverb_tpu.eval.der import der
+    ref = [(0.0, 10.0, 'A'), (10.0, 20.0, 'B')]
+    # identical but renamed speakers: optimal mapping → DER 0
+    hyp = [(0.0, 10.0, 'X'), (10.0, 20.0, 'Y')]
+    s = der(ref, hyp, collar=0.0)
+    assert s['der'] == 0.0 and s['total_s'] == 20.0
+
+    # miss: hyp silent over the second half of B
+    hyp = [(0.0, 10.0, 'X'), (10.0, 15.0, 'Y')]
+    s = der(ref, hyp, collar=0.0)
+    assert abs(s['miss'] - 5.0 / 20.0) < 1e-6
+    assert s['false_alarm'] == 0.0 and s['confusion'] == 0.0
+
+    # false alarm: hyp speaks into silence
+    hyp = [(0.0, 10.0, 'X'), (10.0, 20.0, 'Y'), (20.0, 25.0, 'Z')]
+    s = der(ref, hyp, collar=0.0)
+    assert abs(s['false_alarm'] - 5.0 / 20.0) < 1e-6
+
+    # confusion: one hyp speaker covers both ref speakers
+    hyp = [(0.0, 20.0, 'X')]
+    s = der(ref, hyp, collar=0.0)
+    assert abs(s['confusion'] - 10.0 / 20.0) < 1e-4
+    assert s['miss'] < 1e-6 and s['false_alarm'] < 1e-6
+
+    # overlap counts per speaker: A and B simultaneously, hyp misses B
+    ref_o = [(0.0, 10.0, 'A'), (0.0, 10.0, 'B')]
+    hyp_o = [(0.0, 10.0, 'X')]
+    s = der(ref_o, hyp_o, collar=0.0)
+    assert abs(s['miss'] - 10.0 / 20.0) < 1e-4
+    assert s['total_s'] == 20.0      # 2 speakers x 10 s of reference
+
+    # collar forgives boundary jitter
+    hyp_j = [(0.1, 10.1, 'X'), (9.9, 20.2, 'Y')]
+    s = der(ref, hyp_j, collar=0.25)
+    assert s['der'] < 0.02, s

@@ -32,28 +32,46 @@ import numpy as np
 SR = 16000
 
 
-def make_corpus(minutes: float, n_spk: int, seed: int = 0):
-    """Synthetic non-overlapping multi-speaker audio + oracle segments."""
+def speaker_freqs(n_spk: int):
+    """Confusable signatures: every speaker SHARES the 220 Hz fundamental;
+    only the partials detune by ~5%/speaker (round-4 verdict Weak #4: the
+    old 1.3x-per-speaker spacing made speakers trivially separable)."""
+    return [(220.0, 495.0 * (1.05 ** i), 990.0 * (1.04 ** i))
+            for i in range(n_spk)]
+
+
+def make_corpus(minutes: float, n_spk: int, seed: int = 0,
+                overlap_frac: float = 0.0):
+    """Synthetic multi-speaker audio + oracle segments.
+
+    overlap_frac: probability a segment STARTS before the previous one ends
+    (1-2 s of two-speaker overlapping speech — the powerset segmentation
+    head's whole reason to exist; the next speaker is forced different)."""
     rng = np.random.RandomState(seed)
     total = int(minutes * 60 * SR)
     wave = np.zeros(total, np.float32)
     segs = []       # (start_s, end_s, spk)
     t = 0
-    # distinct spectral signatures: chord of 3 tones per speaker
-    freqs = [(220 * (1.3 ** i), 520 * (1.25 ** i), 1100 * (1.2 ** i))
-             for i in range(n_spk)]
+    freqs = speaker_freqs(n_spk)
+    prev_spk, prev_end = -1, 0
     while t < total - SR:
-        spk = int(rng.randint(n_spk))
+        if segs and rng.rand() < overlap_frac and prev_end - t > SR:
+            # start inside the previous segment with a DIFFERENT speaker
+            t = max(t, prev_end - int(rng.uniform(1.0, 2.0) * SR))
+            spk = int(rng.choice([s for s in range(n_spk) if s != prev_spk]))
+        else:
+            spk = int(rng.randint(n_spk))
         dur = int(rng.uniform(2.0, 6.0) * SR)
         dur = min(dur, total - t)
         tt = np.arange(dur) / SR
         sig = sum(np.sin(2 * np.pi * f * tt) for f in freqs[spk])
         # amplitude modulation ~ syllable rate, plus noise floor
         am = 0.6 + 0.4 * np.sin(2 * np.pi * 3.1 * tt + rng.uniform(0, 6.28))
-        wave[t:t + dur] = (sig * am * 0.1
-                           + rng.randn(dur) * 0.002).astype(np.float32)
+        wave[t:t + dur] += (sig * am * 0.1
+                            + rng.randn(dur) * 0.002).astype(np.float32)
         segs.append((t / SR, (t + dur) / SR, spk))
-        t += dur + int(rng.uniform(0.4, 1.2) * SR)
+        prev_spk, prev_end = spk, t + dur
+        t = prev_end + int(rng.uniform(0.4, 1.2) * SR)
     return wave, segs
 
 
@@ -90,7 +108,8 @@ def main():
     on_tpu = dev.platform != 'cpu'
     minutes = float(os.environ.get('REVERB_DIAR_MIN',
                                    '30' if on_tpu else '2'))
-    n_spk = 3
+    n_spk = int(os.environ.get('REVERB_DIAR_SPK', '5'))
+    overlap = float(os.environ.get('REVERB_DIAR_OVERLAP', '0.2'))
     # pyannote-3.0 scale on TPU (sinc 80×251, 2×BiLSTM-128); slim on CPU
     seg_cfg = SegmentationConfig() if on_tpu else SegmentationConfig(
         sinc_filters=16, lstm_hidden=16, lstm_layers=1, linear_dim=16)
@@ -99,9 +118,10 @@ def main():
     classes = powerset_classes(seg_cfg.max_speakers, seg_cfg.max_simultaneous)
     frame_sec = segmentation_frame_rate(seg_cfg)
 
-    # ---- corpus ----
-    wave, oracle = make_corpus(minutes, n_spk)
-    train_wave, train_oracle = make_corpus(4.0, n_spk, seed=1)
+    # ---- corpus: overlapping + confusable (shared fundamental) ----
+    wave, oracle = make_corpus(minutes, n_spk, overlap_frac=overlap)
+    train_wave, train_oracle = make_corpus(4.0, n_spk, seed=1,
+                                           overlap_frac=overlap)
 
     # ---- brief segmentation training on held-out synthetic audio ----
     seg_params = init_segmentation(jax.random.PRNGKey(0), seg_cfg)
@@ -148,7 +168,12 @@ def main():
 
     def emb_batches():
         rng = np.random.RandomState(3)
-        longs = [seg for seg in train_oracle if seg[1] - seg[0] >= crop_s + .1]
+        def _overlapped(seg):
+            a, b, s = seg
+            return any(x[0] < b and a < x[1] and x is not seg
+                       for x in train_oracle)
+        longs = [seg for seg in train_oracle
+                 if seg[1] - seg[0] >= crop_s + .1 and not _overlapped(seg)]
         assert longs, (f'no training segment >= {crop_s + 0.1:.1f}s in the '
                        'synthetic oracle; lower crop_s or lengthen segments')
         picks = [longs[rng.randint(len(longs))] for _ in range(128)]
@@ -199,19 +224,51 @@ def main():
             wi += 1
     scores = wder(ref_words, hyp_words)
 
-    print(json.dumps({
+    # DER (eval/der.py: md-eval semantics, optimal mapping, 0.25 s collar,
+    # overlap counted per speaker) alongside WDER
+    from reverb_tpu.eval.der import der as der_fn
+    ref_triples = [(a, b, f'REF_{s}') for (a, b, s) in oracle]
+    hyp_triples = [(s.start, s.end, s.speaker) for s in segs]
+    d = der_fn(ref_triples, hyp_triples, collar=0.25)
+
+    out = {
         'metric': f'diarization pipeline (segmentation {seg_cfg.sinc_filters}'
                   f'x{seg_cfg.sinc_kernel} sinc + {seg_cfg.lstm_layers}x'
                   f'BiLSTM-{seg_cfg.lstm_hidden} powerset, TDNN embeddings, '
-                  f'AHC; {minutes:.0f} min synthetic {n_spk}-speaker audio)',
+                  f'AHC; {minutes:.0f} min synthetic {n_spk}-speaker audio, '
+                  f'overlap_frac={overlap})',
         'value': round(xrt, 1), 'unit': 'x realtime per chip',
         'wder': round(scores['wder'], 4), 'words': scores['total'],
+        'der': round(d['der'], 4), 'der_miss': round(d['miss'], 4),
+        'der_fa': round(d['false_alarm'], 4),
+        'der_conf': round(d['confusion'], 4),
         'n_segments': len(segs),
+        'phases_ms': getattr(diar, 'last_phases', None),
         'seg_train_s': round(train_s, 1),
         'emb_train_s': round(emb_train_s, 1),
         'final_loss': round(final_ce, 4),
         'device': getattr(dev, 'device_kind', dev.platform),
-    }))
+    }
+
+    # speaker-count sweep (REVERB_DIAR_SWEEP=1): quality at counts near and
+    # ABOVE max_speakers on short corpora — nets stay as trained above, so
+    # unseen-signature speakers are an honest stressor, not a re-fit
+    if os.environ.get('REVERB_DIAR_SWEEP', '0') == '1':
+        sweep = {}
+        for ns in (3, 8, 10):
+            w2, o2 = make_corpus(6.0, ns, seed=10 + ns,
+                                 overlap_frac=overlap)
+            s2 = diar(w2, SR)
+            d2 = der_fn([(a, b, f'REF_{s}') for (a, b, s) in o2],
+                        [(s.start, s.end, s.speaker) for s in s2],
+                        collar=0.25)
+            sweep[f'spk{ns}'] = {
+                'der': round(d2['der'], 4),
+                'hyp_speakers': len({s.speaker for s in s2}),
+            }
+        out['speaker_sweep'] = sweep
+
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':
