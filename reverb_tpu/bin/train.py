@@ -53,6 +53,11 @@ def get_args(argv=None):
     p.add_argument('--zero3', action='store_true',
                    help="ZeRO-3: shard params over 'data' (gather-on-use); "
                         'each device stores 1/N of the weights')
+    p.add_argument('--stall_timeout_s', type=float, default=1800.0,
+                   help='straggler watchdog: abort/diagnose when no step '
+                        'completes for this long (0 disables; '
+                        'REVERB_STALL_EXIT=1 hard-exits for supervisor '
+                        'restart — the wenet_join timeout equivalent)')
     p.add_argument('--coordinator', default=None,
                    help='jax.distributed coordinator addr for multi-host')
     p.add_argument('--num_processes', type=int, default=1)
@@ -246,6 +251,9 @@ def main(argv=None):
                   run_tag=snap_conf.get('run_tag'),
                   mesh=mesh,
                   step=start_step)
+    if args.stall_timeout_s > 0:
+        from reverb_tpu.train.watchdog import StepWatchdog
+        ex.watchdog = StepWatchdog(args.stall_timeout_s)
     if args.profile_dir:
         from reverb_tpu.utils.profiling import ProfileWindow
         ex.profiler = ProfileWindow(args.profile_dir,
@@ -263,6 +271,8 @@ def main(argv=None):
                 else None,
                 max_steps=(args.steps_per_epoch * (epoch + 1)
                            if args.steps_per_epoch else None))
+            from reverb_tpu.train.watchdog import epoch_barrier
+            epoch_barrier(f'epoch_{epoch}')
             cv_metrics = ex.cv(params, make_cv_ds())
             logging.info('epoch %d CV: %s', epoch, cv_metrics)
             if rank == 0:

@@ -60,6 +60,9 @@ class Executor:
     frames_seen: float = 0.0
     snapshots_taken: int = 0
     profiler: Optional[object] = None   # utils.profiling.ProfileWindow
+    # multi-host stall detection (train/watchdog.py — the wenet_join
+    # monitored_barrier equivalent); None disables
+    watchdog: Optional[object] = None
 
     def train(self, params, opt_state, dataset: Iterable, epoch: int,
               rng, cv_dataset: Optional[Iterable] = None,
@@ -76,6 +79,8 @@ class Executor:
         for batch in dataset:
             if max_steps is not None and self.step >= max_steps:
                 break
+            if self.watchdog is not None:
+                self.watchdog.check()
             if self.profiler is not None:
                 self.profiler.maybe_start(self.step)
             db = _device_batch(batch, self.mesh)
@@ -90,6 +95,8 @@ class Executor:
             if self.profiler is not None:
                 self.profiler.maybe_stop(self.step)
             self.step += 1
+            if self.watchdog is not None:
+                self.watchdog.beat(self.step)
             self.frames_seen += float(np.sum(batch['feats_lengths']))
             if self.step % self.log_interval == 0:
                 self._log('TRAIN', epoch, metrics, t0)

@@ -87,3 +87,29 @@ def test_add_whisper_tokens():
     assert ys_out[0].tolist() == [en_id, 601, 604, 7, 8, 9, 501]
     assert ys_in[1].tolist() == [500, zh_id, 603, 4, 501, 501, 501]
     assert ys_out[1].tolist() == [zh_id, 603, 4, 501, -1, -1, -1]
+
+
+def test_step_watchdog_semantics():
+    """train/watchdog.py (wenet_join monitored_barrier equivalent):
+    beat() keeps it quiet, a stall flips `stalled` and check() raises with
+    a diagnosis; beat() after a stall recovers."""
+    import time
+    from reverb_tpu.train.watchdog import StepWatchdog, epoch_barrier
+    wd = StepWatchdog(timeout_s=0.3, exit_on_stall=False, poll_s=0.05)
+    try:
+        for s in range(3):
+            wd.beat(s)
+            wd.check()             # no raise while beating
+            time.sleep(0.05)
+        time.sleep(0.6)            # stall
+        assert wd.stalled
+        try:
+            wd.check()
+            assert False, 'check() must raise on stall'
+        except RuntimeError as e:
+            assert 'stalled' in str(e)
+        wd.beat(4)                 # recovery
+        wd.check()
+    finally:
+        wd.stop()
+    epoch_barrier('test')          # single-process no-op

@@ -153,6 +153,13 @@ def _oracle_cases():
                       ((rng.randn(8000) * 500) + 4000).astype(np.float32)),
         'near_silence': (16000, (rng.randn(4000) * 1e-3).astype(np.float32)),
         'rate8k': (8000, (rng.randn(8000) * 2000).astype(np.float32)),
+        # round-4 verdict Weak #8: no long-file or non-16k/8k case existed.
+        # These draw their OWN seeds so the shared rng stream above keeps
+        # the original six goldens byte-stable.
+        'long30s': (16000, (np.random.RandomState(11).randn(480000) * 2000
+                            ).astype(np.float32)),
+        'rate44k': (44100, (np.random.RandomState(12).randn(44100) * 2000
+                            ).astype(np.float32)),
     }
 
 

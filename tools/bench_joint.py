@@ -1,0 +1,89 @@
+"""Joint CTC+attention time-sync decoding throughput on the attached TPU —
+the first measured xRT for the `joint_decoding` mode at flagship dims
+(round-4 verdict Weak #6: the device scan existed but had only CPU smoke
+numbers).
+
+Prices the mode end-to-end the way it is served (decode/api.py
+'joint_decoding'): flagship encoder output + CTC log-probs assumed already
+computed (the headline bench prices that phase), timing the device
+time-sync search itself (decode/joint_device.py one-lax.scan-per-frame,
+vmapped over the batch) with a trained-model-shaped peaky CTC head and the
+production blank-threshold frame skip.
+
+Prints one JSON line.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from reverb_tpu.export.aot import maybe_enable_default_cache
+    maybe_enable_default_cache()
+    from reverb_tpu.decode.joint_device import joint_decoding_device
+    from reverb_tpu.models.asr_model import ModelConfig, init_params
+    from reverb_tpu.models.presets import reverb_large, reverb_small
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != 'cpu'
+    conf = reverb_large() if on_tpu else reverb_small()
+    cfg = ModelConfig.from_config(conf)
+    if on_tpu:
+        cfg = cfg.with_compute_dtype(jnp.bfloat16)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    if on_tpu:
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32
+            else x, params)
+
+    B = 16 if on_tpu else 2
+    T = 512 if on_tpu else 32            # encoder frames (40 ms each)
+    D = cfg.encoder.output_size
+    V = cfg.vocab_size
+    chunk_sec = T * 0.04
+    rng = np.random.RandomState(0)
+    enc = jnp.asarray(rng.randn(B, T, D).astype(np.float32) * 0.3)
+    lens = jnp.full((B,), T, jnp.int32)
+    # peaky blank-dominant CTC posteriors (trained-model regime: the
+    # blank-threshold skip rule only fires there)
+    logits = rng.randn(B, T, V).astype(np.float32) * 4.0
+    logits[..., cfg.blank_id] += 6.0
+    keep = rng.rand(B, T) < 0.25         # ~25% emitting frames
+    logits[..., cfg.blank_id] -= keep * 12.0
+    ctc_probs = jnp.asarray(logits) - jax.scipy.special.logsumexp(
+        jnp.asarray(logits), axis=-1, keepdims=True)
+    cat = np.array([1.0, 0.0], np.float32)
+
+    def run():
+        return joint_decoding_device(params, cfg, enc, lens, ctc_probs,
+                                     ctc_weight=0.5, beam_size=4,
+                                     blank_threshold=0.98, cat_embs=cat)
+
+    t0 = time.perf_counter()
+    res = run()
+    compile_s = time.perf_counter() - t0
+    assert any(len(r.tokens) for r in res)
+    iters = 4 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = run()
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        'metric': f'joint_decoding (time-sync CTC+attention, device scan) '
+                  f'xRT, flagship decoder, B={B}x{chunk_sec:.1f}s chunks, '
+                  f'beam 4, blank-skip 0.98',
+        'value': round(B * chunk_sec / dt, 1),
+        'unit': 'x realtime per chip',
+        'decode_ms': round(dt * 1e3, 1),
+        'compile_s': round(compile_s, 1),
+        'tokens': int(sum(len(r.tokens) for r in res)),
+        'device': getattr(dev, 'device_kind', dev.platform),
+    }))
+
+
+if __name__ == '__main__':
+    main()
