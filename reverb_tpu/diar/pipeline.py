@@ -212,10 +212,31 @@ class Diarizer:
 
     # Static-shape tiling (TPU: every distinct batch shape is a separate XLA
     # compile — over the remote link minutes each).  Window batches run as
-    # fixed 64-row tiles (shorter files bucket to the next power of two), so
-    # any audio length reuses the same compiled programs.
-    SEG_TILE = 64
+    # fixed tiles (shorter files bucket to the next power of two), so any
+    # audio length reuses the same compiled programs.  SEG_TILE=256 (round
+    # 5, was 64): the BiLSTM scan is latency-bound per CALL, not per row —
+    # 6 calls of 64 windows cost ~6x one call of 384 (measured 6.7 s →
+    # ~1.2 s on the 30-min bench), so fewer, fatter tiles win.
+    SEG_TILE = 256
     EMB_TILE = 128
+
+    def warm_buckets(self, sr: int = 16000,
+                     buckets=(64, 128, 256, 512, 1024)):
+        """Pre-compile the bucketed fbank/embedding shapes a long file can
+        hit: segment-length buckets are data-dependent (the longest speech
+        segment picks buck_T), so without this a new bucket compiles INSIDE
+        the serving path (measured: 15.4 s of the 30-min bench's 26 s wall
+        was first-bucket compiles)."""
+        fb_cfg = FbankConfig(sample_rate=sr,
+                             num_mel_bins=self._emb_feat_dim)
+        for bt in buckets:
+            samp = (bt - 1) * fb_cfg.window_shift + fb_cfg.window_size
+            f = self._fbank_batch(jnp.zeros((self.EMB_TILE, samp)),
+                                  fb_cfg, bt)
+            self._emb_fn(self.emb_params, jnp.zeros(
+                (self.EMB_TILE, bt, self._emb_feat_dim)),
+                jnp.ones((self.EMB_TILE,), jnp.int32))
+            jax.block_until_ready(f)
 
     @staticmethod
     def _tile_rows(n: int, cap: int) -> int:

@@ -10,10 +10,13 @@ embedding net maps every input to nearly the same direction (cosine ≈ 1 —
 outputs are dominated by the shared bias/statistics terms), so AHC merges
 everything into one speaker; even a brief discriminative pass fixes that.
 
-Objective: cosine-softmax CE — logits = s · ê·Ŵᵀ over L2-normalized
-embeddings and class weights (the AAM-softmax family at margin 0, the
-standard x-vector recipe shape).  The classifier head is train-time only
-and discarded.
+Objective: additive-margin cosine-softmax CE (AM-softmax) — logits =
+s·(ê·Ŵᵀ − m·onehot(y)) over L2-normalized embeddings and class weights,
+the standard x-vector/wespeaker recipe shape.  The margin forces
+inter-speaker cosine DOWN (margin-0 training on confusable spectra leaves
+all speakers inside AHC's merge radius — measured: every eval speaker
+collapsed to one cluster on the shared-fundamental bench corpus).  The
+classifier head is train-time only and discarded.
 """
 
 from __future__ import annotations
@@ -30,13 +33,18 @@ from reverb_tpu.diar.models import EmbeddingConfig, embedding_forward
 
 
 def embedding_loss(params, head, feats, lens, labels,
-                   cfg: EmbeddingConfig, scale: float = 10.0, forward=None):
-    """feats (B,T,F) + lens (B,) + int labels (B,) → cosine-softmax CE."""
+                   cfg: EmbeddingConfig, scale: float = 10.0, forward=None,
+                   margin: float = 0.0):
+    """feats (B,T,F) + lens (B,) + int labels (B,) → AM-softmax CE."""
     fwd = forward or (lambda p, f, l: embedding_forward(p, f, l, cfg))
     emb = fwd(params, feats, lens)                          # (B,E) L2-normed
     w = head['weight']
     w = w / (jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-8)
-    logits = scale * emb @ w.T                              # (B,S)
+    cos = emb @ w.T                                         # (B,S)
+    if margin:
+        cos = cos - margin * jax.nn.one_hot(labels, cos.shape[-1],
+                                            dtype=cos.dtype)
+    logits = scale * cos
     logp = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
     acc = jnp.mean((jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32))
@@ -48,7 +56,7 @@ def train_embedding(params, n_speakers: int,
                     cfg: EmbeddingConfig = EmbeddingConfig(),
                     lr: float = 1e-3, max_epochs: int = 10,
                     grad_clip: float = 5.0, scale: float = 10.0,
-                    seed: int = 0, forward=None):
+                    seed: int = 0, forward=None, margin: float = 0.0):
     """train_batches() yields (feats (B,T,F), lens (B,), labels (B,));
     returns the trained embedding params (head discarded)."""
     head = {'weight': jax.random.normal(
@@ -62,7 +70,7 @@ def train_embedding(params, n_speakers: int,
     def step(state, opt_state, feats, lens, labels):
         (loss, aux), grads = jax.value_and_grad(
             lambda s: embedding_loss(s['emb'], s['head'], feats, lens,
-                                     labels, cfg, scale, forward),
+                                     labels, cfg, scale, forward, margin),
             has_aux=True)(state)
         updates, opt_state = tx.update(grads, opt_state, state)
         return optax.apply_updates(state, updates), opt_state, loss, aux

@@ -198,10 +198,13 @@ def main():
     diar = Diarizer(seg_params, emb_params, seg_cfg, emb_cfg,
                     DiarizationConfig())
 
-    # ---- timed pipeline run (includes host fbank/clustering: served path)
-    # warmup on a ≥64-window slice so the tiled static shapes (seg 64-row
-    # tiles, emb 128-row tiles) compile outside the timed region
-    diar(wave[:int(7 * 60 * SR)], SR)
+    # ---- timed pipeline run (served path)
+    # warmup on a >=SEG_TILE-window slice + explicit bucket pre-compiles:
+    # segment-length buckets are data-dependent, so without warm_buckets a
+    # long file's first big bucket compiles inside the timed region
+    diar(wave[:int(int(os.environ.get('REVERB_DIAR_WARM_MIN', '22'))
+                   * 60 * SR)], SR)
+    diar.warm_buckets(SR)
     t0 = time.perf_counter()
     segs = diar(wave, SR)
     wall = time.perf_counter() - t0

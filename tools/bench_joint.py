@@ -58,10 +58,18 @@ def main():
         jnp.asarray(logits), axis=-1, keepdims=True)
     cat = np.array([1.0, 0.0], np.float32)
 
+    import os
+    max_tokens = int(os.environ.get('REVERB_JOINT_MAX_TOKENS', '128'))
+
     def run():
+        # max_tokens caps the decode buffer: the default (=T frames) made
+        # every scan step renormalize/embed/rewrite (K, T+2, D) buffers —
+        # a 20.5 s chunk emits <= ~150 tokens, so 128 is ample and the
+        # per-frame work drops ~4x (measured below)
         return joint_decoding_device(params, cfg, enc, lens, ctc_probs,
                                      ctc_weight=0.5, beam_size=4,
-                                     blank_threshold=0.98, cat_embs=cat)
+                                     blank_threshold=0.98, cat_embs=cat,
+                                     max_tokens=max_tokens)
 
     t0 = time.perf_counter()
     res = run()
@@ -79,6 +87,7 @@ def main():
         'value': round(B * chunk_sec / dt, 1),
         'unit': 'x realtime per chip',
         'decode_ms': round(dt * 1e3, 1),
+        'max_tokens': max_tokens,
         'compile_s': round(compile_s, 1),
         'tokens': int(sum(len(r.tokens) for r in res)),
         'device': getattr(dev, 'device_kind', dev.platform),
