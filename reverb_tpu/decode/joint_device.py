@@ -59,32 +59,58 @@ from reverb_tpu.models.modules import ACTIVATIONS, embedding, layer_norm, linear
 
 def _decoder_rows(p_dec, dcfg, n_blocks, mem_kv, mem_mask, buf, steps, cache,
                   cat_embs):
-    """Incremental decoder step with a PER-ROW query position.
+    """Incremental decoder step with a PER-ROW query position and per-layer
+    self-attention K/V caches.
 
     buf (K, Lb) tokens incl. sos at 0; steps (K,) query positions;
-    cache (n_layers, K, Lb, D) per-layer outputs for positions < step.
-    Same math as models.decoder.decoder_forward_one_step but each beam can
-    sit at a different length, and cross-attention K/V are shared
-    (attention.mha_shared_kv).  Returns (logp (K, V) f32, new_cache).
+    cache (n_layers, K, Lb, 2·D): each position's self-attention (k‖v)
+    row, written when that position was the query.  Rows are write-once
+    (the prefix below `steps` never changes), so the survivors'
+    idempotent refresh rewrites identical values.  v2 round 5: the
+    previous formulation carried per-layer OUTPUT buffers and re-projected
+    K/V over the WHOLE buffer every frame (2·Lb·D² per layer per step,
+    plus an Lb-wide LN and embedding) — caching K/V computes ONE row per
+    layer per step (measured: the flagship joint_decoding scan went
+    44 → ~10 ms/frame).  Same math as models.decoder.decoder_forward_one_
+    step; cross-attention K/V are shared (attention.mha_shared_kv).
+    Returns (logp (K, V) f32, new_cache).
     """
+    from reverb_tpu.models.attention import (_MASK_VALUE, _merge_heads,
+                                             _split_heads)
     K, Lb = buf.shape
-    x = embedding(p_dec['embed']['0'], buf)
-    x, _ = emb.abs_position_encoding(x, 0, 0.0, None)
+    H = dcfg.attention_heads
+    hi = jax.lax.Precision.HIGHEST
+    tok = jnp.take_along_axis(buf, steps[:, None], axis=1)       # (K,1)
+    x = embedding(p_dec['embed']['0'], tok)                      # (K,1,D)
+    D = x.shape[-1]
+    pe = jnp.asarray(emb.pe_table(D))[steps][:, None]            # (K,1,D)
+    x = x * math.sqrt(D) + pe.astype(x.dtype)
     if dcfg.compute_dtype is not None:
         x = x.astype(dcfg.compute_dtype)
     pos = jnp.arange(Lb)
-    tgt_mask = (pos[None, :] <= steps[:, None])[:, None, :]      # (K,1,Lb)
-    idx = steps[:, None, None]
+    keep = (pos[None, :] <= steps[:, None])[:, None, None, :]    # (K,1,1,Lb)
+    kk = jnp.arange(K)
     new_cache = []
     for i, lp in enumerate(p_dec['decoders']):
         is_lsl = _layer_is_lsl(dcfg, i, n_blocks)
         eps = 1e-12 if is_lsl else 1e-5
-        xn = layer_norm(lp['norm1'], x, eps)
-        tgt_q = jnp.take_along_axis(xn, idx, axis=1)             # (K,1,D)
-        res_q = jnp.take_along_axis(x, idx, axis=1)
-        sa, _ = att.mha(lp['self_attn'], tgt_q, xn, xn, tgt_mask,
-                        dcfg.attention_heads)
-        h = res_q + sa
+        xn = layer_norm(lp['norm1'], x, eps)                     # (K,1,D)
+        q = _split_heads(linear(lp['self_attn']['linear_q'], xn), H)
+        k_new = linear(lp['self_attn']['linear_k'], xn)[:, 0]    # (K,D)
+        v_new = linear(lp['self_attn']['linear_v'], xn)[:, 0]
+        kv = cache[i].at[kk, steps].set(
+            jnp.concatenate([k_new, v_new], -1).astype(cache.dtype))
+        k_all = _split_heads(kv[..., :D].astype(x.dtype), H)     # (K,H,Lb,dk)
+        v_all = _split_heads(kv[..., D:].astype(x.dtype), H)
+        d_k = q.shape[-1]
+        scores = jnp.matmul(q, k_all.transpose(0, 1, 3, 2),
+                            precision=hi) / math.sqrt(d_k)
+        scores32 = jnp.where(keep, scores.astype(jnp.float32), _MASK_VALUE)
+        attn = jax.nn.softmax(scores32, axis=-1)
+        attn = jnp.where(keep, attn, 0.0).astype(x.dtype)
+        ctx = _merge_heads(jnp.matmul(attn, v_all, precision=hi))
+        sa = linear(lp['self_attn']['linear_out'], ctx)          # (K,1,D)
+        h = x + sa
         xn2 = layer_norm(lp['norm2'], h, eps)
         ca = att.mha_shared_kv(lp['src_attn'], xn2, mem_kv[i], mem_mask,
                                dcfg.attention_heads)
@@ -95,12 +121,9 @@ def _decoder_rows(p_dec, dcfg, n_blocks, mem_kv, mem_mask, buf, steps, cache,
             else xn3
         ff = linear(lp['feed_forward']['w_2'],
                     actf(linear(lp['feed_forward']['w_1'], ff_in)))
-        out_q = h + ff                                           # (K,1,D)
-        upd = jnp.where(pos[None, :, None] == steps[:, None, None], out_q,
-                        cache[i])
-        new_cache.append(upd)
-        x = upd
-    y = jnp.take_along_axis(x, idx, axis=1)[:, 0]
+        x = h + ff                                               # (K,1,D)
+        new_cache.append(kv)
+    y = x[:, 0]
     if dcfg.normalize_before:
         y = layer_norm(p_dec['after_norm'], y)
     if dcfg.use_output_layer:
@@ -150,7 +173,7 @@ def _joint_search_one(params, cfg: ModelConfig, enc, enc_len, probs,
     beam_ix = jnp.arange(K, dtype=jnp.int32)
     alive0 = beam_ix == 0
     buf0 = jnp.zeros((K, Lb), jnp.int32).at[:, 0].set(sos)
-    cache0 = jnp.zeros((n_blocks, K, Lb, D), enc.dtype)
+    cache0 = jnp.zeros((n_blocks, K, Lb, 2 * D), enc.dtype)
     nsc0, cache0 = _decoder_rows(p_dec, dcfg, n_blocks, mem_kv, mem_mask,
                                  buf0, jnp.zeros((K,), jnp.int32), cache0,
                                  dec_cat)

@@ -168,7 +168,13 @@ class Diarizer:
             lambda p, w: segmentation_forward(p, w, seg_cfg))
         emb_fn = emb_forward or (
             lambda p, f, l: embedding_forward(p, f, l, emb_cfg))
-        self._seg_fn = jax.jit(lambda p, w: jnp.exp(seg_fn(p, w)))
+        # fetch per-speaker ACTIVITY as uint8, not (W,T',C) f32 posteriors:
+        # every host byte costs real wall time on a remote-TPU link
+        # (measured: the f32 posterior fetch was ~40% of the segmentation
+        # phase on the 30-min bench)
+        self._seg_fn = jax.jit(lambda p, w: powerset_to_multilabel(
+            jnp.exp(seg_fn(p, w)), seg_cfg.max_speakers,
+            seg_cfg.max_simultaneous).astype(jnp.uint8))
         self._emb_fn = jax.jit(emb_fn)
 
     @classmethod
@@ -267,10 +273,7 @@ class Diarizer:
         parts = [np.asarray(self._seg_fn(self.seg_params,
                                          jnp.asarray(batch[t:t + tile])))
                  for t in range(0, len(batch), tile)]
-        probs = np.concatenate(parts)[:n_win]
-        activity = np.asarray(powerset_to_multilabel(
-            jnp.asarray(probs), self.seg_cfg.max_speakers,
-            self.seg_cfg.max_simultaneous))            # (W, T', S)
+        activity = np.concatenate(parts)[:n_win]       # (W, T', S) uint8
         frame_sec = self._frame_sec or \
             segmentation_frame_rate(self.seg_cfg)
         t1 = _time.perf_counter()
@@ -320,18 +323,21 @@ class Diarizer:
             waves[i, :len(w)] = w
             lens[i] = max(lf, 1)
         waves *= (1 << 15)
-        feats = np.concatenate([
-            np.asarray(self._fbank_batch(jnp.asarray(waves[t:t + tile]),
-                                         fb_cfg, buck_T))
-            for t in range(0, len(waves), tile)])
+        # fbank feeds the embedding net WITHOUT a host round trip: the
+        # (tile, buck_T, 80) f32 features are ~40 MB/tile — fetching and
+        # re-uploading them cost ~24 s of the 30-min bench's 43 s wall
+        feats_dev = [self._fbank_batch(jnp.asarray(waves[t:t + tile]),
+                                       fb_cfg, buck_T)
+                     for t in range(0, len(waves), tile)]
+        jax.block_until_ready(feats_dev[-1])
         t3 = _time.perf_counter()
         ph['fbank_ms'] = round((t3 - t2) * 1e3, 1)
 
         embs = np.concatenate([
-            np.asarray(self._emb_fn(self.emb_params,
-                                    jnp.asarray(feats[t:t + tile]),
-                                    jnp.asarray(lens[t:t + tile])))
-            for t in range(0, len(feats), tile)])[:n_seg]
+            np.asarray(self._emb_fn(self.emb_params, f,
+                                    jnp.asarray(lens[i * tile:
+                                                     (i + 1) * tile])))
+            for i, f in enumerate(feats_dev)])[:n_seg]
         t4 = _time.perf_counter()
         ph['embedding_ms'] = round((t4 - t3) * 1e3, 1)
 
