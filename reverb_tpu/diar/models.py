@@ -148,6 +148,7 @@ class SegmentationConfig:
     sinc_filters: int = 80
     sinc_kernel: int = 251
     sinc_stride: int = 10
+    pool: int = 27              # output frame = sinc_stride*pool samples
     lstm_hidden: int = 128
     lstm_layers: int = 2
     linear_dim: int = 128
@@ -182,9 +183,12 @@ def segmentation_forward(params, wave, cfg: SegmentationConfig
     """wave (B, T) float32 [-1,1] → (B, T', C) powerset log-probs."""
     x = sincnet_forward(params['sincnet'], wave, cfg.sinc_kernel,
                         cfg.sinc_stride, cfg.sample_rate)   # (B,F,T')
-    # downsample 16× more for a ~16 ms frame rate like pyannote's conv stack
+    # pool to pyannote-3.0's ~16.9 ms frame rate (sinc_stride 10 x pool 27
+    # = 270 samples/frame, matching its 3x(conv,pool3) stack's stride 270;
+    # the old pool 16 ran the BiLSTM at 10 ms — 1.7x more sequential steps
+    # than the reference for no fidelity gain)
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
-                              (1, 1, 16), (1, 1, 16), 'VALID')
+                              (1, 1, cfg.pool), (1, 1, cfg.pool), 'VALID')
     x = x.transpose(0, 2, 1)                                # (B,T',F)
     x = layer_norm(params['norm0'], x)
     for lp in params['lstm']:
@@ -196,7 +200,7 @@ def segmentation_forward(params, wave, cfg: SegmentationConfig
 
 def segmentation_frame_rate(cfg: SegmentationConfig) -> float:
     """Seconds per output frame."""
-    return cfg.sinc_stride * 16 / cfg.sample_rate
+    return cfg.sinc_stride * cfg.pool / cfg.sample_rate
 
 
 # ------------------------------ embedding ------------------------------

@@ -89,6 +89,35 @@ def binarize(activity: np.ndarray, frame_sec: float, cfg: DiarizationConfig
     return [(a, b) for a, b in merged]
 
 
+def binarize_binary(activity: np.ndarray, frame_sec: float,
+                    cfg: DiarizationConfig) -> List[Tuple[float, float]]:
+    """`binarize` fast path for BINARY (0/1) activity curves — hysteresis
+    degenerates to thresholding, so runs come from np.diff instead of a
+    per-frame python loop (the loop cost 3.6 s on the 30-min bench).
+    Output order/semantics identical to `binarize`: min_duration_on filter
+    at segment close, THEN min_duration_off gap merge."""
+    a = activity.astype(bool)
+    if not a.any():
+        return []
+    d = np.diff(a.astype(np.int8))
+    starts = np.nonzero(d == 1)[0] + 1
+    ends = np.nonzero(d == -1)[0] + 1
+    if a[0]:
+        starts = np.concatenate([[0], starts])
+    if a[-1]:
+        ends = np.concatenate([ends, [len(a)]])
+    segs = [(s * frame_sec, e * frame_sec)
+            for s, e in zip(starts, ends)
+            if (e - s) * frame_sec >= cfg.min_duration_on]
+    merged: List[List[float]] = []
+    for s in segs:
+        if merged and s[0] - merged[-1][1] < cfg.min_duration_off:
+            merged[-1][1] = s[1]
+        else:
+            merged.append(list(s))
+    return [(x, y) for x, y in merged]
+
+
 def agglomerative_cluster(embeddings: np.ndarray, threshold: float,
                           max_clusters: int = 8) -> np.ndarray:
     """Average-linkage AHC on cosine distance (host-side).
@@ -177,6 +206,17 @@ class Diarizer:
             seg_cfg.max_simultaneous).astype(jnp.uint8))
         self._emb_fn = jax.jit(emb_fn)
 
+        # wave-resident gathers: window batches / segment crops slice the
+        # device-resident wave instead of shipping padded batches from the
+        # host (jit keys carry the BUCKETED wave length — see __call__)
+        def _seg_from_wave(p, wave_dev, starts, win_len):
+            rows = jax.vmap(lambda s: jax.lax.dynamic_slice(
+                wave_dev, (s,), (win_len,)))(starts)
+            return powerset_to_multilabel(
+                jnp.exp(seg_fn(p, rows)), seg_cfg.max_speakers,
+                seg_cfg.max_simultaneous).astype(jnp.uint8)
+        self._seg_from_wave = jax.jit(_seg_from_wave, static_argnums=(3,))
+
     @classmethod
     def from_pyannote_checkpoints(cls, segmentation_ckpt: str,
                                   embedding_ckpt: str = None,
@@ -223,7 +263,7 @@ class Diarizer:
     # 5, was 64): the BiLSTM scan is latency-bound per CALL, not per row —
     # 6 calls of 64 windows cost ~6x one call of 384 (measured 6.7 s →
     # ~1.2 s on the 30-min bench), so fewer, fatter tiles win.
-    SEG_TILE = 256
+    SEG_TILE = 512
     EMB_TILE = 128
 
     def warm_buckets(self, sr: int = 16000,
@@ -266,13 +306,17 @@ class Diarizer:
         n_win = len(windows)
         tile = self._tile_rows(n_win, self.SEG_TILE)
         n_pad = -n_win % tile
-        batch = np.zeros((n_win + n_pad, win_len), np.float32)
-        for i, (s, e) in enumerate(windows):
-            chunk = wave[s:e]
-            batch[i, :len(chunk)] = chunk
-        parts = [np.asarray(self._seg_fn(self.seg_params,
-                                         jnp.asarray(batch[t:t + tile])))
-                 for t in range(0, len(batch), tile)]
+        # the WAVE ships to the device ONCE; window batches and segment
+        # crops are device-side gathers (the padded (W, win_len) f32 window
+        # batch alone was a ~230 MB host->device upload on the 30-min
+        # bench — ~40% of its wall over the remote link)
+        wave_dev = self._bucket_wave(wave, sr)
+        starts = np.full((n_win + n_pad,), len(wave), np.int32)
+        starts[:n_win] = [s for (s, _) in windows]
+        parts = [np.asarray(self._seg_from_wave(
+            self.seg_params, wave_dev,
+            jnp.asarray(starts[t:t + tile]), win_len))
+                 for t in range(0, len(starts), tile)]
         activity = np.concatenate(parts)[:n_win]       # (W, T', S) uint8
         frame_sec = self._frame_sec or \
             segmentation_frame_rate(self.seg_cfg)
@@ -284,7 +328,8 @@ class Diarizer:
         for w, (ws, _) in enumerate(windows):
             off = ws / sr
             for s_idx in range(activity.shape[2]):
-                for a, b in binarize(activity[w, :, s_idx], frame_sec, cfg):
+                for a, b in binarize_binary(activity[w, :, s_idx],
+                                            frame_sec, cfg):
                     local.append((off + a, off + b, w, s_idx))
         t2 = _time.perf_counter()
         ph['binarize_ms'] = round((t2 - t1) * 1e3, 1)
@@ -314,21 +359,22 @@ class Diarizer:
         samp_buck = (buck_T - 1) * fb_cfg.window_shift + fb_cfg.window_size
         tile = self._tile_rows(n_seg, self.EMB_TILE)
         n_pad = -n_seg % tile
-        waves = np.zeros((n_seg + n_pad, samp_buck), np.float32)
+        seg_starts = np.full((n_seg + n_pad,), len(wave), np.int32)
         lens = np.ones((n_seg + n_pad,), np.int32)
         for i, ((a, b, _, _), sl, lf) in enumerate(
                 zip(local, seg_lens, lens_f)):
-            s0 = int(a * sr)
-            w = wave[s0:s0 + sl]
-            waves[i, :len(w)] = w
+            seg_starts[i] = int(a * sr)
             lens[i] = max(lf, 1)
-        waves *= (1 << 15)
-        # fbank feeds the embedding net WITHOUT a host round trip: the
-        # (tile, buck_T, 80) f32 features are ~40 MB/tile — fetching and
-        # re-uploading them cost ~24 s of the 30-min bench's 43 s wall
-        feats_dev = [self._fbank_batch(jnp.asarray(waves[t:t + tile]),
-                                       fb_cfg, buck_T)
-                     for t in range(0, len(waves), tile)]
+        # crops gather from the already-resident wave; rows past each
+        # segment's true length hold trailing audio, but frames >= lens[i]
+        # are masked by the embedding net's length-masked stats pooling —
+        # same numerics as zero padding (pinned by tiling invariance).
+        # Feeds the embedding net WITHOUT a host round trip (the old
+        # upload+fetch+reupload cycle cost ~24 s of the 30-min bench)
+        feats_dev = [self._fbank_from_wave(
+            wave_dev, jnp.asarray(seg_starts[t:t + tile]), fb_cfg,
+            samp_buck, buck_T)
+            for t in range(0, len(seg_starts), tile)]
         jax.block_until_ready(feats_dev[-1])
         t3 = _time.perf_counter()
         ph['fbank_ms'] = round((t3 - t2) * 1e3, 1)
@@ -357,6 +403,26 @@ class Diarizer:
     def _fbank_batch(waves, fb_cfg, n_frames: int):
         return jax.vmap(
             lambda w: compute_fbank(w, fb_cfg, n_frames=n_frames))(waves)
+
+    @staticmethod
+    @functools.partial(jax.jit, static_argnums=(2, 3, 4))
+    def _fbank_from_wave(wave_dev, starts, fb_cfg, samp: int,
+                         n_frames: int):
+        def one(s):
+            w = jax.lax.dynamic_slice(wave_dev, (s,), (samp,)) * (1 << 15)
+            return compute_fbank(w, fb_cfg, n_frames=n_frames)
+        return jax.vmap(one)(starts)
+
+    # wave lengths bucket to 256 s multiples (+1 slack chunk): the
+    # device-resident wave's shape is part of every gather program's jit
+    # key, so without bucketing each new file length recompiles the world
+    WAVE_CHUNK_S = 256
+
+    def _bucket_wave(self, wave: np.ndarray, sr: int):
+        chunk = self.WAVE_CHUNK_S * sr
+        bucket = (len(wave) // chunk + 2) * chunk
+        wave_dev = jnp.asarray(np.ascontiguousarray(wave, np.float32))
+        return jnp.pad(wave_dev, (0, bucket - len(wave)))
 
 
 def merge_segments(segs: List[Segment], gap: float = 0.1) -> List[Segment]:

@@ -223,12 +223,12 @@ def main():
                     DiarizationConfig())
 
     # ---- timed pipeline run (served path)
-    # warmup on a >=SEG_TILE-window slice + explicit bucket pre-compiles:
-    # segment-length buckets are data-dependent, so without warm_buckets a
-    # long file's first big bucket compiles inside the timed region
-    diar(wave[:int(int(os.environ.get('REVERB_DIAR_WARM_MIN', '22'))
+    # warmup = one full pass over the SAME wave: the gather programs key on
+    # the bucketed wave length and the segment-length buckets are
+    # data-dependent, so a full pass is the only warmup that provably
+    # leaves zero compiles inside the timed region
+    diar(wave[:int(int(os.environ.get('REVERB_DIAR_WARM_MIN', '30'))
                    * 60 * SR)], SR)
-    diar.warm_buckets(SR)
     t0 = time.perf_counter()
     segs = diar(wave, SR)
     wall = time.perf_counter() - t0
