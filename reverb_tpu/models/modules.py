@@ -63,7 +63,15 @@ def remat_policy(name: str):
                 # call is not a dot — without this the backward replays the
                 # whole fwd kernel (~16.5 ms/step at B=48 flagship)
                 'attn_out'))
-    raise ValueError(f'unknown remat_policy {name!r} (full|dots)')
+    if name == 'dots_no_ln':
+        # A/B probe for the ln_stats save (tools/exp_lnstats.py): 'dots'
+        # minus the LN-stat names — if saving them fires, this variant
+        # must be SLOWER (the backward re-reduces every LN input)
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names('attn_out'))
+    raise ValueError(
+        f'unknown remat_policy {name!r} (full|dots|dots_no_ln)')
 
 
 def dropout(x, rate: float, rng):
