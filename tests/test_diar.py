@@ -264,3 +264,28 @@ def test_embedding_training_separates_speakers():
     # clustering at the midpoint threshold recovers the speaker partition
     np.testing.assert_array_equal(labels[:, None] == labels[None, :],
                                   same)
+
+
+def test_binarize_binary_matches_hysteresis():
+    """The np.diff fast path must reproduce `binarize` exactly on binary
+    activity curves (hysteresis degenerates to thresholding there),
+    including min_duration_on filtering, min_duration_off gap merging,
+    and active-at-array-end runs."""
+    from reverb_tpu.diar.pipeline import (DiarizationConfig, binarize,
+                                          binarize_binary)
+    rng = np.random.RandomState(0)
+    cfg = DiarizationConfig()
+    frame_sec = 0.0169
+    for trial in range(50):
+        # blocky random curves with runs of mixed lengths
+        n = rng.randint(5, 400)
+        runs = rng.randint(1, 40, size=32)
+        vals = (np.arange(32) % 2).astype(np.float32)
+        if rng.rand() < 0.5:
+            vals = 1 - vals
+        act = np.repeat(vals, runs)[:n]
+        want = binarize(act, frame_sec, cfg)
+        got = binarize_binary(act, frame_sec, cfg)
+        assert len(want) == len(got), (trial, want, got)
+        for (a, b), (c, d) in zip(want, got):
+            assert abs(a - c) < 1e-9 and abs(b - d) < 1e-9, (trial,)
